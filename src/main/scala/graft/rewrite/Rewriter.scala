@@ -1,0 +1,645 @@
+package graft.rewrite
+
+import graft.core._
+import graft.selectors._
+import scala.collection.mutable
+
+object ContentType {
+  final val Html = 0
+  final val Text = 1
+}
+
+/** Growable byte buffer output sink. */
+final class ByteBuf(initial: Int = 1024) {
+  private var buf = new Array[Byte](initial)
+  private var n = 0
+  def size: Int = n
+  def reset(): Unit = n = 0
+  private def ensure(extra: Int): Unit =
+    if (n + extra > buf.length) {
+      var cap = buf.length * 2
+      while (cap < n + extra) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+  def append(src: Array[Byte], from: Int, until: Int): Unit = {
+    val l = until - from
+    if (l > 0) { ensure(l); System.arraycopy(src, from, buf, n, l); n += l }
+  }
+  def appendString(s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ensure(b.length); System.arraycopy(b, 0, buf, n, b.length); n += b.length
+  }
+  /** Escape `&`, `<`, `>` (reference: src/html/mod.rs escape_body_text). */
+  def appendEscaped(s: String): Unit = {
+    var i = 0
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    appendString(sb.toString)
+  }
+  def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+  def toUtf8String: String = new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+}
+
+/** Ordered list of content chunks with front/back insertion
+  * (reference DynamicString, src/rewritable_units/mutations.rs:108-193).
+  */
+final class DynamicString {
+  private[rewrite] val chunks = new mutable.ArrayBuffer[(String, Int)](2)
+  def pushBack(s: String, ct: Int): Unit = chunks += ((s, ct))
+  def pushFront(s: String, ct: Int): Unit = chunks.insert(0, (s, ct))
+  def clear(): Unit = chunks.clear()
+  def isEmpty: Boolean = chunks.isEmpty
+  def emitTo(out: ByteBuf): Unit = {
+    var i = 0
+    while (i < chunks.length) {
+      val (s, ct) = chunks(i)
+      if (ct == ContentType.Html) out.appendString(s) else out.appendEscaped(s)
+      i += 1
+    }
+  }
+}
+
+/** Per-token mutations (reference MutationsInner). */
+final class Mutations {
+  var contentBefore: DynamicString = _
+  var replacement: DynamicString = _
+  var contentAfter: DynamicString = _
+  var removed = false
+  def before(s: String, ct: Int): Unit = {
+    if (contentBefore == null) contentBefore = new DynamicString
+    contentBefore.pushBack(s, ct)
+  }
+  def after(s: String, ct: Int): Unit = {
+    if (contentAfter == null) contentAfter = new DynamicString
+    contentAfter.pushFront(s, ct)
+  }
+  def replace(s: String, ct: Int): Unit = {
+    removed = true
+    replacement = new DynamicString
+    replacement.pushBack(s, ct)
+  }
+  def remove(): Unit = removed = true
+}
+
+/** Element API surface handed to element handlers — the subset of the
+  * reference's `Element` (/root/reference/src/rewritable_units/element.rs)
+  * needed for extraction and the golden corpora. Valid only during the
+  * handler invocation.
+  */
+final class Element private[rewrite] (
+    private val input: Array[Byte],
+    private val nameLower0: String,
+    private val attrs: AttrList,
+    val canHaveContent: Boolean,
+    val selfClosing: Boolean,
+    val sourceStart: Int
+) {
+  private[rewrite] val startTagMutations = new Mutations
+  private[rewrite] var endTagMutations: Mutations = _
+  private[rewrite] var shouldRemoveContent = false
+
+  def tagName: String = nameLower0
+
+  private lazy val attrPairs: Array[(String, String)] = {
+    val out = new Array[(String, String)](attrs.count)
+    var i = 0
+    while (i < attrs.count) {
+      val name = new String(input, attrs.nameStart(i), attrs.nameEnd(i) - attrs.nameStart(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val v = new String(input, attrs.valueStart(i), attrs.valueEnd(i) - attrs.valueStart(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = (HtmlUtil.lowerAscii(name), v)
+      i += 1
+    }
+    out
+  }
+
+  def attributes: Seq[(String, String)] = attrPairs.toSeq
+  def attr(lowerName: String): String = {
+    var i = 0
+    while (i < attrPairs.length) {
+      if (attrPairs(i)._1 == lowerName) return attrPairs(i)._2
+      i += 1
+    }
+    null
+  }
+  def hasAttr(lowerName: String): Boolean = attr(lowerName) != null
+
+  private def endMut: Mutations = {
+    if (endTagMutations == null) endTagMutations = new Mutations
+    endTagMutations
+  }
+
+  def before(content: String, ct: Int = ContentType.Html): Unit =
+    startTagMutations.before(content, ct)
+
+  def after(content: String, ct: Int = ContentType.Html): Unit =
+    if (canHaveContent) {
+      if (endMut.contentAfter == null) endMut.contentAfter = new DynamicString
+      endMut.contentAfter.pushFront(content, ct)
+    } else startTagMutations.after(content, ct)
+
+  def prepend(content: String, ct: Int = ContentType.Html): Unit =
+    if (canHaveContent) startTagMutations.after(content, ct) // push_front per reference
+
+  def append(content: String, ct: Int = ContentType.Html): Unit =
+    if (canHaveContent) {
+      if (endMut.contentBefore == null) endMut.contentBefore = new DynamicString
+      endMut.contentBefore.pushBack(content, ct)
+    }
+
+  def setInnerContent(content: String, ct: Int = ContentType.Html): Unit =
+    if (canHaveContent) {
+      removeContentInternal()
+      if (startTagMutations.contentAfter == null) startTagMutations.contentAfter = new DynamicString
+      startTagMutations.contentAfter.pushBack(content, ct)
+    }
+
+  private def removeContentInternal(): Unit = {
+    if (startTagMutations.contentAfter != null) startTagMutations.contentAfter.clear()
+    if (endTagMutations != null && endTagMutations.contentBefore != null)
+      endTagMutations.contentBefore.clear()
+    shouldRemoveContent = true
+  }
+
+  def remove(): Unit = {
+    startTagMutations.remove()
+    if (canHaveContent) { removeContentInternal(); endMut.remove() }
+  }
+
+  def removeAndKeepContent(): Unit = {
+    startTagMutations.remove()
+    if (canHaveContent) endMut.remove()
+  }
+
+  def removed: Boolean = startTagMutations.removed
+}
+
+/** Text chunk API (reference TextChunk). */
+final class TextChunk private[rewrite] (
+    val text: String,
+    val textType: Int,
+    val lastInTextNode: Boolean,
+    val sourceStart: Int,
+    val sourceEnd: Int
+) {
+  private[rewrite] val mutations = new Mutations
+  def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
+  def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
+  def replace(content: String, ct: Int = ContentType.Html): Unit = mutations.replace(content, ct)
+  def remove(): Unit = mutations.remove()
+}
+
+/** Comment API (reference Comment). */
+final class Comment private[rewrite] (val text: String, val sourceStart: Int, val sourceEnd: Int) {
+  private[rewrite] val mutations = new Mutations
+  def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
+  def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
+  def replace(content: String, ct: Int = ContentType.Html): Unit = mutations.replace(content, ct)
+  def remove(): Unit = mutations.remove()
+}
+
+final class DoctypeTok private[rewrite] (val name: String, val publicId: String, val systemId: String) {
+  private[rewrite] val mutations = new Mutations
+  def remove(): Unit = mutations.remove()
+}
+
+final class EndTagTok private[rewrite] (val nameLower: String) {
+  private[rewrite] var mutations = new Mutations
+  def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
+  def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
+  def remove(): Unit = mutations.remove()
+}
+
+final class DocumentEnd private[rewrite] (out: ByteBuf) {
+  def append(content: String, ct: Int = ContentType.Html): Unit =
+    if (ct == ContentType.Html) out.appendString(content) else out.appendEscaped(content)
+}
+
+/** Per-selector handlers (any may be null). */
+final case class ElementHandlers(
+    element: Element => Unit = null,
+    comments: Comment => Unit = null,
+    text: TextChunk => Unit = null
+)
+
+/** Document-level handlers (always active). */
+final case class DocHandlers(
+    doctype: DoctypeTok => Unit = null,
+    comments: Comment => Unit = null,
+    text: TextChunk => Unit = null,
+    end: DocumentEnd => Unit = null
+)
+
+/** Handler registry with per-handler user refcounts
+  * (reference HandlerVec, src/rewriter/handlers_dispatcher.rs:26-131).
+  * `freeze()` snapshots the registration-time configuration; `reset()`
+  * restores it between documents so one Rewriter instance serves a whole
+  * partition.
+  */
+private[rewrite] final class HandlerVec[H >: Null <: AnyRef] {
+  private[rewrite] val items = new mutable.ArrayBuffer[H](4)
+  private[rewrite] val counts = new mutable.ArrayBuffer[Int](4)
+  private var active = 0
+  private var baseItems: Array[AnyRef] = _
+  private var baseCounts: Array[Int] = _
+
+  def push(h: H, alwaysActive: Boolean): Int = {
+    items += h
+    counts += (if (alwaysActive) 1 else 0)
+    if (alwaysActive) active += 1
+    items.length - 1
+  }
+  def freeze(): Unit = {
+    baseItems = items.toArray[AnyRef]
+    baseCounts = counts.toArray
+  }
+  def reset(): Unit = {
+    items.clear(); counts.clear(); active = 0
+    var i = 0
+    while (i < baseItems.length) {
+      items += baseItems(i).asInstanceOf[H]
+      counts += baseCounts(i)
+      active += baseCounts(i)
+      i += 1
+    }
+  }
+  def inc(i: Int): Unit = { counts(i) += 1; active += 1 }
+  def dec(i: Int): Unit = { counts(i) -= 1; active -= 1 }
+  def hasActive: Boolean = active > 0
+  def forEachActive(f: H => Unit): Unit = {
+    var i = 0
+    while (i < items.length) { if (counts(i) > 0) f(items(i)); i += 1 }
+  }
+  def doForEachActiveAndDeactivate(f: H => Unit): Unit = {
+    var i = 0
+    while (i < items.length) {
+      if (counts(i) > 0) { f(items(i)); active -= counts(i); counts(i) = 0 }
+      i += 1
+    }
+  }
+  /** Run active handlers from the tail backwards down to the first active
+    * one, then drop that whole tail (reference
+    * `do_for_each_active_and_remove_tail`).
+    */
+  def doForEachActiveAndRemoveTail(f: H => Unit): Unit = {
+    var first = -1
+    var i = 0
+    while (i < items.length && first < 0) { if (counts(i) > 0) first = i; i += 1 }
+    if (first >= 0) {
+      var j = items.length - 1
+      while (j >= first) {
+        if (counts(j) > 0) { active -= counts(j); f(items(j)) }
+        j -= 1
+      }
+      items.remove(first, items.length - first)
+      counts.remove(first, counts.length - first)
+    }
+  }
+  def size: Int = items.length
+}
+
+/** Extraction / scale hooks: emission on/off transitions (removed-content
+  * intervals) and text chunk events, consumed by the span extractor.
+  */
+trait RewriteListener {
+  def onEmissionDisabled(pos: Int): Unit = ()
+  def onEmissionEnabled(pos: Int): Unit = ()
+}
+
+/** Streaming HTML rewriter: lexer -> tree-builder feedback -> selector VM
+  * over the open-element stack -> handler dispatch -> mutation-aware
+  * re-serialization. The Spark-side per-row engine; one instance per task,
+  * reused across rows.
+  *
+  * Faithful to the reference's dispatch order
+  * (/root/reference/src/transform_stream/dispatcher.rs:455-480): pending
+  * text is flushed before the VM sees a tag; matching runs before token
+  * materialization; emission gating is re-evaluated after every tag.
+  */
+final class Rewriter(
+    selectorHandlers: Seq[(String, ElementHandlers)],
+    docHandlers: Seq[DocHandlers] = Nil,
+    strict: Boolean = true,
+    listener: RewriteListener = null
+) {
+  // ---- compile ----
+  private val program: Program = Program.compile(
+    selectorHandlers.zipWithIndex.map { case ((sel, _), i) => (SelectorParser.parse(sel), i) }
+  )
+
+  private val nSel = selectorHandlers.size
+  private val locElement = new Array[Int](nSel)
+  private val locComment = new Array[Int](nSel)
+  private val locText = new Array[Int](nSel)
+
+  private val elementHandlers = new HandlerVec[Element => Unit]
+  private val commentHandlers = new HandlerVec[Comment => Unit]
+  private val textHandlers = new HandlerVec[TextChunk => Unit]
+  private val doctypeHandlers = new HandlerVec[DoctypeTok => Unit]
+  private val endHandlers = new HandlerVec[DocumentEnd => Unit]
+  private val endTagHandlers = new HandlerVec[EndTagTok => Unit]
+
+  {
+    var i = 0
+    for ((_, h) <- selectorHandlers) {
+      locElement(i) = if (h.element != null) elementHandlers.push(h.element, alwaysActive = false) else -1
+      locComment(i) = if (h.comments != null) commentHandlers.push(h.comments, alwaysActive = false) else -1
+      locText(i) = if (h.text != null) textHandlers.push(h.text, alwaysActive = false) else -1
+      i += 1
+    }
+    for (d <- docHandlers) {
+      if (d.doctype != null) doctypeHandlers.push(d.doctype, alwaysActive = true)
+      if (d.comments != null) commentHandlers.push(d.comments, alwaysActive = true)
+      if (d.text != null) textHandlers.push(d.text, alwaysActive = true)
+      if (d.end != null) endHandlers.push(d.end, alwaysActive = true)
+    }
+    elementHandlers.freeze(); commentHandlers.freeze(); textHandlers.freeze()
+    doctypeHandlers.freeze(); endHandlers.freeze(); endTagHandlers.freeze()
+  }
+
+  private val lexer = new Lexer(strict)
+  private val vm = new MatchingVm(program)
+  private val out = new ByteBuf(4096)
+
+  // ---- per-document state ----
+  private var input: Array[Byte] = _
+  private var pendingStart = 0
+  private var emissionEnabled = true
+  private var matchedRemoved = 0
+  private var textPending = false
+  private var textPendingType = TextType.Data
+
+  def rewrite(html: String): String = {
+    val bytes = rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def rewriteToBytes(doc: Array[Byte]): Array[Byte] = {
+    out.reset()
+    input = doc
+    pendingStart = 0
+    emissionEnabled = true
+    matchedRemoved = 0
+    textPending = false
+    vm.reset()
+    // restore registration-time handler state (doc handlers active,
+    // selector-scoped inactive, dynamic end-tag handlers dropped)
+    elementHandlers.reset(); commentHandlers.reset(); textHandlers.reset()
+    doctypeHandlers.reset(); endHandlers.reset(); endTagHandlers.reset()
+    lexer.parse(doc, sink)
+    input = null
+    out.toArray
+  }
+
+  // ---- element view over the current lexer tag ----
+  private object view extends VmElemView {
+    var nameLowerV: String = _
+    var nameHashV: Long = TagHash.Empty
+    var nsV: Int = Ns.Html
+    var attrsV: AttrList = _
+    var in: Array[Byte] = _
+    private var attrNamesLower: Array[String] = new Array[String](8)
+    private var attrValues: Array[String] = new Array[String](8)
+    private var matCount = -1
+
+    def set(in0: Array[Byte], nameLower: String, hash: Long, ns: Int, attrs: AttrList): Unit = {
+      in = in0; nameLowerV = nameLower; nameHashV = hash; nsV = ns; attrsV = attrs
+      matCount = if (attrs == null) 0 else attrs.count
+      if (matCount > attrNamesLower.length) {
+        attrNamesLower = new Array[String](matCount * 2)
+        attrValues = new Array[String](matCount * 2)
+      }
+      java.util.Arrays.fill(attrNamesLower.asInstanceOf[Array[AnyRef]], 0, matCount, null)
+      java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, matCount, null)
+    }
+    def nameLower: String = nameLowerV
+    def nameHash: Long = nameHashV
+    def isHtmlNs: Boolean = nsV == Ns.Html
+    def attrCount: Int = matCount
+    def attrNameLower(i: Int): String = {
+      var s = attrNamesLower(i)
+      if (s == null) {
+        s = HtmlUtil.lowerAscii(new String(in, attrsV.nameStart(i),
+          attrsV.nameEnd(i) - attrsV.nameStart(i), java.nio.charset.StandardCharsets.UTF_8))
+        attrNamesLower(i) = s
+      }
+      s
+    }
+    def attrValue(i: Int): String = {
+      var s = attrValues(i)
+      if (s == null) {
+        s = new String(in, attrsV.valueStart(i),
+          attrsV.valueEnd(i) - attrsV.valueStart(i), java.nio.charset.StandardCharsets.UTF_8)
+        attrValues(i) = s
+      }
+      s
+    }
+  }
+
+  // scratch buffer for matched ids of the current start tag
+  private val matchedIdsBuf = new mutable.ArrayBuffer[Int](4)
+  private var lastMatchWithContent = false
+
+  // ---- serializer helpers ----
+  private def emitChunkBefore(rawStart: Int): Unit = {
+    if (emissionEnabled && rawStart > pendingStart) out.append(input, pendingStart, rawStart)
+    pendingStart = rawStart
+  }
+
+  private def serializeToken(m: Mutations, rawStart: Int, rawEnd: Int): Unit = {
+    if (emissionEnabled) {
+      if (m.contentBefore != null) m.contentBefore.emitTo(out)
+      if (!m.removed) out.append(input, rawStart, rawEnd)
+      else if (m.replacement != null) m.replacement.emitTo(out)
+      if (m.contentAfter != null) m.contentAfter.emitTo(out)
+    }
+    pendingStart = rawEnd
+  }
+
+  private def setEmission(on: Boolean, pos: Int): Unit = {
+    if (on != emissionEnabled) {
+      emissionEnabled = on
+      if (listener != null) {
+        if (on) listener.onEmissionEnabled(pos) else listener.onEmissionDisabled(pos)
+      }
+    }
+  }
+
+  private def flushPendingText(flushPos: Int): Unit = {
+    if (textPending) {
+      textPending = false
+      if (textHandlers.hasActive) {
+        val tok = new TextChunk("", textPendingType, lastInTextNode = true, flushPos, flushPos)
+        textHandlers.forEachActive(h => h(tok))
+        emitChunkBefore(flushPos)
+        serializeToken(tok.mutations, flushPos, flushPos)
+      }
+    }
+  }
+
+  // ---- lexeme sink (the dispatcher) ----
+  private object sink extends LexemeSink {
+
+    def onText(start: Int, end: Int, textType: Int): Unit = {
+      if (textHandlers.hasActive) {
+        val s = new String(input, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
+        val tok = new TextChunk(s, textType, lastInTextNode = false, start, end)
+        textHandlers.forEachActive(h => h(tok))
+        emitChunkBefore(start)
+        serializeToken(tok.mutations, start, end)
+        textPending = true
+        textPendingType = textType
+      }
+    }
+
+    def onStartTag(nameStart: Int, nameEnd: Int, nameHash: Long, ns: Int,
+                   selfClosing: Boolean, attrs: AttrList,
+                   rawStart: Int, rawEnd: Int): Unit = {
+      flushPendingText(rawStart)
+
+      val nameLower = HtmlUtil.lowerAscii(
+        new String(input, nameStart, nameEnd - nameStart, java.nio.charset.StandardCharsets.UTF_8))
+      view.set(input, nameLower, nameHash, ns, attrs)
+
+      matchedIdsBuf.clear()
+      lastMatchWithContent = false
+      val pushed = vm.execStartTag(view, selfClosing, (id, withContent) => {
+        if (withContent) {
+          if (locComment(id) >= 0) commentHandlers.inc(locComment(id))
+          if (locText(id) >= 0) textHandlers.inc(locText(id))
+          matchedIdsBuf += id
+        }
+        if (locElement(id) >= 0) elementHandlers.inc(locElement(id))
+        lastMatchWithContent = withContent
+      })
+
+      var desc: ElementDescriptor = null
+      if (pushed && matchedIdsBuf.nonEmpty) {
+        desc = new ElementDescriptor
+        desc.matchedContentHandlers = matchedIdsBuf.toArray
+        vm.setCurrentDescriptor(desc)
+      }
+
+      val captured = elementHandlers.hasActive
+      if (captured) {
+        val el = new Element(input, nameLower, attrs,
+          canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart)
+        if (matchedRemoved > 0) el.startTagMutations.remove()
+        elementHandlers.doForEachActiveAndDeactivate(h => h(el))
+
+        if (pushed) {
+          if (desc == null && (el.shouldRemoveContent || el.endTagMutations != null)) {
+            desc = new ElementDescriptor
+            vm.setCurrentDescriptor(desc)
+          }
+          if (desc != null) {
+            if (el.shouldRemoveContent) {
+              desc.removeContent = true
+              matchedRemoved += 1
+            }
+            if (el.endTagMutations != null) {
+              val m = el.endTagMutations
+              desc.endTagHandlerIdx =
+                endTagHandlers.push(et => et.mutations = m, alwaysActive = false)
+            }
+          }
+        }
+        emitChunkBefore(rawStart)
+        serializeToken(el.startTagMutations, rawStart, rawEnd)
+      }
+      // removal intervals start at the removing start tag's first byte
+      setEmission(matchedRemoved == 0, if (matchedRemoved == 0) rawEnd else rawStart)
+    }
+
+    def onEndTag(nameStart: Int, nameEnd: Int, nameHash: Long,
+                 rawStart: Int, rawEnd: Int): Unit = {
+      flushPendingText(rawStart)
+
+      val nameLower = HtmlUtil.lowerAscii(
+        new String(input, nameStart, nameEnd - nameStart, java.nio.charset.StandardCharsets.UTF_8))
+
+      vm.execEndTag(nameLower, desc => {
+        if (desc != null) {
+          val ids = desc.matchedContentHandlers
+          var i = 0
+          while (i < ids.length) {
+            val id = ids(i)
+            if (locComment(id) >= 0) commentHandlers.dec(locComment(id))
+            if (locText(id) >= 0) textHandlers.dec(locText(id))
+            i += 1
+          }
+          if (desc.endTagHandlerIdx >= 0) endTagHandlers.inc(desc.endTagHandlerIdx)
+          if (desc.removeContent) matchedRemoved -= 1
+        }
+      })
+
+      var forced = false
+      if (!emissionEnabled && matchedRemoved == 0) {
+        // stop removing: re-enable emission from this end tag on; the
+        // removal interval reported to the listener covers the end tag too
+        setEmission(true, rawEnd)
+        pendingStart = rawStart
+        forced = true
+      }
+
+      if (endTagHandlers.hasActive || forced) {
+        val tok = new EndTagTok(nameLower)
+        endTagHandlers.doForEachActiveAndRemoveTail(h => h(tok))
+        emitChunkBefore(rawStart)
+        serializeToken(tok.mutations, rawStart, rawEnd)
+      }
+      setEmission(matchedRemoved == 0, rawEnd)
+    }
+
+    def onComment(textStart: Int, textEnd: Int, rawStart: Int, rawEnd: Int): Unit = {
+      flushPendingText(rawStart)
+      if (commentHandlers.hasActive) {
+        val s = new String(input, textStart, textEnd - textStart, java.nio.charset.StandardCharsets.UTF_8)
+        val tok = new Comment(s, rawStart, rawEnd)
+        commentHandlers.forEachActive(h => h(tok))
+        emitChunkBefore(rawStart)
+        serializeToken(tok.mutations, rawStart, rawEnd)
+      }
+    }
+
+    def onDoctype(nameStart: Int, nameEnd: Int, hasName: Boolean,
+                  publicIdStart: Int, publicIdEnd: Int, hasPublicId: Boolean,
+                  systemIdStart: Int, systemIdEnd: Int, hasSystemId: Boolean,
+                  forceQuirks: Boolean, rawStart: Int, rawEnd: Int): Unit = {
+      flushPendingText(rawStart)
+      if (doctypeHandlers.hasActive) {
+        def str(s: Int, e: Int, has: Boolean): String =
+          if (has) new String(input, s, e - s, java.nio.charset.StandardCharsets.UTF_8) else null
+        val tok = new DoctypeTok(str(nameStart, nameEnd, hasName),
+          str(publicIdStart, publicIdEnd, hasPublicId),
+          str(systemIdStart, systemIdEnd, hasSystemId))
+        doctypeHandlers.forEachActive(h => h(tok))
+        emitChunkBefore(rawStart)
+        serializeToken(tok.mutations, rawStart, rawEnd)
+      }
+    }
+
+    def onRawWithoutToken(rawStart: Int, rawEnd: Int): Unit =
+      flushPendingText(rawStart)
+
+    def onEof(p: Int): Unit = {
+      flushPendingText(input.length)
+      if (emissionEnabled && input.length > pendingStart)
+        out.append(input, pendingStart, input.length)
+      pendingStart = input.length
+      if (endHandlers.hasActive) {
+        val de = new DocumentEnd(out)
+        endHandlers.doForEachActiveAndRemoveTail(h => h(de))
+      }
+    }
+  }
+}

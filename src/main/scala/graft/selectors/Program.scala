@@ -1,0 +1,215 @@
+package graft.selectors
+
+import graft.core.TagHash
+import scala.collection.mutable
+
+/** Read access to the element under test. Implemented by the dispatcher
+  * over the lexer's attribute outlines; string materialization is lazy.
+  */
+trait ElemView {
+  def nameLower: String
+  def nameHash: Long
+  def isHtmlNs: Boolean
+  def attrCount: Int
+  def attrNameLower(i: Int): String
+  def attrValue(i: Int): String
+  /** 1-based index among the parent's children (nth-child). */
+  def nthIndex: Int
+  /** 1-based index among same-type siblings (nth-of-type). */
+  def nthOfTypeIndex: Int
+}
+
+/** One node of the compiled selector automaton: a compound-selector
+  * predicate plus continuation edges. Equivalent of the reference's
+  * `ExecutionBranch` (/root/reference/src/selectors_vm/program.rs:8-97):
+  * `jumps` fire for immediate children (`>`), `hereditary` for all
+  * descendants, `matchedIds` are the payload ids completed here.
+  */
+final class Instr(
+    val simples: Array[SimpleSel],
+    val matchedIds: Array[Int],
+    val jumps: Array[Int],
+    val hereditary: Array[Int]
+) extends Serializable {
+  /** True when the predicate can be decided from the tag name alone. */
+  val nameOnly: Boolean = simples.forall {
+    case _: TypeSel | UniversalSel => true
+    case _                         => false
+  }
+
+  def eval(e: ElemView): Boolean = {
+    var i = 0
+    while (i < simples.length) {
+      if (!Instr.evalSimple(simples(i), e)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object Instr {
+  def evalSimple(s: SimpleSel, e: ElemView): Boolean = s match {
+    case TypeSel(lower, hash) =>
+      if (hash != TagHash.Empty || e.nameHash != TagHash.Empty) e.nameHash == hash
+      else e.nameLower == lower
+    case UniversalSel => true
+    case IdSel(id) =>
+      val v = attrVal(e, "id")
+      v != null && v == id
+    case ClassSel(cls) =>
+      val v = attrVal(e, "class")
+      v != null && containsWsToken(v, cls, caseInsensitive = false)
+    case a: AttrSel => evalAttr(a, e)
+    case NotSel(inner) =>
+      var i = 0
+      while (i < inner.length) {
+        if (evalSimple(inner(i), e)) return false
+        i += 1
+      }
+      true
+    case n @ NthSel(ofType, _, _) =>
+      n.hasIndex(if (ofType) e.nthOfTypeIndex else e.nthIndex)
+  }
+
+  private def attrVal(e: ElemView, lowerName: String): String = {
+    var i = 0
+    val n = e.attrCount
+    while (i < n) {
+      if (e.attrNameLower(i) == lowerName) return e.attrValue(i)
+      i += 1
+    }
+    null
+  }
+
+  @inline private def isAttrWs(c: Char): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f'
+
+  private def eqCase(a: String, b: String, ci: Boolean): Boolean =
+    if (ci) a.equalsIgnoreCase(b) else a == b
+
+  private def regionEq(hay: String, from: Int, needle: String, ci: Boolean): Boolean =
+    hay.regionMatches(ci, from, needle, 0, needle.length)
+
+  private def containsWsToken(v: String, tok: String, caseInsensitive: Boolean): Boolean = {
+    if (tok.isEmpty) return false
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      while (i < n && isAttrWs(v.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isAttrWs(v.charAt(i))) i += 1
+      if (i - start == tok.length && regionEq(v, start, tok, caseInsensitive)) return true
+    }
+    false
+  }
+
+  /** Attr operators per /root/reference/src/selectors_vm/attribute_matcher.rs:118-218. */
+  private def evalAttr(a: AttrSel, e: ElemView): Boolean = {
+    val v = attrVal(e, a.lowerName)
+    if (a.op == AttrOp.Exists) return v != null
+    if (v == null) return false
+    val ci = a.caseMode == CaseMode.Insensitive
+    a.op match {
+      case AttrOp.Eq => eqCase(v, a.value, ci)
+      case AttrOp.Includes => containsWsToken(v, a.value, ci)
+      case AttrOp.DashMatch =>
+        eqCase(v, a.value, ci) ||
+        (v.length > a.value.length && v.charAt(a.value.length) == '-' &&
+          regionEq(v, 0, a.value, ci))
+      case AttrOp.Prefix =>
+        v.nonEmpty && a.value.nonEmpty && v.length >= a.value.length &&
+        regionEq(v, 0, a.value, ci)
+      case AttrOp.Suffix =>
+        v.nonEmpty && a.value.nonEmpty && v.length >= a.value.length &&
+        regionEq(v, v.length - a.value.length, a.value, ci)
+      case AttrOp.Substring =>
+        if (a.value.isEmpty) false
+        else if (ci) {
+          // ascii-case-insensitive indexOf
+          val n = v.length - a.value.length
+          var i = 0
+          var found = false
+          while (i <= n && !found) { found = regionEq(v, i, a.value, ci = true); i += 1 }
+          found
+        } else v.contains(a.value)
+    }
+  }
+}
+
+/** Compiled selector program: instruction array + entry points. Selector
+  * prefixes are shared across the list via a trie keyed on structural
+  * compound equality, like the reference's AST build
+  * (/root/reference/src/selectors_vm/ast.rs:247-337).
+  *
+  * Immutable after construction — compile once on the driver, broadcast to
+  * executors, share across tasks.
+  */
+final class Program private (
+    val instrs: Array[Instr],
+    val entryPoints: Array[Int],
+    val enableNthOfType: Boolean,
+    val hasOnlyNameOnlyPreds: Boolean
+) extends Serializable
+
+object Program {
+
+  /** Compile a list of (selector source, payload match id). */
+  def compile(selectors: Seq[(SelectorList, Int)]): Program = {
+    // trie node under construction
+    final class Node(val compound: Compound) {
+      val matchedIds = mutable.ArrayBuffer[Int]()
+      val childEdges = mutable.LinkedHashMap[Compound, Node]() // `>` edges
+      val descEdges = mutable.LinkedHashMap[Compound, Node]() // descendant edges
+      var index = -1
+    }
+    val roots = mutable.LinkedHashMap[Compound, Node]()
+    var needNthOfType = false
+
+    def usesNthOfType(c: Compound): Boolean = c.simples.exists {
+      case NthSel(true, _, _)  => true
+      case NotSel(in)          => in.exists { case NthSel(true, _, _) => true; case _ => false }
+      case _                   => false
+    }
+
+    for ((list, id) <- selectors; complex <- list.selectors) {
+      var node = roots.getOrElseUpdate(complex.compounds.head, new Node(complex.compounds.head))
+      if (usesNthOfType(complex.compounds.head)) needNthOfType = true
+      var k = 1
+      while (k < complex.compounds.size) {
+        val comp = complex.compounds(k)
+        if (usesNthOfType(comp)) needNthOfType = true
+        val edges =
+          if (complex.combinators(k - 1) == Combinator.Child) node.childEdges else node.descEdges
+        node = edges.getOrElseUpdate(comp, new Node(comp))
+        k += 1
+      }
+      node.matchedIds += id
+    }
+
+    // assign indices (BFS) and flatten
+    val all = mutable.ArrayBuffer[Node]()
+    def visit(n: Node): Unit = {
+      if (n.index < 0) {
+        n.index = all.size; all += n
+        n.childEdges.values.foreach(visit)
+        n.descEdges.values.foreach(visit)
+      }
+    }
+    roots.values.foreach(visit)
+
+    val instrs = all.map { n =>
+      new Instr(
+        n.compound.simples.toArray,
+        n.matchedIds.toArray,
+        n.childEdges.values.map(_.index).toArray,
+        n.descEdges.values.map(_.index).toArray
+      )
+    }.toArray
+
+    val entry = roots.values.map(_.index).toArray
+    new Program(instrs, entry, needNthOfType, instrs.forall(_.nameOnly))
+  }
+
+  def compileStrings(selectors: Seq[String]): Program =
+    compile(selectors.zipWithIndex.map { case (s, i) => (SelectorParser.parse(s), i) })
+}

@@ -1,0 +1,244 @@
+package graft.selectors
+
+import graft.core.TagHash
+import scala.collection.mutable
+
+/** Per-element payload attached to open-stack frames; the analog of the
+  * reference's `ElementDescriptor`
+  * (/root/reference/src/rewriter/rewrite_controller.rs:12-31).
+  */
+final class ElementDescriptor {
+  /** Match ids whose content handlers were activated for this element. */
+  var matchedContentHandlers: Array[Int] = ElementDescriptor.NoIds
+  var removeContent: Boolean = false
+  var endTagHandlerIdx: Int = -1
+}
+
+object ElementDescriptor {
+  val NoIds = new Array[Int](0)
+}
+
+/** Mutable per-element view the VM fills with sibling indices before
+  * predicate evaluation.
+  */
+trait VmElemView extends ElemView {
+  var nthIdx: Int = 0
+  var nthOfTypeIdx: Int = 0
+  final def nthIndex: Int = nthIdx
+  final def nthOfTypeIndex: Int = nthOfTypeIdx
+}
+
+/** Selector-matching VM over the open-element stack; the analog of
+  * /root/reference/src/selectors_vm/mod.rs + stack.rs. One instance per
+  * task, `reset()` per document; the compiled [[Program]] is shared.
+  *
+  * Matching protocol per start tag:
+  *  1. `add_child` sibling counters on the parent frame,
+  *  2. evaluate entry points + parent child-jumps + active hereditary
+  *     jumps (each instruction at most once per element),
+  *  3. fire deduplicated match ids via `onMatch(id, withContent)`,
+  *  4. push a frame (unless void / self-closing-foreign) carrying the
+  *     collected continuation edges.
+  *
+  * End tags pop up to the last frame with a matching name (O(1) reject via
+  * open-name counts); every popped frame's descriptor is handed to `onPop`
+  * — including implicitly-closed ones, mirroring
+  * /root/reference/src/selectors_vm/stack.rs:284-315.
+  */
+final class MatchingVm(program: Program) {
+
+  private final class Frame {
+    var nameLower: String = _
+    var nameHash: Long = TagHash.Empty
+    var jumps: Array[Int] = noInts
+    var hereditary: Array[Int] = noInts
+    var desc: ElementDescriptor = _
+    var childCount: Int = 0
+    var typedCounters: mutable.HashMap[String, Int] = _
+  }
+
+  private val noInts = new Array[Int](0)
+
+  private var frames = Array.fill(16)(new Frame)
+  private var top = -1 // index of current innermost open element
+  private var rootChildCount = 0
+  private var rootTypedCounters: mutable.HashMap[String, Int] = _
+
+  // (hereditary-jump array, depth-of-owner) with reference dedup
+  private val activeHereditary = new mutable.ArrayBuffer[(Array[Int], Int)](16)
+
+  private val openNameCounts = new mutable.HashMap[String, Int]()
+
+  // scratch
+  private val visited = new java.util.BitSet(64)
+  private val matchedIds = new java.util.BitSet(64)
+  private val jumpBuf = new mutable.ArrayBuffer[Int](8)
+  private val heredBuf = new mutable.ArrayBuffer[Int](8)
+
+  def reset(): Unit = {
+    top = -1
+    rootChildCount = 0
+    rootTypedCounters = null
+    activeHereditary.clear()
+    openNameCounts.clear()
+  }
+
+  def depth: Int = top + 1
+
+  /** Descriptor of the innermost open element, or null. */
+  def currentDescriptor: ElementDescriptor =
+    if (top >= 0) frames(top).desc else null
+
+  /** True if the innermost open element's descriptor requests content
+    * removal (used by the dispatcher's `should_stop_removing` check).
+    */
+  def currentRemovesContent: Boolean =
+    top >= 0 && frames(top).desc != null && frames(top).desc.removeContent
+
+  /** Attach a descriptor to the frame pushed by the latest start tag. */
+  def setCurrentDescriptor(d: ElementDescriptor): Unit =
+    if (top >= 0) frames(top).desc = d
+
+  /** Run matching for a start tag. `view.nthIdx`/`nthOfTypeIdx` are filled
+    * here. Returns true if a frame was pushed (element can have content).
+    */
+  def execStartTag(view: VmElemView, selfClosing: Boolean,
+                   onMatch: (Int, Boolean) => Unit): Boolean = {
+    val nameLower = view.nameLower
+    // add_child on parent
+    if (top >= 0) {
+      val p = frames(top)
+      p.childCount += 1
+      view.nthIdx = p.childCount
+      if (program.enableNthOfType) {
+        if (p.typedCounters == null) p.typedCounters = new mutable.HashMap
+        val c = p.typedCounters.getOrElse(nameLower, 0) + 1
+        p.typedCounters.update(nameLower, c)
+        view.nthOfTypeIdx = c
+      }
+    } else {
+      rootChildCount += 1
+      view.nthIdx = rootChildCount
+      if (program.enableNthOfType) {
+        if (rootTypedCounters == null) rootTypedCounters = new mutable.HashMap
+        val c = rootTypedCounters.getOrElse(nameLower, 0) + 1
+        rootTypedCounters.update(nameLower, c)
+        view.nthOfTypeIdx = c
+      }
+    }
+
+    val isVoid = view.isHtmlNs && graft.core.HtmlUtil.isVoidElement(view.nameHash)
+    val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
+
+    // evaluate candidate instructions
+    visited.clear()
+    matchedIds.clear()
+    jumpBuf.clear()
+    heredBuf.clear()
+
+    val instrs = program.instrs
+    @inline def tryInstr(idx: Int): Unit = {
+      if (!visited.get(idx)) {
+        visited.set(idx)
+        val in = instrs(idx)
+        if (in.eval(view)) {
+          var i = 0
+          while (i < in.matchedIds.length) { matchedIds.set(in.matchedIds(i)); i += 1 }
+          i = 0
+          while (i < in.jumps.length) { jumpBuf += in.jumps(i); i += 1 }
+          i = 0
+          while (i < in.hereditary.length) { heredBuf += in.hereditary(i); i += 1 }
+        }
+      }
+    }
+
+    var i = 0
+    val ep = program.entryPoints
+    while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+    if (top >= 0) {
+      val pj = frames(top).jumps
+      i = 0
+      while (i < pj.length) { tryInstr(pj(i)); i += 1 }
+    }
+    i = 0
+    while (i < activeHereditary.length) {
+      val arr = activeHereditary(i)._1
+      var k = 0
+      while (k < arr.length) { tryInstr(arr(k)); k += 1 }
+      i += 1
+    }
+
+    // fire matches in ascending id order
+    var id = matchedIds.nextSetBit(0)
+    while (id >= 0) {
+      onMatch(id, withContent)
+      id = matchedIds.nextSetBit(id + 1)
+    }
+
+    if (withContent) {
+      top += 1
+      if (top == frames.length) {
+        val n = new Array[Frame](frames.length * 2)
+        System.arraycopy(frames, 0, n, 0, frames.length)
+        var j = frames.length
+        while (j < n.length) { n(j) = new Frame; j += 1 }
+        frames = n
+      }
+      val f = frames(top)
+      f.nameLower = nameLower
+      f.nameHash = view.nameHash
+      f.jumps = if (jumpBuf.isEmpty) noInts else jumpBuf.toArray
+      f.hereditary = if (heredBuf.isEmpty) noInts else heredBuf.toArray
+      f.desc = null
+      f.childCount = 0
+      if (f.typedCounters != null) f.typedCounters = null
+
+      openNameCounts.update(nameLower, openNameCounts.getOrElse(nameLower, 0) + 1)
+      if (f.hereditary.length > 0) {
+        var present = false
+        var k = 0
+        while (k < activeHereditary.length && !present) {
+          present = java.util.Arrays.equals(activeHereditary(k)._1, f.hereditary)
+          k += 1
+        }
+        if (!present) activeHereditary += ((f.hereditary, top))
+      }
+    }
+    withContent
+  }
+
+  /** Pop up to (and including) the last open element named `nameLower`;
+    * `onPop` receives each popped frame's descriptor (or null), innermost
+    * last (stack drain order, matching the reference's `drain(index..)`).
+    */
+  def execEndTag(nameLower: String, onPop: ElementDescriptor => Unit): Unit = {
+    if (!openNameCounts.contains(nameLower)) return
+    var idx = top
+    while (idx >= 0 && frames(idx).nameLower != nameLower) idx -= 1
+    if (idx < 0) return
+
+    // retain hereditary jumps owned by frames below idx
+    var k = activeHereditary.length - 1
+    while (k >= 0) {
+      if (activeHereditary(k)._2 >= idx) activeHereditary.remove(k)
+      k -= 1
+    }
+    // drain idx..top in stack order (outermost of the drained range first)
+    var j = idx
+    while (j <= top) {
+      val f = frames(j)
+      val c = openNameCounts(f.nameLower)
+      if (c == 1) openNameCounts.remove(f.nameLower) else openNameCounts.update(f.nameLower, c - 1)
+      onPop(f.desc)
+      f.desc = null
+      j += 1
+    }
+    top = idx - 1
+  }
+
+  /** Pop everything (document end); fires `onPop` innermost-first is NOT
+    * required by the reference (it never pops at EOF), kept for extraction
+    * interval closing.
+    */
+  def depthAt(name: String): Int = openNameCounts.getOrElse(name, 0)
+}
