@@ -1,0 +1,171 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract._
+
+/** Row model of the interleaved-documents table (BASELINE.json input_hint):
+  * `kind` is "text" (HTML fragment in `text`) or "media" (opaque ref in
+  * `media_ref`); `offset` is the byte offset in the logical concatenated
+  * HTML stream.
+  */
+final case class InSpan(kind: String, text: String, media_ref: String, offset: Int)
+final case class InterleavedDoc(doc_id: String, spans: Seq[InSpan])
+final case class ExtractedDoc(doc_id: String, spans: Seq[InSpan], error: String)
+
+/** Per-partition extraction metrics for the run ledger. */
+final case class PartMetrics(partition: Int, docs: Long, bytes: Long,
+                             textSpans: Long, mediaSpans: Long, errors: Long)
+
+/** Deterministic synthetic interleaved-document generator, driven by the
+  * provided `documents` parquet table (TESTDATA.md) so DuckDB oracles can
+  * recompute expected extraction output with plain SQL:
+  *
+  *  - boilerplate (head/script/style/nav/aside/footer/comment) wraps the
+  *    document text, which is split into two `<p>` paragraphs;
+  *  - `doc_id % 5` media placeholders are interleaved *inside* the
+  *    paragraph text at deterministic offsets (they split text nodes);
+  *  - text fragments are further split every ~97 bytes to exercise
+  *    fragment-boundary invariance.
+  *
+  * Extraction invariant: concatenation of extracted text spans == the
+  * original `text` column; media spans survive in order.
+  */
+object InterleavedGen {
+
+  final case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+  def preamble(docId: Long, lang: String, source: String): String =
+    s"""<!doctype html><html><head><title>Doc $docId</title><meta charset="utf-8">""" +
+      s"""<script>var docId=$docId;if(docId<0){document.write("<div>")}</script>""" +
+      s"""<style>p{margin:0} /* $lang */</style></head><body>""" +
+      s"""<nav><ul><li><a href="/$source/$docId">nav-$docId</a></li></ul></nav>""" +
+      s"""<article data-doc="$docId"><p>"""
+
+  val midPiece = "</p><p>"
+
+  def postamble(docId: Long, lang: String): String =
+    s"""</p></article><aside class="ad">ad-$docId</aside>""" +
+      s"""<footer><span>footer-$docId</span> $lang</footer><!-- end $docId --></body></html>"""
+
+  /** Media insertion points (char offsets into `text`), strictly inside. */
+  def mediaCuts(docId: Long, len: Int): Seq[Int] = {
+    val k = (docId % 5).toInt
+    (1 to k).map(j => ((j.toLong * len) / (k + 1)).toInt)
+      .filter(p => p > 0 && p < len).distinct
+  }
+
+  /** Build the ordered input spans for one document. */
+  def spansFor(d: DocRow, fragBytes: Int = 97): Seq[InSpan] = {
+    val text = if (d.text == null) "" else d.text
+    val n1 = text.length / 2
+    val cuts = mediaCuts(d.doc_id, text.length)
+
+    // assemble (isText, payload) pieces in order: the text is walked once,
+    // inserting the paragraph break at n1 and media at the cut positions
+    // (paragraph break first on ties)
+    val pieces = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    pieces += ((true, preamble(d.doc_id, d.lang, d.source)))
+    val positions = (cuts :+ n1).distinct.sorted
+    var pos = 0
+    var mediaIdx = 0
+    for (p <- positions) {
+      if (p > pos) pieces += ((true, text.substring(pos, p)))
+      pos = p
+      if (p == n1) pieces += ((true, midPiece))
+      if (cuts.contains(p)) {
+        pieces += ((false, s"media://${d.doc_id}/$mediaIdx"))
+        mediaIdx += 1
+      }
+    }
+    if (text.length > pos) pieces += ((true, text.substring(pos)))
+    pieces += ((true, postamble(d.doc_id, d.lang)))
+
+    // split text pieces every fragBytes and assign offsets
+    val out = scala.collection.mutable.ArrayBuffer[InSpan]()
+    var off = 0
+    for ((isText, payload) <- pieces) {
+      if (isText) {
+        var i = 0
+        while (i < payload.length) {
+          val end = math.min(payload.length, i + fragBytes)
+          val frag = payload.substring(i, end)
+          out += InSpan("text", frag, "", off)
+          off += frag.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          i = end
+        }
+      } else {
+        out += InSpan("media", "", payload, off)
+      }
+    }
+    out.toSeq
+  }
+
+  /** The interleaved table for an sf dir, as a typed Dataset. */
+  def table(spark: SparkSession, sfDir: String): Dataset[InterleavedDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[DocRow]
+      .map(d => InterleavedDoc(d.doc_id.toString, spansFor(d)))
+  }
+}
+
+/** The Spark-side extraction pipeline: `mapPartitions` of the per-row
+  * engine over the interleaved table, with partition-level engine reuse,
+  * optional salting for balanced partitions, and per-partition metrics.
+  *
+  * Scale notes (100 TB design): the engine is row-local, so the plan has
+  * NO shuffle — extraction runs map-only over the scan's file-split tasks
+  * and parallelism equals input splits. Salting (`balanced`) adds one
+  * round-robin shuffle for the rare case of pathological file-level skew;
+  * AQE handles post-shuffle coalescing. Per-doc memory is bounded by the
+  * document size; oversized docs should be length-capped upstream.
+  */
+object ExtractPipeline {
+
+  def extract(ds: Dataset[InterleavedDoc],
+              policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val ex = new Extractor(policy) // reused across rows (arena analog)
+      it.map { doc =>
+        val res = ex.extract(doc.spans.view.map(s =>
+          InFrag(s.kind == "text", s.text, s.media_ref)))
+        ExtractedDoc(doc.doc_id,
+          res.spans.map(s => InSpan(s.kind, s.text, s.media_ref, s.offset)),
+          res.error)
+      }
+    }
+  }
+
+  /** Salted repartition for skewed inputs: distributes rows uniformly by
+    * doc_id hash before extraction (one shuffle, then map-only).
+    */
+  def extractBalanced(ds: Dataset[InterleavedDoc], partitions: Int,
+                      policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
+    val salted = ds.repartition(partitions, pmod(hash(col("doc_id")), lit(partitions)))
+    extract(salted.as[InterleavedDoc](ds.sparkSession.implicits.newProductEncoder), policy)
+  }
+
+  /** Extraction + per-partition metrics (the run-ledger payload). */
+  def extractWithMetrics(ds: Dataset[InterleavedDoc],
+                         policy: ExtractPolicy = ExtractPolicy.Default)
+      : (Dataset[ExtractedDoc], Dataset[PartMetrics]) = {
+    val out = extract(ds, policy)
+    import ds.sparkSession.implicits._
+    val metrics = out.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var docs = 0L; var bytes = 0L; var ts = 0L; var ms = 0L; var errs = 0L
+      it.foreach { d =>
+        docs += 1
+        d.spans.foreach { s =>
+          if (s.kind == "text") { ts += 1; bytes += s.text.length } else ms += 1
+        }
+        if (d.error != null) errs += 1
+      }
+      Iterator.single(PartMetrics(pid, docs, bytes, ts, ms, errs))
+    }
+    (out, metrics)
+  }
+}
