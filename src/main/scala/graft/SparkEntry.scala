@@ -2,14 +2,21 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.spark._
+import graft.spark.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query reads only the driver-provided parquet tables under the
-  * given sf dir; the interleaved-documents table is synthesized
-  * deterministically from `documents.parquet` (InterleavedGen), so DuckDB
-  * oracles can recompute expected results with plain SQL.
+  * Query groups (one entry per implemented operator family):
+  *  - x*: the extraction engine over the interleaved-documents table
+  *    (synthesized deterministically from documents.parquet so DuckDB can
+  *    recompute expected output with plain SQL)
+  *  - t*: text analysis (token counting, language-ID, quality, fingerprints)
+  *  - d*: deduplication (exact, n-gram Jaccard join, MinHash+LSH, SimHash)
+  *  - e*: embedding similarity search (brute-force + LSH-bucketed ANN)
+  *  - m*: multimodal binary-column plumbing (decode stubbed)
+  *  - r*: stock relational coverage (agg / join / window / time-window)
   */
 object SparkEntry {
 
@@ -22,10 +29,11 @@ object SparkEntry {
   private def extracted(s: SparkSession, dir: String) =
     ExtractPipeline.extract(InterleavedGen.table(s, dir)).toDF()
 
+  private def docsTable(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // x1: end-to-end extraction roundtrip — the concatenation of extracted
-    // text spans must equal the original document text (boilerplate
-    // stripped, fragment boundaries invisible, media splits lossless).
+    // ---- extraction engine ----
     "x1_extract_text" -> ((s, dir) => {
       extracted(s, dir).select(
         col("doc_id"),
@@ -33,8 +41,6 @@ object SparkEntry {
           sp => sp.getField("kind") === "text"), sp => sp.getField("text")), "")
           .as("main_text"))
     }),
-    // x2: media passthrough — count and order of surviving media spans,
-    // plus extracted text volume.
     "x2_extract_media" -> ((s, dir) => {
       extracted(s, dir).select(
         col("doc_id"),
@@ -45,8 +51,101 @@ object SparkEntry {
         length(array_join(transform(filter(col("spans"),
           sp => sp.getField("kind") === "text"), sp => sp.getField("text")), ""))
           .as("n_text_chars"))
+    }),
+
+    // ---- text analysis ----
+    "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
+
+    // ---- dedup ----
+    "d1_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(DedupOps.withVariants(s, dir))),
+    "d2_ngram_pairs" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(DedupOps.withVariants(s, dir), 0.6)),
+    "d3_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(DedupOps.withVariants(s, dir), 0.6)),
+    "d4_simhash" -> ((s, dir) =>
+      DedupOps.simhashSketch(DedupOps.withVariants(s, dir))),
+    "d5_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(DedupOps.withVariants(s, dir), 3)),
+
+    // ---- embedding similarity ----
+    "e1_cosine_topk" -> ((s, dir) =>
+      SimOps.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
+    "e2_ann_topk" -> ((s, dir) => // approximate: rows-only gate; recall asserted in SimOpsSpec
+      SimOps.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
+
+    // ---- multimodal plumbing ----
+    "m1_multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.decodeMeta(MultimodalOps.assets(s, dir))),
+
+    // ---- stock relational coverage ----
+    "r1_lineitem_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "r2_customer_revenue" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    "r3_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
+    }),
+    "r4_events_hourly" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,8)")).cast("decimal(20,4)").cast("double").as("sum_value"))
     })
   )
+
+  // DuckDB-runnable oracle SQL. The variant/base CTE mirrors
+  // DedupOps.withVariants exactly (1-based indexed list_filter).
+  private val BaseCte =
+    "WITH base AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, " +
+      "array_to_string(list_filter(string_split(text, ' '), (x,i) -> i % 17 != 0), ' ') AS text " +
+      "FROM documents)"
+
+  private val ShinglesCte =
+    BaseCte + ", sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text,' ')) - 1, 1)), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh " +
+      "FROM base WHERE len(string_split(text,' ')) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  private val JaccardPairsSql =
+    ShinglesCte +
+      " SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard " +
+      "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"
+
+  private val SimhashCte =
+    BaseCte + ", tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t FROM base), " +
+      "th AS (SELECT doc_id, (CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) >> 4) AS h FROM tok), " +
+      "bits AS (SELECT doc_id, b.b AS b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM bits GROUP BY 1)"
 
   def oracleSql: Map[String, String] = Map(
     "x1_extract_text" ->
@@ -58,6 +157,89 @@ object SparkEntry {
         "  list_aggregate(list_transform(range(0, CAST(doc_id % 5 AS BIGINT)), " +
         "    j -> 'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)), 'string_agg', ',') " +
         "END AS media_refs, " +
-        "CAST(length(text) AS INT) AS n_text_chars FROM documents")
+        "CAST(length(text) AS INT) AS n_text_chars FROM documents"),
+
+    "t1_text_stats" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tok_ws, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tok_bpe, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS INT) AS hits_en, " +
+        "CASE WHEN greatest(" +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t)))) = 0 THEN 'und' " +
+        "WHEN len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) = greatest(" +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t)))) THEN 'en' " +
+        "WHEN len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], t))) = greatest(" +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t)))) THEN 'de' " +
+        "WHEN len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) = greatest(" +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t)))," +
+        "  len(list_filter(string_split_regex(text,'\\s+'), t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t)))) THEN 'es' " +
+        "ELSE 'fr' END AS lang_pred, " +
+        "round((least(length(text)/500.0, 1.0) + " +
+        "  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END + " +
+        "  CASE WHEN len(list_filter(string_split_regex(text,'\\s+'), x -> x != '')) > 0 AND " +
+        "    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/len(list_filter(string_split_regex(text,'\\s+'), x -> x != '')) BETWEEN 3 AND 12 " +
+        "  THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality, " +
+        "md5(text) AS fp_md5, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*131+b) % 1000000007) AS fp_roll " +
+        "FROM documents"),
+
+    "d1_exact_dedup" ->
+      (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),
+    "d2_ngram_pairs" -> JaccardPairsSql,
+    // d3 (MinHash+LSH with exact-Jaccard verify) must equal the exact
+    // ground truth at this threshold; recall is deterministic and checked
+    // locally (banding: 32 bands x 2 rows)
+    "d3_minhash_pairs" -> JaccardPairsSql,
+    "d4_simhash" -> (SimhashCte + " SELECT doc_id, simhash FROM sig"),
+    "d5_simhash_pairs" ->
+      (SimhashCte + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sig a, sig b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "e1_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), " +
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / " +
+        " (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))) * " +
+        "  sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS sim " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, sim, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM ranked WHERE rank <= 10"),
+
+    "m1_multimodal_meta" ->
+      ("SELECT vec_id, CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
+        "CAST(24 + (label % 5) * 12 AS INT) AS height, 3 AS channels, " +
+        "CAST(len(embedding) * 4 AS INT) AS payload_bytes, true AS ok FROM embeddings"),
+
+    "r1_lineitem_agg" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY 1, 2"),
+    "r2_customer_revenue" ->
+      ("SELECT c_custkey, c_name, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4, " +
+        "count(DISTINCT o_orderkey) AS n_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2"),
+    "r3_events_window" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER w AS INT) AS rn, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "r4_events_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
+        "count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2")
   )
 }

@@ -1,0 +1,199 @@
+package graft.spark.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), word-shingle Jaccard similarity join, MinHash+LSH
+  * (shingle -> 64 minhashes -> banded bucket-join -> exact-Jaccard
+  * verify), and SimHash near-dup sketches.
+  *
+  * Scale notes: signatures are computed row-locally (no shuffle); the only
+  * shuffles are the bucket/shingle joins, which key on high-cardinality
+  * values (band hash, shingle) so they distribute evenly; candidate
+  * verification joins the (small) pair list back to signatures and is
+  * broadcast-friendly when the candidate count is small relative to the
+  * corpus.
+  */
+object DedupOps {
+
+  /** The dedup working set: documents plus deterministic near-duplicate
+    * variants (every 17th word dropped, id offset by 1,000,000). Planted
+    * variants give the near-dup operators guaranteed positives at any SF.
+    */
+  def withVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val variants = docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      array_join(filter(split(col("text"), " "),
+        (x, i) => (i + lit(1)) % 17 =!= 0), " ").as("text"))
+    docs.unionAll(variants)
+  }
+
+  /** Exact dedup: md5-keyed group, keep min doc_id. Map-side combine makes
+    * this one shuffle of (hash -> partial min/count).
+    */
+  def exactDedup(base: DataFrame): DataFrame =
+    base.groupBy(md5(encode(col("text"), "UTF-8")).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Word 3-gram shingle set as a column expression. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(-1))),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+  }
+
+  /** Exact n-gram Jaccard similarity join via shingle inverted index:
+    * explode distinct shingles, self-join on shingle, count co-occurrences,
+    * filter by Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+    */
+  def ngramJaccardPairs(base: DataFrame, threshold: Double): DataFrame = {
+    val sh = base.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val co = sh.as("a").join(sh.as("b"), "sh")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash ----
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  val NumHashes = 64
+  val Bands = 32 // x 2 rows per band
+
+  private val seeds: Array[Long] =
+    Array.tabulate(NumHashes)(i => mix64((i + 1).toLong * 0x9e3779b97f4a7c15L))
+
+  /** MinHash signature of a shingle set (row-local, no shuffle). */
+  def signature(shingleSet: Iterable[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingleSet.foreach { s =>
+      val h0 = mix64(s.hashCode.toLong * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L)
+      var i = 0
+      while (i < NumHashes) {
+        val h = mix64(h0 ^ seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. Stages:
+    *  1. row-local: shingle set + 64-way signature
+    *  2. banded bucket keys (32 bands x 2 rows) -> exploded, grouped
+    *  3. candidate pairs from same-bucket docs
+    *  4. verify with exact Jaccard on the shingle arrays (array_intersect)
+    * Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    */
+  def minhashLshPairs(base: DataFrame, threshold: Double): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    val withSh = base.select(col("doc_id"), col("text"), shingles(col("text")).as("sh"))
+    val sig = withSh.as[(Long, String, Seq[String])].map { case (id, _, sh) =>
+      val s = signature(sh)
+      val bandKeys = Array.tabulate(Bands)(b => mix64(s(2 * b) ^ mix64(s(2 * b + 1) ^ b.toLong)))
+      (id, bandKeys)
+    }.toDF("doc_id", "band_keys")
+
+    val buckets = sig.select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val shSets = withSh.select(col("doc_id"), col("sh"))
+    cand
+      .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 60-bit SimHash over whitespace tokens; token hash = first 15 hex
+    * chars of md5 (so the DuckDB oracle can recompute it exactly).
+    * Row-local.
+    */
+  def simhash60(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](60)
+    var start = 0
+    val n = text.length
+    while (start < n) {
+      var end = start
+      while (end < n && text.charAt(end) != ' ') end += 1
+      if (end > start) {
+        val tok = text.substring(start, end)
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = 60 bits: 7.5 bytes
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h = h >>> 4 // keep top 60 bits of the first 8 bytes = first 15 hex chars
+        var b = 0
+        while (b < 60) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      start = end + 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Per-doc SimHash sketch column (doc_id, simhash). */
+  def simhashSketch(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash60(if (t == null) "" else t)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: 4 x 15-bit chunk bucketing (pigeonhole for
+    * hamming distance <= 3), then exact hamming verify.
+    */
+  def simhashPairs(base: DataFrame, maxHamming: Int): DataFrame = {
+    val sk = simhashSketch(base)
+    val chunks = sk.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("chunk", "ck")))
+    val cand = chunks.as("a").join(chunks.as("b"), Seq("chunk", "ck"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

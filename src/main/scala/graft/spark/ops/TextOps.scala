@@ -1,0 +1,103 @@
+package graft.spark.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * expressed as Catalyst column expressions (whole-stage codegen, no UDFs):
+  * token counting (whitespace + regex "BPE-ish" pre-tokenizer), language-ID
+  * stopword heuristic, quality scoring, and document fingerprinting.
+  *
+  * Every function has an exact ANSI-SQL twin used as the DuckDB oracle —
+  * see SparkEntry.oracleSql.
+  */
+object TextOps {
+
+  /** Whitespace tokens (split on runs of whitespace, ignoring leading /
+    * trailing) — matches DuckDB's
+    * `len(list_filter(string_split_regex(text,'\s+'), x -> x != ''))`.
+    */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** "BPE-ish" pre-tokenizer: letter runs, digit runs, or single
+    * non-alnum-non-space symbols (the usual byte-pair pre-split shape).
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and SQL-replicable.
+    */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+  val StopFr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur")
+
+  private def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stops)))
+
+  /** Language-ID: stopword-hit argmax over {en,de,es,fr} with 'und'
+    * (undetermined) when no list hits; ties break in list order.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, StopEn)
+    val de = stopwordHits(text, StopDe)
+    val es = stopwordHits(text, StopEs)
+    val fr = stopwordHits(text, StopFr)
+    val m = greatest(en, de, es, fr)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(es === m, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1]: mean of three bounded ratios —
+    * length saturation (chars/500 capped), alpha-char ratio, and
+    * mean-word-length band (3..12 chars). Rounded to 4 dp.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCountWs(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val meanWord = when(nTok > 0, (alpha / nTok)).otherwise(lit(0.0))
+    val wordScore = when(meanWord >= 3 && meanWord <= 12, lit(1.0)).otherwise(lit(0.0))
+    round((lenScore + alphaRatio + wordScore) / lit(3.0), 4)
+  }
+
+  /** Exact document fingerprint: md5 of the raw text (dedup key). */
+  def fingerprint(text: Column): Column = md5(encode(text, "UTF-8"))
+
+  /** Rolling polynomial fingerprint (mod 2^63) — byte-level Rabin-style
+    * hash, base 131; SQL twin uses the same recurrence via list_reduce.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, b) => pmod(acc * lit(131L) + b, lit(1000000007L))
+    )
+
+  /** The per-doc stats frame used by the qX text queries. */
+  def docStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("n_tok_ws"),
+      tokenCountBpe(col("text")).as("n_tok_bpe"),
+      stopwordHits(col("text"), StopEn).as("hits_en"),
+      langId(col("text")).as("lang_pred"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fp_md5"),
+      rollingHash(col("text")).as("fp_roll")
+    )
+  }
+}
