@@ -71,6 +71,21 @@ final class Extractor(policy: ExtractPolicy) {
       removing = false
       removedTo += pos
     }
+    // zero-copy text path: byte ranges only, no string materialization
+    override def wantsRawText: Boolean = true
+    override def onRawText(start: Int, end: Int, textType: Int): Unit = {
+      if (!removing && acceptType(textType) && end > start) {
+        if (curNodeStart < 0) curNodeStart = start
+        curNodeEnd = end
+      }
+    }
+    override def onRawTextEnd(): Unit = {
+      if (curNodeStart >= 0) {
+        nodeStarts += curNodeStart
+        nodeEnds += curNodeEnd
+        curNodeStart = -1
+      }
+    }
   }
 
   // text nodes of the current doc as byte ranges
@@ -86,24 +101,10 @@ final class Extractor(policy: ExtractPolicy) {
 
   private val rewriter = new Rewriter(
     policy.stripSelectors.map(sel => sel -> ElementHandlers(element = el => el.remove())),
-    docHandlers = Seq(DocHandlers(text = t => {
-      if (!removing) {
-        if (!t.lastInTextNode) {
-          if (acceptType(t.textType) && t.sourceEnd > t.sourceStart) {
-            if (curNodeStart < 0) curNodeStart = t.sourceStart
-            curNodeEnd = t.sourceEnd
-          }
-        } else {
-          if (curNodeStart >= 0) {
-            nodeStarts += curNodeStart
-            nodeEnds += curNodeEnd
-            curNodeStart = -1
-          }
-        }
-      } else if (t.lastInTextNode) curNodeStart = -1
-    })),
+    docHandlers = Nil,
     strict = policy.strict,
-    listener = listener
+    listener = listener,
+    produceOutput = false
   )
 
   /** Extract one document given its ordered input fragments. */
@@ -140,24 +141,53 @@ final class Extractor(policy: ExtractPolicy) {
     n
   }
 
-  /** Extract from a complete HTML byte stream plus media placements. */
-  def extractHtml(html: Array[Byte], mediaRefs: collection.IndexedSeq[String],
-                  mediaOffsets: collection.IndexedSeq[Int]): ExtractResult = {
+  /** Raw extraction result: span structure as parallel arrays over the
+    * document's byte buffer — no string materialization. kind 0 = text
+    * (range `starts(i) until ends(i)` in `html`), kind 1 = media
+    * (`mediaIdx(i)` indexes the input media refs; offset in `starts(i)`).
+    * Buffers are reused across documents; consumers must not retain them.
+    */
+  final class RawSpans {
+    var count = 0
+    var kinds = new Array[Byte](64)
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var mediaIdx = new Array[Int](64)
+    var error: String = _
+    private[Extractor] def clear(): Unit = { count = 0; error = null }
+    private[Extractor] def add(kind: Byte, st: Int, en: Int, mi: Int): Unit = {
+      if (count == kinds.length) {
+        val n = count * 2
+        kinds = java.util.Arrays.copyOf(kinds, n)
+        starts = java.util.Arrays.copyOf(starts, n)
+        ends = java.util.Arrays.copyOf(ends, n)
+        mediaIdx = java.util.Arrays.copyOf(mediaIdx, n)
+      }
+      kinds(count) = kind; starts(count) = st; ends(count) = en; mediaIdx(count) = mi
+      count += 1
+    }
+  }
+
+  private val raw = new RawSpans
+
+  /** Zero-materialization extraction (the Catalyst-expression hot path). */
+  def extractRaw(html: Array[Byte], mediaRefs: collection.IndexedSeq[String],
+                 mediaOffsets: collection.IndexedSeq[Int]): RawSpans = {
     removedFrom.clear(); removedTo.clear(); removing = false
     nodeStarts.clear(); nodeEnds.clear(); curNodeStart = -1
+    raw.clear()
 
-    var error: String = null
     try rewriter.rewriteToBytes(html)
     catch {
       case e: ParsingAmbiguityException =>
-        error = s"parsing_ambiguity:${e.tagName}"
+        raw.error = s"parsing_ambiguity:${e.tagName}"
         if (curNodeStart >= 0) { nodeStarts += curNodeStart; nodeEnds += curNodeEnd; curNodeStart = -1 }
       case e: Exception =>
-        error = s"engine_error:${e.getClass.getSimpleName}"
+        raw.error = s"engine_error:${e.getClass.getSimpleName}"
     }
     if (removing) removedTo += html.length
 
-    // 2. media survival: offset outside every removed interval
+    // media survival: offset outside every removed interval
     val keptMediaIdx = new mutable.ArrayBuffer[Int](mediaRefs.size)
     var ri = 0
     var mi = 0
@@ -169,48 +199,55 @@ final class Extractor(policy: ExtractPolicy) {
       mi += 1
     }
 
-    // 3. merge text nodes and media in document order, splitting nodes
-    //    that contain a media offset
-    val out = new mutable.ArrayBuffer[Span](nodeStarts.length + keptMediaIdx.length)
+    // merge text nodes and media in document order, splitting nodes that
+    // contain a media offset (media first on offset ties)
     var ni = 0
     var ki = 0
     @inline def mediaOff(k: Int) = mediaOffsets(keptMediaIdx(k))
-    def emitText(s: Int, e: Int): Unit = {
-      if (e > s) {
-        val str = new String(html, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
-        if (!(policy.dropWhitespaceOnlyNodes && isAllWs(html, s, e)))
-          out += Span("text", str, "", s)
-      }
-    }
     while (ni < nodeStarts.length || ki < keptMediaIdx.length) {
       if (ni < nodeStarts.length &&
-          (ki >= keptMediaIdx.length || nodeStarts(ni) < mediaOff(ki) ||
-            (nodeStarts(ni) == mediaOff(ki) && false))) {
-        // emit text node, splitting at any media offsets inside it
+          (ki >= keptMediaIdx.length || nodeStarts(ni) < mediaOff(ki))) {
         var s = nodeStarts(ni)
         val e = nodeEnds(ni)
         if (policy.dropWhitespaceOnlyNodes && isAllWs(html, s, e)) {
           ni += 1
         } else {
           while (ki < keptMediaIdx.length && mediaOff(ki) <= s) {
-            out += Span("media", "", mediaRefs(keptMediaIdx(ki)), mediaOff(ki)); ki += 1
+            raw.add(1, mediaOff(ki), mediaOff(ki), keptMediaIdx(ki)); ki += 1
           }
           while (ki < keptMediaIdx.length && mediaOff(ki) < e) {
             val m = mediaOff(ki)
-            if (m > s) { val str = new String(html, s, m - s, java.nio.charset.StandardCharsets.UTF_8); out += Span("text", str, "", s) }
-            out += Span("media", "", mediaRefs(keptMediaIdx(ki)), m)
+            if (m > s) raw.add(0, s, m, -1)
+            raw.add(1, m, m, keptMediaIdx(ki))
             s = m
             ki += 1
           }
-          if (e > s) { val str = new String(html, s, e - s, java.nio.charset.StandardCharsets.UTF_8); out += Span("text", str, "", s) }
+          if (e > s) raw.add(0, s, e, -1)
           ni += 1
         }
       } else {
-        out += Span("media", "", mediaRefs(keptMediaIdx(ki)), mediaOff(ki))
+        raw.add(1, mediaOff(ki), mediaOff(ki), keptMediaIdx(ki))
         ki += 1
       }
     }
-    ExtractResult(out.toIndexedSeq, error)
+    raw
+  }
+
+  /** Extract from a complete HTML byte stream plus media placements. */
+  def extractHtml(html: Array[Byte], mediaRefs: collection.IndexedSeq[String],
+                  mediaOffsets: collection.IndexedSeq[Int]): ExtractResult = {
+    val r = extractRaw(html, mediaRefs, mediaOffsets)
+    val out = new Array[Span](r.count)
+    var i = 0
+    while (i < r.count) {
+      out(i) =
+        if (r.kinds(i) == 0)
+          Span("text", new String(html, r.starts(i), r.ends(i) - r.starts(i),
+            java.nio.charset.StandardCharsets.UTF_8), "", r.starts(i))
+        else Span("media", "", mediaRefs(r.mediaIdx(i)), r.starts(i))
+      i += 1
+    }
+    ExtractResult(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), r.error)
   }
 
   private def isAllWs(b: Array[Byte], s: Int, e: Int): Boolean = {

@@ -308,11 +308,17 @@ private[rewrite] final class HandlerVec[H >: Null <: AnyRef] {
 }
 
 /** Extraction / scale hooks: emission on/off transitions (removed-content
-  * intervals) and text chunk events, consumed by the span extractor.
+  * intervals) and zero-copy text events, consumed by the span extractor.
+  * `wantsRawText` turns on TEXT capture without any selector-scoped text
+  * handler; `onRawText` then receives byte ranges with NO string
+  * materialization (the hot path for whole-document extraction).
   */
 trait RewriteListener {
   def onEmissionDisabled(pos: Int): Unit = ()
   def onEmissionEnabled(pos: Int): Unit = ()
+  def wantsRawText: Boolean = false
+  def onRawText(start: Int, end: Int, textType: Int): Unit = ()
+  def onRawTextEnd(): Unit = ()
 }
 
 /** Streaming HTML rewriter: lexer -> tree-builder feedback -> selector VM
@@ -329,7 +335,8 @@ final class Rewriter(
     selectorHandlers: Seq[(String, ElementHandlers)],
     docHandlers: Seq[DocHandlers] = Nil,
     strict: Boolean = true,
-    listener: RewriteListener = null
+    listener: RewriteListener = null,
+    produceOutput: Boolean = true
 ) {
   // ---- compile ----
   private val program: Program = Program.compile(
@@ -449,14 +456,27 @@ final class Rewriter(
   private val matchedIdsBuf = new mutable.ArrayBuffer[Int](4)
   private var lastMatchWithContent = false
 
+  // tag-name interning: hashable names decode from their own 5-bit hash
+  // (one allocation per distinct tag name per Rewriter lifetime)
+  private val nameCache = new java.util.HashMap[java.lang.Long, String]()
+  private def internTagName(nameStart: Int, nameEnd: Int, hash: Long): String = {
+    if (hash != TagHash.Empty) {
+      var s = nameCache.get(hash)
+      if (s == null) { s = TagHash.toName(hash); nameCache.put(hash, s) }
+      s
+    } else HtmlUtil.lowerAscii(new String(input, nameStart, nameEnd - nameStart,
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   // ---- serializer helpers ----
   private def emitChunkBefore(rawStart: Int): Unit = {
-    if (emissionEnabled && rawStart > pendingStart) out.append(input, pendingStart, rawStart)
+    if (produceOutput && emissionEnabled && rawStart > pendingStart)
+      out.append(input, pendingStart, rawStart)
     pendingStart = rawStart
   }
 
   private def serializeToken(m: Mutations, rawStart: Int, rawEnd: Int): Unit = {
-    if (emissionEnabled) {
+    if (produceOutput && emissionEnabled) {
       if (m.contentBefore != null) m.contentBefore.emitTo(out)
       if (!m.removed) out.append(input, rawStart, rawEnd)
       else if (m.replacement != null) m.replacement.emitTo(out)
@@ -474,9 +494,12 @@ final class Rewriter(
     }
   }
 
+  private val rawTextMode = listener != null && listener.wantsRawText
+
   private def flushPendingText(flushPos: Int): Unit = {
     if (textPending) {
       textPending = false
+      if (rawTextMode) listener.onRawTextEnd()
       if (textHandlers.hasActive) {
         val tok = new TextChunk("", textPendingType, lastInTextNode = true, flushPos, flushPos)
         textHandlers.forEachActive(h => h(tok))
@@ -490,6 +513,11 @@ final class Rewriter(
   private object sink extends LexemeSink {
 
     def onText(start: Int, end: Int, textType: Int): Unit = {
+      if (rawTextMode) {
+        listener.onRawText(start, end, textType)
+        textPending = true
+        textPendingType = textType
+      }
       if (textHandlers.hasActive) {
         val s = new String(input, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
         val tok = new TextChunk(s, textType, lastInTextNode = false, start, end)
@@ -506,8 +534,7 @@ final class Rewriter(
                    rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      val nameLower = HtmlUtil.lowerAscii(
-        new String(input, nameStart, nameEnd - nameStart, java.nio.charset.StandardCharsets.UTF_8))
+      val nameLower = internTagName(nameStart, nameEnd, nameHash)
       view.set(input, nameLower, nameHash, ns, attrs)
 
       matchedIdsBuf.clear()
@@ -564,8 +591,7 @@ final class Rewriter(
                  rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      val nameLower = HtmlUtil.lowerAscii(
-        new String(input, nameStart, nameEnd - nameStart, java.nio.charset.StandardCharsets.UTF_8))
+      val nameLower = internTagName(nameStart, nameEnd, nameHash)
 
       vm.execEndTag(nameLower, desc => {
         if (desc != null) {
@@ -633,7 +659,7 @@ final class Rewriter(
 
     def onEof(p: Int): Unit = {
       flushPendingText(input.length)
-      if (emissionEnabled && input.length > pendingStart)
+      if (produceOutput && emissionEnabled && input.length > pendingStart)
         out.append(input, pendingStart, input.length)
       pendingStart = input.length
       if (endHandlers.hasActive) {

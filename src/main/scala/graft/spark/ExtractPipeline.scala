@@ -109,6 +109,26 @@ object InterleavedGen {
       .as[DocRow]
       .map(d => InterleavedDoc(d.doc_id.toString, spansFor(d)))
   }
+
+  /** Bench-only: the same table replicated `factor`x (deterministic ids)
+    * to reach a corpus size where sustained throughput, not job overhead,
+    * is measured. Partition count is scaled so each core gets several
+    * splits (AQE-friendly, mirrors many-file scans at real scale).
+    */
+  def tableReplicated(spark: SparkSession, sfDir: String, factor: Int,
+                      partitions: Int): Dataset[InterleavedDoc] = {
+    import spark.implicits._
+    // the replica range is the parallel (partitioned) side; the small docs
+    // table is broadcast — expansion is shuffle-free and evenly spread
+    val reps = spark.range(0, factor, 1, partitions).toDF("rep")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    reps.join(broadcast(docs))
+      .select(($"doc_id" + $"rep" * 10000000L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars")
+      .as[DocRow]
+      .map(d => InterleavedDoc(d.doc_id.toString, spansFor(d)))
+  }
 }
 
 /** The Spark-side extraction pipeline: `mapPartitions` of the per-row
@@ -124,8 +144,28 @@ object InterleavedGen {
   */
 object ExtractPipeline {
 
+  /** DataFrame-level extraction: the engine runs as a Catalyst expression
+    * directly over columnar data (no encoder round-trip). Columns in:
+    * (doc_id, spans); out: (doc_id, spans, error).
+    */
+  def extractDF(df: DataFrame,
+                policy: ExtractPolicy = ExtractPolicy.Default): DataFrame = {
+    require(policy == ExtractPolicy.Default,
+      "extractDF currently runs the default policy; use extractTyped for custom policies")
+    ExtractInterleaved.register(df.sparkSession)
+    df.withColumn("_x", call_function("extract_interleaved", col("spans")))
+      .select(col("doc_id"), col("_x.spans").as("spans"), col("_x.error").as("error"))
+  }
+
   def extract(ds: Dataset[InterleavedDoc],
               policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
+    import ds.sparkSession.implicits._
+    if (policy == ExtractPolicy.Default) extractDF(ds.toDF(), policy).as[ExtractedDoc]
+    else extractTyped(ds, policy)
+  }
+
+  /** Typed mapPartitions path (custom policies; same engine). */
+  def extractTyped(ds: Dataset[InterleavedDoc], policy: ExtractPolicy): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val ex = new Extractor(policy) // reused across rows (arena analog)

@@ -1,0 +1,153 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.extract.{ExtractPolicy, Extractor}
+
+/** `extract_spans(html)` — the engine as a Catalyst expression, the SQL
+  * analog of the reference's one-off `rewrite_str`
+  * (/root/reference/src/rewriter/mod.rs:307-340). Returns the ordered
+  * span array `array<struct<kind,text,media_ref,offset>>` for a whole
+  * HTML document string.
+  *
+  * CodegenFallback: the per-row engine is a black box to codegen; the
+  * expression still participates in column pruning / filter pushdown and
+  * keeps the surrounding plan whole-stage-compiled. Engine instances are
+  * thread-local (reused across rows within a task).
+  */
+case class ExtractSpans(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ExtractSpans.SpanArrayType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val html = input.asInstanceOf[UTF8String].getBytes
+    val res = ExtractSpans.engine.get().extractHtml(html, Vector.empty, Vector.empty)
+    new GenericArrayData(res.spans.map { s =>
+      InternalRow(UTF8String.fromString(s.kind), UTF8String.fromString(s.text),
+        UTF8String.fromString(s.media_ref), s.offset)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "extract_spans"
+}
+
+object ExtractSpans {
+  val SpanType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("media_ref", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)))
+  val SpanArrayType: DataType = ArrayType(SpanType, containsNull = false)
+
+  private[spark] val engine: ThreadLocal[Extractor] =
+    ThreadLocal.withInitial(() => new Extractor(ExtractPolicy.Default))
+
+  /** Register `extract_spans` for SQL and the Column surface. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_spans", exprs => ExtractSpans(exprs.head), "scala_udf")
+
+  /** Column surface (requires [[register]] once per session). */
+  def extract_spans(html: Column): Column =
+    org.apache.spark.sql.functions.call_function("extract_spans", html)
+}
+
+/** The whole-pipeline expression: interleaved input span array in,
+  * `struct(spans, error)` out — the engine runs directly over Catalyst's
+  * columnar data (UTF8String fragments copied once into the engine's
+  * document buffer), with NO Dataset encoder materialization on either
+  * side. This is the hot path ExtractPipeline uses: at 10^12-row scale
+  * the per-row object churn of a typed `Dataset[InterleavedDoc]` decode
+  * (tens of boxed objects + strings per document) would dominate GC;
+  * this expression keeps the scan -> extract -> project plan inside one
+  * whole-stage-codegen'd stage with a single CodegenFallback island.
+  */
+case class ExtractInterleaved(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ExtractInterleaved.ResultType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    // pass 1: total html bytes
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      if (ExtractInterleaved.isText(row.getUTF8String(0))) {
+        val t = row.getUTF8String(1)
+        if (t != null) total += t.numBytes()
+      }
+      i += 1
+    }
+    val html = new Array[Byte](total)
+    val mediaRefs = new scala.collection.mutable.ArrayBuffer[String](4)
+    val mediaOffsets = new scala.collection.mutable.ArrayBuffer[Int](4)
+    var off = 0
+    i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      if (ExtractInterleaved.isText(row.getUTF8String(0))) {
+        val t = row.getUTF8String(1)
+        if (t != null) {
+          t.writeToMemory(html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+          off += t.numBytes()
+        }
+      } else {
+        val r = row.getUTF8String(2)
+        mediaRefs += (if (r == null) "" else r.toString)
+        mediaOffsets += off
+      }
+      i += 1
+    }
+    val res = ExtractSpans.engine.get().extractRaw(html, mediaRefs, mediaOffsets)
+    // zero-copy text spans: UTF8Strings view the per-doc html buffer
+    val out = new Array[Any](res.count)
+    i = 0
+    while (i < res.count) {
+      out(i) =
+        if (res.kinds(i) == 0)
+          InternalRow(ExtractInterleaved.TEXT,
+            UTF8String.fromBytes(html, res.starts(i), res.ends(i) - res.starts(i)),
+            UTF8String.EMPTY_UTF8, res.starts(i))
+        else
+          InternalRow(ExtractInterleaved.MEDIA, UTF8String.EMPTY_UTF8,
+            UTF8String.fromString(mediaRefs(res.mediaIdx(i))), res.starts(i))
+      i += 1
+    }
+    InternalRow(new GenericArrayData(out),
+      if (res.error == null) null else UTF8String.fromString(res.error))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "extract_interleaved"
+}
+
+object ExtractInterleaved {
+  val ResultType: StructType = StructType(Seq(
+    StructField("spans", ExtractSpans.SpanArrayType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  private[spark] val TEXT = UTF8String.fromString("text")
+  private[spark] val MEDIA = UTF8String.fromString("media")
+  @inline private[spark] def isText(kind: UTF8String): Boolean =
+    kind != null && kind.equals(TEXT)
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_interleaved", exprs => ExtractInterleaved(exprs.head), "scala_udf")
+}

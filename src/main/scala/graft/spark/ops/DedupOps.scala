@@ -38,26 +38,56 @@ object DedupOps {
     base.groupBy(md5(encode(col("text"), "UTF-8")).as("fp"))
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Word 3-gram shingle set as a column expression. */
+  /** Word 3-gram shingle set as a column expression. Built with
+    * arrays_zip over three shifted slices so the per-element lambda never
+    * re-evaluates `split` (higher-order lambdas are interpreted; a lambda
+    * referencing the tokens array would re-split the text per element).
+    */
   def shingles(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - 3, lit(-1))),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+    val n = size(toks)
+    val z = arrays_zip(
+      slice(toks, lit(1), greatest(n - 2, lit(0))),
+      slice(toks, lit(2), greatest(n - 2, lit(0))),
+      slice(toks, lit(3), greatest(n - 2, lit(0))))
+    array_distinct(transform(z, s =>
+      concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))))
   }
 
-  /** Exact n-gram Jaccard similarity join via shingle inverted index:
-    * explode distinct shingles, self-join on shingle, count co-occurrences,
-    * filter by Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+  /** Exact n-gram Jaccard similarity join via shingle inverted index.
+    * Plan shape (one scan of the corpus, two shuffles): explode distinct
+    * shingles -> group by shingle into doc-id buckets -> expand each
+    * bucket's ordered pairs in place (bounded by per-shingle df) -> count
+    * co-occurrences per pair -> join per-doc set sizes (computed as a
+    * column expression, no second explode) -> Jaccard filter.
+    * Avoids the naive self-join, which would recompute and shuffle the
+    * exploded table twice. Returns (id_a, id_b, jaccard).
     */
   def ngramJaccardPairs(base: DataFrame, threshold: Double): DataFrame = {
-    val sh = base.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val co = sh.as("a").join(sh.as("b"), "sh")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+    val withSh = base.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("set_size"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    // ordered pair expansion inside the row (df is bounded; no skew blowup)
+    val pairs = inverted.select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val n = ids.size
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")), 4))

@@ -1,0 +1,157 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.ops._
+
+/** Spark-side integration tests at sf0.001 (one shared local session). */
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extraction pipeline: roundtrip + media survive at sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val out = ExtractPipeline.extract(InterleavedGen.table(spark, sf)).collect()
+    assert(out.length == docs.size)
+    assert(out.forall(_.error == null))
+    out.foreach { d =>
+      val main = d.spans.filter(_.kind == "text").map(_.text).mkString
+      assert(main == docs(d.doc_id), s"roundtrip ${d.doc_id}")
+      val nMedia = d.spans.count(_.kind == "media")
+      assert(nMedia == (d.doc_id.toLong % 5).toInt)
+      assert(d.spans.map(_.offset) == d.spans.map(_.offset).sorted)
+    }
+  }
+
+  test("extraction plan is map-only (no shuffle)") {
+    val plan = ExtractPipeline.extract(InterleavedGen.table(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("extract metrics cover all docs") {
+    val (_, metrics) = ExtractPipeline.extractWithMetrics(InterleavedGen.table(spark, sf))
+    val m = metrics.collect()
+    assert(m.map(_.docs).sum == 500)
+    assert(m.map(_.errors).sum == 0)
+    assert(m.map(_.textSpans).sum > 500)
+  }
+
+  test("exact dedup finds exactly the planted duplicates") {
+    val base = DedupOps.withVariants(spark, sf)
+    val survivors = DedupOps.exactDedup(base).collect()
+    // short docs (<17 words) produce identical variants -> n_copies == 2
+    val dups = survivors.filter(_.getLong(2) > 1)
+    assert(survivors.forall(r => r.getLong(2) <= 2))
+    assert(survivors.map(_.getLong(2)).sum == 1000)
+    assert(dups.forall(_.getLong(1) < 1000000L)) // keeper is the original
+  }
+
+  test("minhash LSH pairs == exact ngram pairs (full recall, no FPs)") {
+    val base = DedupOps.withVariants(spark, sf).cache()
+    val exact = DedupOps.ngramJaccardPairs(base, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupOps.minhashLshPairs(base, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+    // planted variants present
+    assert(exact.exists { case (a, b, _) => b == a + 1000000L })
+    base.unpersist()
+  }
+
+  test("simhash: variants within small hamming distance of originals") {
+    val pairs = DedupOps.simhashPairs(DedupOps.withVariants(spark, sf), 3).collect()
+    assert(pairs.nonEmpty)
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted > 100) // most variants should sketch-match their original
+  }
+
+  test("ann topk: recall vs brute force >= 0.7 on sf0.001") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = SimOps.bruteForceTopK(emb, 0L to 9L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimOps.annTopK(emb, 0L to 9L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("multimodal: encode/decode stub roundtrip with real schema") {
+    val meta = MultimodalOps.decodeMeta(MultimodalOps.assets(spark, sf)).collect()
+    assert(meta.length == 500)
+    assert(meta.forall(_.getBoolean(5)))
+    assert(meta.forall(r => r.getInt(1) == 32 + (r.getLong(0) % 7).toInt * 16))
+  }
+
+  test("extract_spans SQL expression matches the pipeline") {
+    import org.apache.spark.sql.functions._
+    ExtractSpans.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "<html><head><script>x</script></head><body><nav>n</nav><p>hello <b>world</b></p></body></html>")
+    )).toDF("id", "html")
+    val rows = df.select(col("id"), ExtractSpans.extract_spans(col("html")).as("spans"))
+      .selectExpr("id", "inline(spans)").collect()
+    assert(rows.map(_.getString(2)).filter(_.nonEmpty) sameElements Array("hello ", "world"))
+    // SQL surface
+    df.createOrReplaceTempView("docs_html")
+    val viaSql = spark.sql("select size(extract_spans(html)) n from docs_html").collect()
+    assert(viaSql(0).getInt(0) == 2)
+  }
+
+  test("checkpointed extraction resumes mid-table from the ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val docs = InterleavedGen.table(spark, sf)
+    val first = CheckpointedExtract.run(docs, dir, buckets = 4)
+    assert(first.map(_.bucket).sorted == Seq(0, 1, 2, 3))
+    assert(first.map(_.docs).sum == 500)
+    // simulate a crash after 4 buckets: drop the last two ledger lines
+    val p = java.nio.file.Paths.get(dir, "_ledger.jsonl")
+    val lines = java.nio.file.Files.readAllLines(p)
+    java.nio.file.Files.write(p,
+      String.join("\n", lines.subList(0, 2)).concat("\n").getBytes("UTF-8"))
+    val resumed = CheckpointedExtract.run(docs, dir, buckets = 4)
+    assert(resumed.map(_.bucket).sorted == Seq(2, 3))
+    // full output present exactly once
+    val n = spark.read.parquet(s"$dir/bucket=*").count()
+    assert(n == 500)
+    // third run: nothing to do
+    assert(CheckpointedExtract.run(docs, dir, buckets = 4).isEmpty)
+  }
+
+  test("streaming extraction over a file stream matches batch output") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sin").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sck").toString
+    InterleavedGen.table(spark, sf).toDF().write.mode("overwrite").parquet(inDir)
+    val q = graft.streaming.StreamingExtract.run(spark, inDir, outDir, ckDir)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir).count()
+    assert(streamed == 500)
+  }
+
+  test("all oracle queries produce rows at sf0.001") {
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
