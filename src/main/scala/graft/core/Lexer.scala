@@ -325,8 +325,14 @@ final class Lexer(strict: Boolean = true) extends TagView {
     */
   private def emitTag(): Int = {
     val fb =
-      if (tagIsStart) treeSim.feedbackForStartTag(tNameHash, this)
-      else treeSim.feedbackForEndTag(tNameHash, this)
+      try {
+        if (tagIsStart) treeSim.feedbackForStartTag(tNameHash, this)
+        else treeSim.feedbackForEndTag(tNameHash, this)
+      } catch {
+        case e: EngineBailoutException =>
+          e.pos = lexemeStart // raw start of the offending tag
+          throw e
+      }
 
     lastTextType = Data
     fb match {

@@ -6,8 +6,28 @@ package graft.core
   * bail-out, mirroring the reference
   * (/root/reference/src/parser/tree_builder_simulator/ambiguity_guard.rs).
   */
+abstract class EngineBailoutException(msg: String) extends Exception(msg) {
+  /** Raw byte offset of the tag that triggered the bail-out (the amount
+    * of input safely parsed before it — the reference's `parsedChunk`
+    * boundary). Set by the lexer when rethrowing.
+    */
+  var pos: Int = -1
+  def errorCode: String
+}
+
 final class ParsingAmbiguityException(val tagName: String)
-    extends Exception(s"Parsing ambiguity on tag <$tagName>")
+    extends EngineBailoutException(s"Parsing ambiguity on tag <$tagName>") {
+  def errorCode: String = s"parsing_ambiguity:$tagName"
+}
+
+/** Security cap on `<template>` nesting inside `<select>` (matches the
+  * reference fixture expected_bailouts.json: MaxTemplateNestingReached
+  * with depth_limit 255).
+  */
+final class TemplateNestingException(val depthLimit: Int)
+    extends EngineBailoutException(s"Template nesting deeper than $depthLimit") {
+  def errorCode: String = s"max_template_nesting:$depthLimit"
+}
 
 /** Read access to the currently-lexed tag, for the feedback cases that
   * need the full lexeme (`<annotation-xml>`, `<font color|size|face>`,
@@ -28,6 +48,9 @@ trait TagView {
 }
 
 object TreeSim {
+  /** Max template nesting inside select before bail-out. */
+  final val TemplateDepthLimit = 255
+
   // Feedback codes returned by the simulator.
   final val FbNone = 0
   final val FbSwitchData = 1 // +TextType
@@ -195,6 +218,8 @@ final class TreeSim(strict: Boolean) {
     if (isAmbiguousTextTypeSwitch(h))
       throw new ParsingAmbiguityException(TagHash.toName(h))
 
+  import TreeSim.TemplateDepthLimit
+
   private def trackStartTag(h: Long): Unit = agState match {
     case AgDefault =>
       if (h == Select) agState = AgInSelect
@@ -204,8 +229,10 @@ final class TreeSim(strict: Boolean) {
       else if (h == Template) { agState = AgInTemplateInSelect; agTemplateDepth = 1 }
       else if (h != Script) assertNotAmbiguous(h)
     case AgInTemplateInSelect =>
-      if (h == Template) agTemplateDepth += 1
-      else assertNotAmbiguous(h)
+      if (h == Template) {
+        if (agTemplateDepth >= TemplateDepthLimit) throw new TemplateNestingException(TemplateDepthLimit)
+        agTemplateDepth += 1
+      } else assertNotAmbiguous(h)
     case AgInOrAfterFrameset =>
       if (h != Noframes) assertNotAmbiguous(h)
   }

@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.core.{ParsingAmbiguityException, TextType}
+import graft.core.{EngineBailoutException, TextType}
 import graft.rewrite._
 import scala.collection.mutable
 
@@ -179,8 +179,8 @@ final class Extractor(policy: ExtractPolicy) {
 
     try rewriter.rewriteToBytes(html)
     catch {
-      case e: ParsingAmbiguityException =>
-        raw.error = s"parsing_ambiguity:${e.tagName}"
+      case e: EngineBailoutException =>
+        raw.error = e.errorCode
         if (curNodeStart >= 0) { nodeStarts += curNodeStart; nodeEnds += curNodeEnd; curNodeStart = -1 }
       case e: Exception =>
         raw.error = s"engine_error:${e.getClass.getSimpleName}"
