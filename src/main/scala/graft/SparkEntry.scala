@@ -107,6 +107,18 @@ object SparkEntry {
           round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
         .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
     }),
+    "r5_sessionize" -> ((s, dir) => {
+      // 30-min-gap sessionization: the training-pipeline classic, as pure
+      // window functions (gap flag -> running sum per user)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ep", col("ts").cast("timestamp").cast("long"))
+        .withColumn("gap_s", col("ep") - lag(col("ep"), 1).over(w))
+        .withColumn("session_id",
+          sum(when(col("gap_s") > 1800, 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
     "r4_events_hourly" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -238,6 +250,11 @@ object SparkEntry {
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "r5_sessionize" ->
+      ("SELECT event_id, user_id, CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_id " +
+        "FROM (SELECT *, CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s FROM events)"),
     "r4_events_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
         "count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(20,8))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2")

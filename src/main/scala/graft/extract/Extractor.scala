@@ -24,7 +24,13 @@ final case class ExtractPolicy(
     keepRcData: Boolean = true, // textarea/title outside head
     keepCData: Boolean = true,  // CDATA in foreign content (svg/math usually stripped anyway)
     dropWhitespaceOnlyNodes: Boolean = true,
-    strict: Boolean = true
+    strict: Boolean = true,
+    /** Per-document byte budget (the reference's MemorySettings cap,
+      * /root/reference/src/rewriter/settings.rs:829-941): oversized docs
+      * are routed to the error column instead of failing the task.
+      * <= 0 disables the cap.
+      */
+    maxDocBytes: Int = 64 * 1024 * 1024
 ) extends Serializable
 
 object ExtractPolicy {
@@ -176,6 +182,11 @@ final class Extractor(policy: ExtractPolicy) {
     removedFrom.clear(); removedTo.clear(); removing = false
     nodeStarts.clear(); nodeEnds.clear(); curNodeStart = -1
     raw.clear()
+
+    if (policy.maxDocBytes > 0 && html.length > policy.maxDocBytes) {
+      raw.error = s"memory_limit_exceeded:${html.length}"
+      return raw
+    }
 
     try rewriter.rewriteToBytes(html)
     catch {

@@ -1,0 +1,78 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan audits: the plans must be the ones we'd want at 100 TB —
+  * columns pruned at the scan, small dims broadcast, aggregates partial
+  * (map-side combine), extraction shuffle-free.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("extraction (x1) is map-only up to the projection: no Exchange") {
+    val p = planOf("x1_extract_text")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("documents scan prunes columns for t1 (only doc_id + text read)") {
+    val f = formatted("t1_text_stats")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 100).select(col("doc_id"), length(col("text")))
+    val f = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(f.contains("PushedFilters") && f.contains("LessThan(doc_id,100)"), f)
+  }
+
+  test("r2 join broadcasts the customer dim") {
+    val p = planOf("r2_customer_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d1 exact dedup aggregates partially before the shuffle") {
+    val f = formatted("d1_exact_dedup")
+    assert(f.contains("partial_min") || f.contains("partial_count"), f)
+  }
+
+  test("e1 brute-force topk broadcasts the query side") {
+    val p = planOf("e1_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("whole-stage codegen wraps the relational queries") {
+    val df = graft.SparkEntry.queries("r1_lineitem_agg")(spark, sf)
+    df.collect() // finalize the adaptive plan (count() would build a new one)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("codegen id"), p)
+  }
+}
