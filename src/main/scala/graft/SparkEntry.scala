@@ -119,6 +119,34 @@ object SparkEntry {
             .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
         .select(col("event_id"), col("user_id"), col("session_id"))
     }),
+    "r6_rollup" -> ((s, dir) => {
+      // multi-level aggregation (ROLLUP) with grouping indicators
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
+    }),
+    "r7_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based) per group
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+    }),
+    "r8_setops" -> ((s, dir) => {
+      // set operators: brands selling large parts EXCEPT brands selling
+      // small parts, plus intersect count as a scalar column
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val large = p.where(col("p_size") >= 40).select(col("p_brand"))
+      val small = p.where(col("p_size") <= 10).select(col("p_brand"))
+      val ex = large.except(small).withColumn("op", lit("except"))
+      val in = large.intersect(small).withColumn("op", lit("intersect"))
+      ex.unionAll(in)
+    }),
     "r4_events_hourly" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -250,6 +278,21 @@ object SparkEntry {
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "r6_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2 " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "r7_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50, " +
+        "round(quantile_cont(l_quantity, 0.9), 4) AS p90, " +
+        "round(quantile_cont(l_quantity, 0.99), 4) AS p99 FROM lineitem GROUP BY 1"),
+    "r8_setops" ->
+      ("SELECT p_brand, 'except' AS op FROM " +
+        "(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40 EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size <= 10) " +
+        "UNION ALL " +
+        "SELECT p_brand, 'intersect' AS op FROM " +
+        "(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40 INTERSECT SELECT DISTINCT p_brand FROM part WHERE p_size <= 10)"),
     "r5_sessionize" ->
       ("SELECT event_id, user_id, CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) " +
         "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_id " +

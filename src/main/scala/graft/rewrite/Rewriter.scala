@@ -421,12 +421,14 @@ final class Rewriter(
     def set(in0: Array[Byte], nameLower: String, hash: Long, ns: Int, attrs: AttrList): Unit = {
       in = in0; nameLowerV = nameLower; nameHashV = hash; nsV = ns; attrsV = attrs
       matCount = if (attrs == null) 0 else attrs.count
-      if (matCount > attrNamesLower.length) {
-        attrNamesLower = new Array[String](matCount * 2)
-        attrValues = new Array[String](matCount * 2)
+      if (!program.hasOnlyNameOnlyPreds && matCount > 0) {
+        if (matCount > attrNamesLower.length) {
+          attrNamesLower = new Array[String](matCount * 2)
+          attrValues = new Array[String](matCount * 2)
+        }
+        java.util.Arrays.fill(attrNamesLower.asInstanceOf[Array[AnyRef]], 0, matCount, null)
+        java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, matCount, null)
       }
-      java.util.Arrays.fill(attrNamesLower.asInstanceOf[Array[AnyRef]], 0, matCount, null)
-      java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, matCount, null)
     }
     def nameLower: String = nameLowerV
     def nameHash: Long = nameHashV

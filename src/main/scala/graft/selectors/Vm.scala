@@ -69,6 +69,12 @@ final class MatchingVm(program: Program) {
 
   private val openNameCounts = new mutable.HashMap[String, Int]()
 
+  /** For programs whose entry points are all single-TypeSel compounds
+    * with no universal/attr predicates: tag-name-hash -> instr index.
+    * null when the fast path doesn't apply.
+    */
+  private val fastEntry: FastEntryTable = FastEntryTable.build(program)
+
   // scratch
   private val visited = new java.util.BitSet(64)
   private val matchedIds = new java.util.BitSet(64)
@@ -130,6 +136,26 @@ final class MatchingVm(program: Program) {
     val isVoid = view.isHtmlNs && graft.core.HtmlUtil.isVoidElement(view.nameHash)
     val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
 
+    // fast path: name-only entry-point programs with no live continuations
+    // (the extraction default) decide entry matches with one hash probe
+    if (fastEntry != null && activeHereditary.isEmpty &&
+        (top < 0 || frames(top).jumps.length == 0)) {
+      val idx = fastEntry.get(view.nameHash, view.nameLower)
+      if (idx < 0) {
+        if (withContent) pushFrame(view, noInts, noInts)
+        return withContent
+      }
+      // single matching entry instruction
+      val in = program.instrs(idx)
+      var i = 0
+      while (i < in.matchedIds.length) { onMatch(in.matchedIds(i), withContent); i += 1 }
+      if (withContent)
+        pushFrame(view,
+          if (in.jumps.length == 0) noInts else in.jumps,
+          if (in.hereditary.length == 0) noInts else in.hereditary)
+      return withContent
+    }
+
     // evaluate candidate instructions
     visited.clear()
     matchedIds.clear()
@@ -175,36 +201,41 @@ final class MatchingVm(program: Program) {
       id = matchedIds.nextSetBit(id + 1)
     }
 
-    if (withContent) {
-      top += 1
-      if (top == frames.length) {
-        val n = new Array[Frame](frames.length * 2)
-        System.arraycopy(frames, 0, n, 0, frames.length)
-        var j = frames.length
-        while (j < n.length) { n(j) = new Frame; j += 1 }
-        frames = n
-      }
-      val f = frames(top)
-      f.nameLower = nameLower
-      f.nameHash = view.nameHash
-      f.jumps = if (jumpBuf.isEmpty) noInts else jumpBuf.toArray
-      f.hereditary = if (heredBuf.isEmpty) noInts else heredBuf.toArray
-      f.desc = null
-      f.childCount = 0
-      if (f.typedCounters != null) f.typedCounters = null
-
-      openNameCounts.update(nameLower, openNameCounts.getOrElse(nameLower, 0) + 1)
-      if (f.hereditary.length > 0) {
-        var present = false
-        var k = 0
-        while (k < activeHereditary.length && !present) {
-          present = java.util.Arrays.equals(activeHereditary(k)._1, f.hereditary)
-          k += 1
-        }
-        if (!present) activeHereditary += ((f.hereditary, top))
-      }
-    }
+    if (withContent)
+      pushFrame(view,
+        if (jumpBuf.isEmpty) noInts else jumpBuf.toArray,
+        if (heredBuf.isEmpty) noInts else heredBuf.toArray)
     withContent
+  }
+
+  private def pushFrame(view: VmElemView, jumps: Array[Int], hereditary: Array[Int]): Unit = {
+    top += 1
+    if (top == frames.length) {
+      val n = new Array[Frame](frames.length * 2)
+      System.arraycopy(frames, 0, n, 0, frames.length)
+      var j = frames.length
+      while (j < n.length) { n(j) = new Frame; j += 1 }
+      frames = n
+    }
+    val f = frames(top)
+    f.nameLower = view.nameLower
+    f.nameHash = view.nameHash
+    f.jumps = jumps
+    f.hereditary = hereditary
+    f.desc = null
+    f.childCount = 0
+    if (f.typedCounters != null) f.typedCounters = null
+
+    openNameCounts.update(f.nameLower, openNameCounts.getOrElse(f.nameLower, 0) + 1)
+    if (f.hereditary.length > 0) {
+      var present = false
+      var k = 0
+      while (k < activeHereditary.length && !present) {
+        present = java.util.Arrays.equals(activeHereditary(k)._1, f.hereditary)
+        k += 1
+      }
+      if (!present) activeHereditary += ((f.hereditary, top))
+    }
   }
 
   /** Pop up to (and including) the last open element named `nameLower`;
@@ -241,4 +272,43 @@ final class MatchingVm(program: Program) {
     * interval closing.
     */
   def depthAt(name: String): Int = openNameCounts.getOrElse(name, 0)
+}
+
+/** Perfect-fit entry table for name-only entry points: one probe decides
+  * whether any entry compound matches the element. Only built when every
+  * entry instruction is a single TypeSel (the extraction default).
+  */
+final class FastEntryTable private (byHash: java.util.HashMap[java.lang.Long, Integer],
+                                    byName: java.util.HashMap[String, Integer]) {
+  /** Returns the entry instruction index or -1. */
+  def get(hash: Long, nameLower: String): Int = {
+    if (hash != graft.core.TagHash.Empty) {
+      val v = byHash.get(hash)
+      if (v == null) -1 else v.intValue()
+    } else {
+      val v = byName.get(nameLower)
+      if (v == null) -1 else v.intValue()
+    }
+  }
+}
+
+object FastEntryTable {
+  def build(program: Program): FastEntryTable = {
+    val byHash = new java.util.HashMap[java.lang.Long, Integer]()
+    val byName = new java.util.HashMap[String, Integer]()
+    for (idx <- program.entryPoints) {
+      program.instrs(idx).simples match {
+        case Array(TypeSel(lower, hash)) =>
+          if (hash != graft.core.TagHash.Empty) {
+            if (byHash.containsKey(hash)) return null // duplicate name: fall back
+            byHash.put(hash, idx)
+          } else {
+            if (byName.containsKey(lower)) return null
+            byName.put(lower, idx)
+          }
+        case _ => return null
+      }
+    }
+    new FastEntryTable(byHash, byName)
+  }
 }

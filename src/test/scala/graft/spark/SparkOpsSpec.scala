@@ -148,6 +148,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == 500)
   }
 
+  test("stateful sessionize (flatMapGroupsWithState) matches the window version") {
+    import graft.streaming.StatefulSessionize
+    val stateful = StatefulSessionize.sessionize(
+      StatefulSessionize.fromParquet(spark, sf), 1800L).collect()
+      .map(r => (r.event_id, r.user_id) -> r.session_id).toMap
+    val windowed = graft.SparkEntry.queries("r5_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(stateful.size == windowed.size)
+    assert(stateful == windowed)
+  }
+
   test("all oracle queries produce rows at sf0.001") {
     for ((name, fn) <- graft.SparkEntry.queries) {
       val n = fn(spark, sf).count()
