@@ -105,8 +105,30 @@ final class Extractor(policy: ExtractPolicy) {
       (policy.keepRcData && tt == TextType.RCData) ||
       (policy.keepCData && tt == TextType.CDataSection)
 
+  /** `<meta>` charset detection (first effective declaration wins). */
+  private val metaHandler = ElementHandlers(element = el => {
+    if (detectedCharset == null) {
+      var cs = el.attr("charset")
+      if (cs == null) {
+        val he = el.attr("http-equiv")
+        if (he != null && he.equalsIgnoreCase("content-type")) {
+          val content = el.attr("content")
+          if (content != null) {
+            val i = content.toLowerCase.indexOf("charset=")
+            if (i >= 0) {
+              cs = content.substring(i + "charset=".length)
+                .takeWhile(c => c != ';' && c != ' ' && c != '"' && c != '\'').trim
+            }
+          }
+        }
+      }
+      if (cs != null && cs.nonEmpty) detectedCharset = cs
+    }
+  })
+
   private val rewriter = new Rewriter(
-    policy.stripSelectors.map(sel => sel -> ElementHandlers(element = el => el.remove())),
+    policy.stripSelectors.map(sel => sel -> ElementHandlers(element = el => el.remove())) :+
+      ("meta" -> metaHandler),
     docHandlers = Nil,
     strict = policy.strict,
     listener = listener,
@@ -182,6 +204,7 @@ final class Extractor(policy: ExtractPolicy) {
     removedFrom.clear(); removedTo.clear(); removing = false
     nodeStarts.clear(); nodeEnds.clear(); curNodeStart = -1
     raw.clear()
+    detectedCharset = null
 
     if (policy.maxDocBytes > 0 && html.length > policy.maxDocBytes) {
       raw.error = s"memory_limit_exceeded:${html.length}"
@@ -275,4 +298,43 @@ final class Extractor(policy: ExtractPolicy) {
   def extractString(html: String): ExtractResult =
     extractHtml(html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       Vector.empty, Vector.empty)
+
+  // ---- non-UTF-8 inputs (reference D13/D14) ------------------------------
+
+  /** Charset of the first effective `<meta charset>` /
+    * `<meta http-equiv=content-type>` of the current parse (detection
+    * handler registered on every parse; HTML5 allows setting it once —
+    * reference /root/reference/src/rewriter/mod.rs:240-280).
+    */
+  private[extract] var detectedCharset: String = _
+
+  /** Extract from raw document bytes in an arbitrary ASCII-compatible
+    * charset: decode -> parse; if a `<meta>` declares a DIFFERENT charset,
+    * re-decode and re-parse once (cheap per-row restart, the analog of the
+    * reference's mid-stream decoder switch). Span offsets refer to the
+    * UTF-8 re-encoded stream. Unknown/non-ASCII-compatible labels are
+    * ignored (parse continues with the current charset).
+    */
+  def extractEncoded(rawBytes: Array[Byte], defaultCharset: String = "UTF-8"): ExtractResult = {
+    def decode(cs: String): Array[Byte] = {
+      val charset = java.nio.charset.Charset.forName(cs)
+      if (charset == java.nio.charset.StandardCharsets.UTF_8) rawBytes
+      else new String(rawBytes, charset).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val first = extractHtml(decode(defaultCharset), Vector.empty, Vector.empty)
+    val meta = detectedCharset
+    if (meta == null || !isAsciiCompatible(meta) ||
+        java.nio.charset.Charset.forName(meta) == java.nio.charset.Charset.forName(defaultCharset))
+      first
+    else extractHtml(decode(meta), Vector.empty, Vector.empty)
+  }
+
+  private def isAsciiCompatible(label: String): Boolean = {
+    try {
+      val cs = java.nio.charset.Charset.forName(label)
+      // UTF-16/32 and EBCDIC are not ASCII-compatible; quick probe
+      val probe = "<a>".getBytes(cs)
+      probe.length == 3 && probe(0) == '<' && probe(1) == 'a' && probe(2) == '>'
+    } catch { case _: Exception => false }
+  }
 }

@@ -181,6 +181,56 @@ final class Element private[rewrite] (
   }
 
   def removed: Boolean = startTagMutations.removed
+
+  // ---- structural setters (reference Element set_tag_name /
+  // set_attribute / remove_attribute) -------------------------------------
+
+  private[rewrite] var newTagName: String = _
+  private[rewrite] var attrMods: mutable.LinkedHashMap[String, Option[String]] = _
+
+  /** Rename the element; the end tag (if any) is renamed too. */
+  def setTagName(name: String): Unit = {
+    require(name.nonEmpty && name.head.isLetter, s"invalid tag name '$name'")
+    newTagName = HtmlUtil.lowerAscii(name)
+  }
+
+  def setAttribute(name: String, value: String): Unit = {
+    if (attrMods == null) attrMods = mutable.LinkedHashMap()
+    attrMods.update(HtmlUtil.lowerAscii(name), Some(value))
+  }
+
+  def removeAttribute(name: String): Unit = {
+    if (attrMods == null) attrMods = mutable.LinkedHashMap()
+    attrMods.update(HtmlUtil.lowerAscii(name), None)
+  }
+
+  private[rewrite] def structurallyModified: Boolean =
+    newTagName != null || attrMods != null
+
+  /** Re-serialize the start tag from parts (only when modified). */
+  private[rewrite] def structuralStartTag(): String = {
+    val name = if (newTagName != null) newTagName else nameLower0
+    val sb = new java.lang.StringBuilder(32)
+    sb.append('<').append(name)
+    val done = mutable.HashSet[String]()
+    for ((n, v) <- attrPairs) {
+      val eff = if (attrMods != null && attrMods.contains(n)) attrMods(n) else Some(v)
+      if (!done.contains(n)) {
+        done += n
+        eff.foreach { value =>
+          sb.append(' ').append(n).append("=\"")
+            .append(value.replace("&", "&amp;").replace("\"", "&quot;")).append('"')
+        }
+      }
+    }
+    if (attrMods != null)
+      for ((n, vOpt) <- attrMods if !done.contains(n); v <- vOpt)
+        sb.append(' ').append(n).append("=\"")
+          .append(v.replace("&", "&amp;").replace("\"", "&quot;")).append('"')
+    if (selfClosing && !canHaveContent) sb.append('/')
+    sb.append('>')
+    sb.toString
+  }
 }
 
 /** Text chunk API (reference TextChunk). */
@@ -214,9 +264,11 @@ final class DoctypeTok private[rewrite] (val name: String, val publicId: String,
 
 final class EndTagTok private[rewrite] (val nameLower: String) {
   private[rewrite] var mutations = new Mutations
+  private[rewrite] var renamedTo: String = _
   def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
   def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
   def remove(): Unit = mutations.remove()
+  def setName(name: String): Unit = renamedTo = name
 }
 
 final class DocumentEnd private[rewrite] (out: ByteBuf) {
@@ -570,18 +622,28 @@ final class Rewriter(
             desc = new ElementDescriptor
             vm.setCurrentDescriptor(desc)
           }
+          if (desc == null && el.newTagName != null) {
+            desc = new ElementDescriptor
+            vm.setCurrentDescriptor(desc)
+          }
           if (desc != null) {
             if (el.shouldRemoveContent) {
               desc.removeContent = true
               matchedRemoved += 1
             }
-            if (el.endTagMutations != null) {
+            if (el.endTagMutations != null || el.newTagName != null) {
               val m = el.endTagMutations
+              val rename = el.newTagName
               desc.endTagHandlerIdx =
-                endTagHandlers.push(et => et.mutations = m, alwaysActive = false)
+                endTagHandlers.push(et => {
+                  if (m != null) et.mutations = m
+                  if (rename != null) et.renamedTo = rename
+                }, alwaysActive = false)
             }
           }
         }
+        if (el.structurallyModified && !el.startTagMutations.removed)
+          el.startTagMutations.replace(el.structuralStartTag(), ContentType.Html)
         emitChunkBefore(rawStart)
         serializeToken(el.startTagMutations, rawStart, rawEnd)
       }
@@ -622,6 +684,8 @@ final class Rewriter(
       if (endTagHandlers.hasActive || forced) {
         val tok = new EndTagTok(nameLower)
         endTagHandlers.doForEachActiveAndRemoveTail(h => h(tok))
+        if (tok.renamedTo != null && !tok.mutations.removed)
+          tok.mutations.replace(s"</${tok.renamedTo}>", ContentType.Html)
         emitChunkBefore(rawStart)
         serializeToken(tok.mutations, rawStart, rawEnd)
       }

@@ -1,0 +1,82 @@
+package graft.rewrite
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.{ExtractPolicy, Extractor}
+
+/** Unit tests for the user-facing rewriting API surface (the reference's
+  * Element/TextChunk/Comment mutation methods, element.rs).
+  */
+class RewriterApiSpec extends AnyFunSuite {
+
+  private def rw(sel: String)(f: Element => Unit): String => String = {
+    val r = new Rewriter(Seq(sel -> ElementHandlers(element = f)), strict = false)
+    s => r.rewrite(s)
+  }
+
+  test("setTagName renames start and end tags") {
+    val f = rw("div")(_.setTagName("section"))
+    assert(f("""<div id="a">x</div>""") == """<section id="a">x</section>""")
+    // nested: both renamed, inner end tag matches inner element
+    assert(f("<div>a<div>b</div>c</div>") == "<section>a<section>b</section>c</section>")
+  }
+
+  test("setAttribute updates in place and appends when new") {
+    val f = rw("a")(el => { el.setAttribute("href", "https://x"); el.setAttribute("rel", "nofollow") })
+    assert(f("""<a href="http://y" target=_blank>t</a>""") ==
+      """<a href="https://x" target="_blank" rel="nofollow">t</a>""")
+  }
+
+  test("removeAttribute drops the attribute") {
+    val f = rw("img")(_.removeAttribute("onerror"))
+    assert(f("""<img src=x onerror="evil()">""") == """<img src="x">""")
+  }
+
+  test("attribute values escape quotes and ampersands") {
+    val f = rw("p")(_.setAttribute("title", "a\"b&c"))
+    assert(f("<p>x</p>") == """<p title="a&quot;b&amp;c">x</p>""")
+  }
+
+  test("self-closing foreign elements keep the slash") {
+    val f = rw("circle")(_.setAttribute("r", "5"))
+    assert(f("""<svg><circle r="2"/></svg>""") == """<svg><circle r="5"/></svg>""")
+    // per HTML5, a slash after an unquoted value joins the value and the
+    // tag is NOT self-closing
+    assert(f("<svg><circle r=2/></svg>") == """<svg><circle r="5"></svg>""")
+  }
+
+  test("rename composes with after-content") {
+    val f = rw("b")(el => { el.setTagName("strong"); el.after("!") })
+    assert(f("<p><b>hi</b></p>") == "<p><strong>hi</strong>!</p>")
+  }
+
+  test("text replace and comment remove") {
+    val r = new Rewriter(Seq("p" -> ElementHandlers(
+      text = t => if (!t.lastInTextNode) t.replace("REDACTED", ContentType.Text),
+      comments = c => c.remove())), strict = false)
+    assert(r.rewrite("<p>secret<!-- note --></p>") == "<p>REDACTED</p>")
+  }
+
+  test("document handlers: doctype removal + end append") {
+    val r = new Rewriter(Nil, docHandlers = Seq(DocHandlers(
+      doctype = d => d.remove(),
+      end = e => e.append("<!-- eof -->"))), strict = false)
+    assert(r.rewrite("<!doctype html><p>x</p>") == "<p>x</p><!-- eof -->")
+  }
+
+  test("meta charset detection + encoded extraction roundtrip") {
+    val ex = new Extractor(ExtractPolicy.Default.copy(strict = false))
+    // windows-1252 bytes with a meta declaration: 0xE9 = e-acute
+    val body = "<html><head><meta charset=windows-1252></head><body><p>café</p></body></html>"
+    val raw = body.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    // default utf-8 parse would mangle 0xE9; meta triggers re-decode
+    val r = ex.extractEncoded(raw, "UTF-8")
+    assert(r.spans.map(_.text) == Seq("café"))
+    // http-equiv form
+    val body2 = "<head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\"></head><body><p>naïve</p></body>"
+    val raw2 = body2.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    assert(ex.extractEncoded(raw2, "UTF-8").spans.map(_.text) == Seq("naïve"))
+    // utf-8 doc with matching meta: single parse, no change
+    val r3 = ex.extractEncoded("<meta charset=utf-8><p>ok</p>".getBytes("UTF-8"))
+    assert(r3.spans.map(_.text) == Seq("ok"))
+  }
+}
