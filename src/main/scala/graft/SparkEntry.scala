@@ -53,6 +53,11 @@ object SparkEntry {
           .as("n_text_chars"))
     }),
 
+    // x3: rewrite mode — boilerplate subtrees removed, remaining HTML
+    // re-serialized verbatim (the reference's primary use-case)
+    "x3_clean_html" -> ((s, dir) =>
+      HtmlClean.clean(HtmlClean.generatedHtml(s, dir)).toDF()),
+
     // ---- text analysis ----
     "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
 
@@ -199,6 +204,13 @@ object SparkEntry {
         "END AS media_refs, " +
         "CAST(length(text) AS INT) AS n_text_chars FROM documents"),
 
+    "x3_clean_html" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'<!doctype html><html><body><article data-doc=\"' || CAST(doc_id AS VARCHAR) || '\"><p>' || " +
+        "substr(text, 1, CAST(floor(length(text)/2) AS INT)) || '</p><p>' || " +
+        "substr(text, CAST(floor(length(text)/2) AS INT) + 1) || " +
+        "'</p></article><!-- end ' || CAST(doc_id AS VARCHAR) || ' --></body></html>' AS html " +
+        "FROM documents"),
     "t1_text_stats" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tok_ws, " +

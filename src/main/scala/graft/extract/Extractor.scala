@@ -64,8 +64,8 @@ final case class ExtractResult(spans: IndexedSeq[Span], error: String)
 final class Extractor(policy: ExtractPolicy) {
 
   // removal intervals of the current doc (disjoint, increasing)
-  private val removedFrom = new mutable.ArrayBuffer[Int](16)
-  private val removedTo = new mutable.ArrayBuffer[Int](16)
+  private val removedFrom = new graft.core.IntBuf(16)
+  private val removedTo = new graft.core.IntBuf(16)
   private var removing = false
 
   private object listener extends RewriteListener {
@@ -95,8 +95,8 @@ final class Extractor(policy: ExtractPolicy) {
   }
 
   // text nodes of the current doc as byte ranges
-  private val nodeStarts = new mutable.ArrayBuffer[Int](64)
-  private val nodeEnds = new mutable.ArrayBuffer[Int](64)
+  private val nodeStarts = new graft.core.IntBuf(64)
+  private val nodeEnds = new graft.core.IntBuf(64)
   private var curNodeStart = -1
   private var curNodeEnd = -1
 
@@ -197,6 +197,7 @@ final class Extractor(policy: ExtractPolicy) {
   }
 
   private val raw = new RawSpans
+  private val keptMediaIdx = new graft.core.IntBuf(8)
 
   /** Zero-materialization extraction (the Catalyst-expression hot path). */
   def extractRaw(html: Array[Byte], mediaRefs: collection.IndexedSeq[String],
@@ -222,7 +223,7 @@ final class Extractor(policy: ExtractPolicy) {
     if (removing) removedTo += html.length
 
     // media survival: offset outside every removed interval
-    val keptMediaIdx = new mutable.ArrayBuffer[Int](mediaRefs.size)
+    keptMediaIdx.clear()
     var ri = 0
     var mi = 0
     while (mi < mediaOffsets.length) {

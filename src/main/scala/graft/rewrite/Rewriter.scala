@@ -511,15 +511,45 @@ final class Rewriter(
   private var lastMatchWithContent = false
 
   // tag-name interning: hashable names decode from their own 5-bit hash
-  // (one allocation per distinct tag name per Rewriter lifetime)
-  private val nameCache = new java.util.HashMap[java.lang.Long, String]()
+  // (one allocation per distinct tag name per Rewriter lifetime); primitive
+  // open-addressed table — valid hashes are >= 6, so 0 is a free sentinel
+  private var nameKeys = new Array[Long](128)
+  private var nameVals = new Array[String](128)
+  private var nameCount = 0
   private def internTagName(nameStart: Int, nameEnd: Int, hash: Long): String = {
     if (hash != TagHash.Empty) {
-      var s = nameCache.get(hash)
-      if (s == null) { s = TagHash.toName(hash); nameCache.put(hash, s) }
-      s
+      val mask = nameKeys.length - 1
+      var i = (java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask)
+      while (true) {
+        val k = nameKeys(i)
+        if (k == hash) return nameVals(i)
+        if (k == 0L) {
+          val s = TagHash.toName(hash)
+          nameKeys(i) = hash; nameVals(i) = s
+          nameCount += 1
+          if (nameCount * 2 > nameKeys.length) growNameCache()
+          return s
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
     } else HtmlUtil.lowerAscii(new String(input, nameStart, nameEnd - nameStart,
       java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private def growNameCache(): Unit = {
+    val ok = nameKeys; val ov = nameVals
+    nameKeys = new Array[Long](ok.length * 2)
+    nameVals = new Array[String](ov.length * 2)
+    val mask = nameKeys.length - 1
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        var i = (java.lang.Long.hashCode(ok(j) * 0x9e3779b97f4a7c15L) & mask)
+        while (nameKeys(i) != 0L) i = (i + 1) & mask
+        nameKeys(i) = ok(j); nameVals(i) = ov(j)
+      }
+      j += 1
+    }
   }
 
   // ---- serializer helpers ----
@@ -657,7 +687,7 @@ final class Rewriter(
 
       val nameLower = internTagName(nameStart, nameEnd, nameHash)
 
-      vm.execEndTag(nameLower, desc => {
+      vm.execEndTag(nameLower, nameHash, desc => {
         if (desc != null) {
           val ids = desc.matchedContentHandlers
           var i = 0

@@ -67,7 +67,50 @@ final class MatchingVm(program: Program) {
   // (hereditary-jump array, depth-of-owner) with reference dedup
   private val activeHereditary = new mutable.ArrayBuffer[(Array[Int], Int)](16)
 
-  private val openNameCounts = new mutable.HashMap[String, Int]()
+  // open-name counts keyed by tag-name hash (primitive open addressing;
+  // valid hashes >= 6 so 0 is the empty sentinel); unhashable names use
+  // the string-keyed fallback
+  private var oncKeys = new Array[Long](128)
+  private var oncCounts = new Array[Int](128)
+  private var oncSize = 0
+  private val openNameCountsFallback = new mutable.HashMap[String, Int]()
+
+  @inline private def oncSlot(hash: Long): Int = {
+    val mask = oncKeys.length - 1
+    var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
+    while (oncKeys(i) != 0L && oncKeys(i) != hash) i = (i + 1) & mask
+    i
+  }
+  private def oncInc(hash: Long): Unit = {
+    val i = oncSlot(hash)
+    if (oncKeys(i) == 0L) {
+      oncKeys(i) = hash
+      oncSize += 1
+      if (oncSize * 3 > oncKeys.length) oncGrow()
+    }
+    oncCounts(if (oncKeys(i) == hash) i else oncSlot(hash)) += 1
+  }
+  private def oncGrow(): Unit = {
+    val ok = oncKeys; val oc = oncCounts
+    oncKeys = new Array[Long](ok.length * 2)
+    oncCounts = new Array[Int](oc.length * 2)
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        val i = oncSlot(ok(j))
+        oncKeys(i) = ok(j); oncCounts(i) = oc(j)
+      }
+      j += 1
+    }
+  }
+  @inline private def oncGet(hash: Long): Int = {
+    val i = oncSlot(hash)
+    if (oncKeys(i) == hash) oncCounts(i) else 0
+  }
+  @inline private def oncDec(hash: Long): Unit = {
+    val i = oncSlot(hash)
+    if (oncKeys(i) == hash && oncCounts(i) > 0) oncCounts(i) -= 1
+  }
 
   /** For programs whose entry points are all single-TypeSel compounds
     * with no universal/attr predicates: tag-name-hash -> instr index.
@@ -86,7 +129,12 @@ final class MatchingVm(program: Program) {
     rootChildCount = 0
     rootTypedCounters = null
     activeHereditary.clear()
-    openNameCounts.clear()
+    if (oncSize > 0) {
+      java.util.Arrays.fill(oncKeys, 0L)
+      java.util.Arrays.fill(oncCounts, 0)
+      oncSize = 0
+    }
+    if (openNameCountsFallback.nonEmpty) openNameCountsFallback.clear()
   }
 
   def depth: Int = top + 1
@@ -226,7 +274,9 @@ final class MatchingVm(program: Program) {
     f.childCount = 0
     if (f.typedCounters != null) f.typedCounters = null
 
-    openNameCounts.update(f.nameLower, openNameCounts.getOrElse(f.nameLower, 0) + 1)
+    if (f.nameHash != TagHash.Empty) oncInc(f.nameHash)
+    else openNameCountsFallback.update(f.nameLower,
+      openNameCountsFallback.getOrElse(f.nameLower, 0) + 1)
     if (f.hereditary.length > 0) {
       var present = false
       var k = 0
@@ -242,10 +292,13 @@ final class MatchingVm(program: Program) {
     * `onPop` receives each popped frame's descriptor (or null), innermost
     * last (stack drain order, matching the reference's `drain(index..)`).
     */
-  def execEndTag(nameLower: String, onPop: ElementDescriptor => Unit): Unit = {
-    if (!openNameCounts.contains(nameLower)) return
+  def execEndTag(nameLower: String, nameHash: Long, onPop: ElementDescriptor => Unit): Unit = {
+    if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
+    else if (!openNameCountsFallback.contains(nameLower)) return
     var idx = top
-    while (idx >= 0 && frames(idx).nameLower != nameLower) idx -= 1
+    while (idx >= 0 && !(
+      if (nameHash != TagHash.Empty) frames(idx).nameHash == nameHash
+      else frames(idx).nameHash == TagHash.Empty && frames(idx).nameLower == nameLower)) idx -= 1
     if (idx < 0) return
 
     // retain hereditary jumps owned by frames below idx
@@ -258,8 +311,12 @@ final class MatchingVm(program: Program) {
     var j = idx
     while (j <= top) {
       val f = frames(j)
-      val c = openNameCounts(f.nameLower)
-      if (c == 1) openNameCounts.remove(f.nameLower) else openNameCounts.update(f.nameLower, c - 1)
+      if (f.nameHash != TagHash.Empty) oncDec(f.nameHash)
+      else {
+        val c = openNameCountsFallback(f.nameLower)
+        if (c == 1) openNameCountsFallback.remove(f.nameLower)
+        else openNameCountsFallback.update(f.nameLower, c - 1)
+      }
       onPop(f.desc)
       f.desc = null
       j += 1
@@ -271,7 +328,10 @@ final class MatchingVm(program: Program) {
     * required by the reference (it never pops at EOF), kept for extraction
     * interval closing.
     */
-  def depthAt(name: String): Int = openNameCounts.getOrElse(name, 0)
+  def depthAt(name: String): Int = {
+    val h = TagHash.of(name)
+    if (h != TagHash.Empty) oncGet(h) else openNameCountsFallback.getOrElse(name, 0)
+  }
 }
 
 /** Perfect-fit entry table for name-only entry points: one probe decides
