@@ -79,6 +79,20 @@ object SparkEntry {
     "e2_ann_topk" -> ((s, dir) => // approximate: rows-only gate; recall asserted in SimOpsSpec
       SimOps.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
 
+    // m2: non-HTML payload routing — deterministic PDFs through the
+    // DocRouter branch; extracted text must equal the source text
+    "m2_pdf_branch" -> ((s, dir) =>
+      HtmlClean.routedText(HtmlClean.pdfAssets(s, dir))),
+
+    // d6: dedup APPLY — survivors after dropping the larger id of every
+    // near-dup pair (left-anti join against the verified pair list)
+    "d6_dedup_apply" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      val pairs = DedupOps.minhashLshPairs(base, 0.6).select(col("id_b")).distinct()
+      base.join(pairs, base("doc_id") === pairs("id_b"), "left_anti")
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+    }),
+
     // ---- multimodal plumbing ----
     "m1_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.decodeMeta(MultimodalOps.assets(s, dir))),
@@ -270,6 +284,14 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) " +
         "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM ranked WHERE rank <= 10"),
 
+    "m2_pdf_branch" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS extracted_text FROM documents",
+    "d6_dedup_apply" ->
+      (ShinglesCte +
+        ", dropped AS (SELECT DISTINCT id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a " +
+        "JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6) " +
+        "SELECT doc_id, md5(text) AS fp FROM base WHERE doc_id NOT IN (SELECT id_b FROM dropped)"),
     "m1_multimodal_meta" ->
       ("SELECT vec_id, CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
         "CAST(24 + (label % 5) * 12 AS INT) AS height, 3 AS channels, " +

@@ -29,6 +29,40 @@ object HtmlClean {
       }
   }
 
+  /** Deterministic PDF corpus: each document's text embedded as one
+    * uncompressed Tj text operator — exercises the non-HTML payload branch
+    * end-to-end (sniff -> route -> stream scan -> operator decode).
+    */
+  def pdfAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .map { case (id, text) =>
+        val content = s"BT /F1 12 Tf ($text) Tj ET"
+        val pdf = s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+          content + "\nendstream\nendobj\n%%EOF"
+        (id, pdf.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Route payload bytes through DocRouter, return extracted text. */
+  def routedText(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val router = new graft.extract.DocRouter()
+        it.map { case (id, bytes) =>
+          val r = router.extract(bytes)
+          (id, r.spans.filter(_.kind == "text").map(_.text).mkString)
+        }
+      }
+      .toDF("doc_id", "extracted_text")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */
