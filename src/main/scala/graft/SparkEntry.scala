@@ -58,6 +58,11 @@ object SparkEntry {
     "x3_clean_html" -> ((s, dir) =>
       HtmlClean.clean(HtmlClean.generatedHtml(s, dir)).toDF()),
 
+    // x4: selector queries with attribute predicates — ordered a[href]
+    // link extraction over the generated corpus
+    "x4_links" -> ((s, dir) =>
+      HtmlClean.links(HtmlClean.generatedHtml(s, dir))),
+
     // ---- text analysis ----
     "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
 
@@ -225,6 +230,9 @@ object SparkEntry {
         "substr(text, CAST(floor(length(text)/2) AS INT) + 1) || " +
         "'</p></article><!-- end ' || CAST(doc_id AS VARCHAR) || ' --></body></html>' AS html " +
         "FROM documents"),
+    "x4_links" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS link_idx, " +
+        "'/' || source || '/' || CAST(doc_id AS VARCHAR) AS href FROM documents"),
     "t1_text_stats" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tok_ws, " +

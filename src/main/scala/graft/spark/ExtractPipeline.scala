@@ -180,11 +180,12 @@ object ExtractPipeline {
   }
 
   /** Salted repartition for skewed inputs: distributes rows uniformly by
-    * doc_id hash before extraction (one shuffle, then map-only).
+    * doc_id hash before extraction (one shuffle, then map-only). doc_id is
+    * high-cardinality, so hash partitioning is the salt.
     */
   def extractBalanced(ds: Dataset[InterleavedDoc], partitions: Int,
                       policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
-    val salted = ds.repartition(partitions, pmod(hash(col("doc_id")), lit(partitions)))
+    val salted = ds.repartition(partitions, col("doc_id"))
     extract(salted.as[InterleavedDoc](ds.sparkSession.implicits.newProductEncoder), policy)
   }
 

@@ -63,6 +63,27 @@ object HtmlClean {
       .toDF("doc_id", "extracted_text")
   }
 
+  /** Link extraction: every `a[href]` in document order — the selector
+    * engine with attribute predicates as a pipeline operator.
+    */
+  def links(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("string"), col("html"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val hrefs = new scala.collection.mutable.ArrayBuffer[String]()
+        val rw = new Rewriter(Seq("a[href]" -> ElementHandlers(
+          element = el => hrefs += el.attr("href"))), strict = false)
+        it.flatMap { case (id, html) =>
+          hrefs.clear()
+          rw.rewrite(html)
+          hrefs.toArray.zipWithIndex.map { case (h, i) => (id, i, h) }
+        }
+      }
+      .toDF("doc_id", "link_idx", "href")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -148,6 +148,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == 500)
   }
 
+  test("salted rebalance evens out a pathologically skewed input") {
+    import org.apache.spark.sql.functions._
+    // all rows crammed into one partition; AQE off so the requested
+    // partitioning is observable (tiny test data would be coalesced)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val skewed = InterleavedGen.table(spark, sf).coalesce(1)
+      assert(skewed.rdd.getNumPartitions == 1)
+      val balanced = ExtractPipeline.extractBalanced(skewed, partitions = 8)
+      val sizes = balanced.toDF().groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+      assert(sizes.length == 8, sizes.mkString(","))
+      assert(sizes.min > 30, s"unbalanced: ${sizes.mkString(",")}") // ~62 expected per partition
+      assert(balanced.count() == 500)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches the window version") {
     import graft.streaming.StatefulSessionize
     val stateful = StatefulSessionize.sessionize(
