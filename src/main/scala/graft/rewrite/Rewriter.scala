@@ -298,43 +298,50 @@ final case class DocHandlers(
   * partition.
   */
 private[rewrite] final class HandlerVec[H >: Null <: AnyRef] {
-  private[rewrite] val items = new mutable.ArrayBuffer[H](4)
-  private[rewrite] val counts = new mutable.ArrayBuffer[Int](4)
+  private[rewrite] var items = new Array[AnyRef](4)
+  private[rewrite] var counts = new Array[Int](4)
+  private var n = 0
   private var active = 0
-  private var baseItems: Array[AnyRef] = _
+  private var baseN = 0
   private var baseCounts: Array[Int] = _
+  private var baseActive = 0
 
   def push(h: H, alwaysActive: Boolean): Int = {
-    items += h
-    counts += (if (alwaysActive) 1 else 0)
+    if (n == items.length) {
+      items = java.util.Arrays.copyOf(items, n * 2)
+      counts = java.util.Arrays.copyOf(counts, n * 2)
+    }
+    items(n) = h
+    counts(n) = if (alwaysActive) 1 else 0
     if (alwaysActive) active += 1
-    items.length - 1
+    n += 1
+    n - 1
   }
   def freeze(): Unit = {
-    baseItems = items.toArray[AnyRef]
-    baseCounts = counts.toArray
+    baseN = n
+    baseCounts = java.util.Arrays.copyOf(counts, n)
+    baseActive = active
   }
+  /** Restore the registration-time configuration (per-document reset,
+    * allocation-free).
+    */
   def reset(): Unit = {
-    items.clear(); counts.clear(); active = 0
-    var i = 0
-    while (i < baseItems.length) {
-      items += baseItems(i).asInstanceOf[H]
-      counts += baseCounts(i)
-      active += baseCounts(i)
-      i += 1
-    }
+    java.util.Arrays.fill(items, baseN, n, null)
+    n = baseN
+    System.arraycopy(baseCounts, 0, counts, 0, baseN)
+    active = baseActive
   }
   def inc(i: Int): Unit = { counts(i) += 1; active += 1 }
   def dec(i: Int): Unit = { counts(i) -= 1; active -= 1 }
   def hasActive: Boolean = active > 0
   def forEachActive(f: H => Unit): Unit = {
     var i = 0
-    while (i < items.length) { if (counts(i) > 0) f(items(i)); i += 1 }
+    while (i < n) { if (counts(i) > 0) f(items(i).asInstanceOf[H]); i += 1 }
   }
   def doForEachActiveAndDeactivate(f: H => Unit): Unit = {
     var i = 0
-    while (i < items.length) {
-      if (counts(i) > 0) { f(items(i)); active -= counts(i); counts(i) = 0 }
+    while (i < n) {
+      if (counts(i) > 0) { f(items(i).asInstanceOf[H]); active -= counts(i); counts(i) = 0 }
       i += 1
     }
   }
@@ -345,18 +352,18 @@ private[rewrite] final class HandlerVec[H >: Null <: AnyRef] {
   def doForEachActiveAndRemoveTail(f: H => Unit): Unit = {
     var first = -1
     var i = 0
-    while (i < items.length && first < 0) { if (counts(i) > 0) first = i; i += 1 }
+    while (i < n && first < 0) { if (counts(i) > 0) first = i; i += 1 }
     if (first >= 0) {
-      var j = items.length - 1
+      var j = n - 1
       while (j >= first) {
-        if (counts(j) > 0) { active -= counts(j); f(items(j)) }
+        if (counts(j) > 0) { active -= counts(j); f(items(j).asInstanceOf[H]) }
         j -= 1
       }
-      items.remove(first, items.length - first)
-      counts.remove(first, counts.length - first)
+      java.util.Arrays.fill(items, first, n, null)
+      n = first
     }
   }
-  def size: Int = items.length
+  def size: Int = n
 }
 
 /** Extraction / scale hooks: emission on/off transitions (removed-content
