@@ -338,13 +338,22 @@ final class MatchingVm(program: Program) {
   * whether any entry compound matches the element. Only built when every
   * entry instruction is a single TypeSel (the extraction default).
   */
-final class FastEntryTable private (byHash: java.util.HashMap[java.lang.Long, Integer],
+final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
                                     byName: java.util.HashMap[String, Integer]) {
-  /** Returns the entry instruction index or -1. */
+  /** Returns the entry instruction index or -1 (primitive open-addressed
+    * probe; valid hashes are >= 6, so 0 marks empty slots).
+    */
   def get(hash: Long, nameLower: String): Int = {
     if (hash != graft.core.TagHash.Empty) {
-      val v = byHash.get(hash)
-      if (v == null) -1 else v.intValue()
+      val mask = keys.length - 1
+      var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == hash) return vals(i)
+        if (k == 0L) return -1
+        i = (i + 1) & mask
+      }
+      -1 // unreachable
     } else {
       val v = byName.get(nameLower)
       if (v == null) -1 else v.intValue()
@@ -354,14 +363,20 @@ final class FastEntryTable private (byHash: java.util.HashMap[java.lang.Long, In
 
 object FastEntryTable {
   def build(program: Program): FastEntryTable = {
-    val byHash = new java.util.HashMap[java.lang.Long, Integer]()
+    var cap = 16
+    while (cap < program.entryPoints.length * 3) cap *= 2
+    val keys = new Array[Long](cap)
+    val vals = new Array[Int](cap)
     val byName = new java.util.HashMap[String, Integer]()
     for (idx <- program.entryPoints) {
       program.instrs(idx).simples match {
         case Array(TypeSel(lower, hash)) =>
           if (hash != graft.core.TagHash.Empty) {
-            if (byHash.containsKey(hash)) return null // duplicate name: fall back
-            byHash.put(hash, idx)
+            val mask = keys.length - 1
+            var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
+            while (keys(i) != 0L && keys(i) != hash) i = (i + 1) & mask
+            if (keys(i) == hash) return null // duplicate name: fall back
+            keys(i) = hash; vals(i) = idx
           } else {
             if (byName.containsKey(lower)) return null
             byName.put(lower, idx)
@@ -369,6 +384,6 @@ object FastEntryTable {
         case _ => return null
       }
     }
-    new FastEntryTable(byHash, byName)
+    new FastEntryTable(keys, vals, byName)
   }
 }
