@@ -63,6 +63,12 @@ object SparkEntry {
     "x4_links" -> ((s, dir) =>
       HtmlClean.links(HtmlClean.generatedHtml(s, dir))),
 
+    // t2: tokenizer counts over the generated corpus (fixed template =>
+    // fixed counts; the script body contains markup-in-string, so the
+    // ScriptData states are under the oracle too)
+    "t2_token_counts" -> ((s, dir) =>
+      HtmlClean.tokenCounts(HtmlClean.generatedHtml(s, dir))),
+
     // ---- text analysis ----
     "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
 
@@ -233,6 +239,9 @@ object SparkEntry {
     "x4_links" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS link_idx, " +
         "'/' || source || '/' || CAST(doc_id AS VARCHAR) AS href FROM documents"),
+    "t2_token_counts" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 17 AS n_start_tags, " +
+        "16 AS n_end_tags, 1 AS n_comments, 1 AS n_doctypes FROM documents"),
     "t1_text_stats" ->
       ("SELECT doc_id, " +
         "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tok_ws, " +

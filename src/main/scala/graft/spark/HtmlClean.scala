@@ -84,6 +84,40 @@ object HtmlClean {
       .toDF("doc_id", "link_idx", "href")
   }
 
+  /** Token counts per document — the tokenizer itself at the correctness
+    * gate (the generator's fixed template implies fixed tag counts,
+    * including `<div>`-in-script-string cases that exercise ScriptData).
+    */
+  def tokenCounts(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("string"), col("html"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        import graft.core._
+        val lexer = new Lexer(strict = false)
+        val counter = new LexemeSink {
+          var st, et, cm, dt = 0
+          def reset(): Unit = { st = 0; et = 0; cm = 0; dt = 0 }
+          def onText(s: Int, e: Int, t: Int): Unit = ()
+          def onStartTag(a: Int, b: Int, h: Long, n: Int, sc: Boolean,
+                         at: AttrList, rs: Int, re: Int): Unit = st += 1
+          def onEndTag(a: Int, b: Int, h: Long, rs: Int, re: Int): Unit = et += 1
+          def onComment(a: Int, b: Int, rs: Int, re: Int): Unit = cm += 1
+          def onDoctype(a: Int, b: Int, c: Boolean, d0: Int, e: Int, f: Boolean,
+                        g: Int, h: Int, i: Boolean, j: Boolean, k: Int, l: Int): Unit = dt += 1
+          def onRawWithoutToken(rs: Int, re: Int): Unit = ()
+          def onEof(p: Int): Unit = ()
+        }
+        it.map { case (id, html) =>
+          counter.reset()
+          lexer.parse(html.getBytes(java.nio.charset.StandardCharsets.UTF_8), counter)
+          (id, counter.st, counter.et, counter.cm, counter.dt)
+        }
+      }
+      .toDF("doc_id", "n_start_tags", "n_end_tags", "n_comments", "n_doctypes")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */
