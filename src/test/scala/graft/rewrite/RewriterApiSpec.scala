@@ -63,6 +63,23 @@ class RewriterApiSpec extends AnyFunSuite {
     assert(r.rewrite("<!doctype html><p>x</p>") == "<p>x</p><!-- eof -->")
   }
 
+  test("rewriter instance reuse: identical output across repeated docs") {
+    var textCount = 0
+    val r = new Rewriter(Seq("div" -> ElementHandlers(
+      element = el => { el.before("["); el.after("]") },
+      text = _ => textCount += 1)), strict = false)
+    val doc = "<p>a</p><div>x<b>y</b></div><div>z</div>"
+    val first = r.rewrite(doc)
+    assert(first == "<p>a</p>[<div>x<b>y</b></div>][<div>z</div>]")
+    val countAfterFirst = textCount
+    // same instance, same doc: byte-identical output, same handler firings
+    assert(r.rewrite(doc) == first)
+    assert(textCount == countAfterFirst * 2)
+    // interleave a different doc, then the original again
+    assert(r.rewrite("<div>solo</div>") == "[<div>solo</div>]")
+    assert(r.rewrite(doc) == first)
+  }
+
   test("meta charset detection + encoded extraction roundtrip") {
     val ex = new Extractor(ExtractPolicy.Default.copy(strict = false))
     // windows-1252 bytes with a meta declaration: 0xE9 = e-acute
