@@ -150,18 +150,21 @@ object ExtractPipeline {
     */
   def extractDF(df: DataFrame,
                 policy: ExtractPolicy = ExtractPolicy.Default): DataFrame = {
-    require(policy == ExtractPolicy.Default,
-      "extractDF currently runs the default policy; use extractTyped for custom policies")
-    ExtractInterleaved.register(df.sparkSession)
-    df.withColumn("_x", call_function("extract_interleaved", col("spans")))
+    // register a policy-bound variant of the expression (the function
+    // registry is the public seam for Column-from-Expression)
+    val fnName =
+      if (policy == ExtractPolicy.Default) "extract_interleaved"
+      else f"extract_interleaved_${policy.hashCode & 0x7fffffff}%x"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, exprs => ExtractInterleaved(exprs.head, policy), "scala_udf")
+    df.withColumn("_x", call_function(fnName, col("spans")))
       .select(col("doc_id"), col("_x.spans").as("spans"), col("_x.error").as("error"))
   }
 
   def extract(ds: Dataset[InterleavedDoc],
               policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
     import ds.sparkSession.implicits._
-    if (policy == ExtractPolicy.Default) extractDF(ds.toDF(), policy).as[ExtractedDoc]
-    else extractTyped(ds, policy)
+    extractDF(ds.toDF(), policy).as[ExtractedDoc]
   }
 
   /** Typed mapPartitions path (custom policies; same engine). */

@@ -72,7 +72,8 @@ object ExtractSpans {
   * this expression keeps the scan -> extract -> project plan inside one
   * whole-stage-codegen'd stage with a single CodegenFallback island.
   */
-case class ExtractInterleaved(child: Expression)
+case class ExtractInterleaved(child: Expression,
+                              policy: ExtractPolicy = ExtractPolicy.Default)
     extends UnaryExpression with CodegenFallback with Serializable {
 
   override def dataType: DataType = ExtractInterleaved.ResultType
@@ -112,7 +113,7 @@ case class ExtractInterleaved(child: Expression)
       }
       i += 1
     }
-    val res = ExtractSpans.engine.get().extractRaw(html, mediaRefs, mediaOffsets)
+    val res = ExtractInterleaved.engineFor(policy).extractRaw(html, mediaRefs, mediaOffsets)
     // zero-copy text spans: UTF8Strings view the per-doc html buffer
     val out = new Array[Any](res.count)
     i = 0
@@ -141,6 +142,17 @@ object ExtractInterleaved {
   val ResultType: StructType = StructType(Seq(
     StructField("spans", ExtractSpans.SpanArrayType, nullable = false),
     StructField("error", StringType, nullable = true)))
+
+  // per-thread engine cache keyed by policy (expression instances can be
+  // shared across local-mode task threads)
+  private val engines: ThreadLocal[java.util.HashMap[ExtractPolicy, Extractor]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[ExtractPolicy, Extractor]())
+  private[spark] def engineFor(policy: ExtractPolicy): Extractor = {
+    val m = engines.get()
+    var e = m.get(policy)
+    if (e == null) { e = new Extractor(policy); m.put(policy, e) }
+    e
+  }
 
   private[spark] val TEXT = UTF8String.fromString("text")
   private[spark] val MEDIA = UTF8String.fromString("media")
