@@ -135,9 +135,12 @@ object Bench {
       f"[extract] docs=$docsN spans=$spansN sec=$bestExtract%.3f docs/sec=${docsN / bestExtract}%.1f spans/sec=${spansN / bestExtract}%.1f")
 
     // ---- per-query times ----
+    // materialize via toRdd.count(): a plain df.count() lets Catalyst prune
+    // deterministic projections under the aggregate, so extraction/compute
+    // columns would never run; toRdd forces every output column
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, secs) =
-        try time(fn(spark, sfDir).count())
+        try time(fn(spark, sfDir).queryExecution.toRdd.count())
         catch { case _: Throwable => (-1L, -1.0) }
       name -> secs
     }

@@ -87,8 +87,10 @@ object SparkEntry {
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
       SimOps.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
-    "e2_ann_topk" -> ((s, dir) => // approximate: rows-only gate; recall asserted in SimOpsSpec
-      SimOps.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
+    // e2: the ANN path end-to-end, gated on recall vs brute force — the
+    // only oracle-expressible property of an approximate operator
+    "e2_ann_recall" -> ((s, dir) =>
+      SimOps.annRecallGate(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
 
     // m2: non-HTML payload routing — deterministic PDFs through the
     // DocRouter branch; extracted text must equal the source text
@@ -301,6 +303,8 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) " +
         "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM ranked WHERE rank <= 10"),
 
+    "e2_ann_recall" ->
+      "SELECT 10 AS n_queries, 10 AS k, true AS recall_ok",
     "m2_pdf_branch" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS extracted_text FROM documents",
     "d6_dedup_apply" ->
@@ -315,12 +319,15 @@ object SparkEntry {
         "CAST(len(embedding) * 4 AS INT) AS payload_bytes, true AS ok FROM embeddings"),
 
     "r1_lineitem_agg" ->
+      // CAST the sum itself: DuckDB sum(BIGINT) yields HUGEINT, which the
+      // driver's pandas canonicalization turns into float64 and the value
+      // hash then disagrees with Spark's int64 even when values are equal
       ("SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4, count(*) AS n_rows " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4, count(*) AS n_rows " +
         "FROM lineitem GROUP BY 1, 2"),
     "r2_customer_revenue" ->
       ("SELECT c_custkey, c_name, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4, " +
         "count(DISTINCT o_orderkey) AS n_orders " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY 1, 2"),
@@ -331,7 +338,7 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
     "r6_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, " +
         "CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2 " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     "r7_percentiles" ->

@@ -158,12 +158,21 @@ final class Extractor(policy: ExtractPolicy) {
   }
 
   private def utf8Len(s: String): Int = {
-    // fast path: count UTF-8 bytes without materializing
+    // counts exactly what String.getBytes(UTF_8) produces: an unpaired
+    // surrogate (high without a following low, or stray low) encodes as a
+    // single '?' replacement byte, not a 3/4-byte sequence
     var n = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      n += (if (c < 0x80) 1 else if (c < 0x800) 2 else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) {
+              if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
+              else 1
+            }
+            else if (Character.isLowSurrogate(c)) 1
+            else 3)
       i += 1
     }
     n

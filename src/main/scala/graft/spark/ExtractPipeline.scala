@@ -144,9 +144,34 @@ object InterleavedGen {
   */
 object ExtractPipeline {
 
+  /** UTF-8 octet count of a string (what getBytes(UTF_8) would produce,
+    * including single-byte replacement of unpaired surrogates), without
+    * materializing the byte array — ledger/metrics "bytes" are octets,
+    * not chars.
+    */
+  private[spark] def utf8Bytes(s: String): Long = {
+    if (s == null) return 0L
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) {
+              if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
+              else 1
+            }
+            else if (Character.isLowSurrogate(c)) 1
+            else 3)
+      i += 1
+    }
+    n
+  }
+
   /** DataFrame-level extraction: the engine runs as a Catalyst expression
-    * directly over columnar data (no encoder round-trip). Columns in:
-    * (doc_id, spans); out: (doc_id, spans, error).
+    * directly over columnar data (no encoder round-trip). The `spans`
+    * column is replaced with the extracted spans and an `error` column is
+    * appended; all other input columns pass through unchanged.
     */
   def extractDF(df: DataFrame,
                 policy: ExtractPolicy = ExtractPolicy.Default): DataFrame = {
@@ -158,7 +183,9 @@ object ExtractPipeline {
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => ExtractInterleaved(exprs.head, policy), "scala_udf")
     df.withColumn("_x", call_function(fnName, col("spans")))
-      .select(col("doc_id"), col("_x.spans").as("spans"), col("_x.error").as("error"))
+      .withColumn("spans", col("_x.spans"))
+      .withColumn("error", col("_x.error"))
+      .drop("_x")
   }
 
   def extract(ds: Dataset[InterleavedDoc],
@@ -204,7 +231,7 @@ object ExtractPipeline {
       it.foreach { d =>
         docs += 1
         d.spans.foreach { s =>
-          if (s.kind == "text") { ts += 1; bytes += s.text.length } else ms += 1
+          if (s.kind == "text") { ts += 1; bytes += utf8Bytes(s.text) } else ms += 1
         }
         if (d.error != null) errs += 1
       }

@@ -79,6 +79,34 @@ case class ExtractInterleaved(child: Expression,
   override def dataType: DataType = ExtractInterleaved.ResultType
   override def nullable: Boolean = true
 
+  // field ordinals resolved BY NAME from the child's physical struct:
+  // external parquet may order the span struct differently (e.g.
+  // alphabetized), and .as[] / call_function resolve by name without
+  // reordering the physical layout
+  @transient private lazy val (kindOrd, textOrd, refOrd, numFields) =
+    child.dataType match {
+      case ArrayType(st: StructType, _) =>
+        (st.fieldIndex("kind"), st.fieldIndex("text"), st.fieldIndex("media_ref"), st.length)
+      case other =>
+        throw new IllegalStateException(s"extract_interleaved over $other")
+    }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val missing = Seq("kind", "text", "media_ref").filter(f =>
+          !st.fields.exists(sf => sf.name == f && sf.dataType == StringType))
+        if (missing.isEmpty) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"extract_interleaved needs array<struct> with string fields kind/text/media_ref; " +
+            s"missing or mistyped: ${missing.mkString(", ")} in ${st.simpleString}")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"extract_interleaved needs array<struct<kind,text,media_ref,...>>, got ${other.simpleString}")
+    }
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
@@ -86,9 +114,9 @@ case class ExtractInterleaved(child: Expression,
     var total = 0
     var i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 4)
-      if (ExtractInterleaved.isText(row.getUTF8String(0))) {
-        val t = row.getUTF8String(1)
+      val row = arr.getStruct(i, numFields)
+      if (ExtractInterleaved.isText(row.getUTF8String(kindOrd))) {
+        val t = row.getUTF8String(textOrd)
         if (t != null) total += t.numBytes()
       }
       i += 1
@@ -99,15 +127,15 @@ case class ExtractInterleaved(child: Expression,
     var off = 0
     i = 0
     while (i < n) {
-      val row = arr.getStruct(i, 4)
-      if (ExtractInterleaved.isText(row.getUTF8String(0))) {
-        val t = row.getUTF8String(1)
+      val row = arr.getStruct(i, numFields)
+      if (ExtractInterleaved.isText(row.getUTF8String(kindOrd))) {
+        val t = row.getUTF8String(textOrd)
         if (t != null) {
           t.writeToMemory(html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
           off += t.numBytes()
         }
       } else {
-        val r = row.getUTF8String(2)
+        val r = row.getUTF8String(refOrd)
         mediaRefs += (if (r == null) "" else r.toString)
         mediaOffsets += off
       }

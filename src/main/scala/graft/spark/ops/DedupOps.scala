@@ -54,23 +54,56 @@ object DedupOps {
       concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))))
   }
 
+  /** The shingled corpus (doc_id, text, sh), persisted and memoized by the
+    * base plan's semantic hash: MinHash verification and the inverted
+    * index each consume it from several subtrees, and an unpersisted
+    * DataFrame subtree recomputes its whole lineage (scan + split +
+    * shingle) once per consumer. At 100 TB this is a staging table write;
+    * locally MEMORY_AND_DISK. Call [[clearShingleCache]] to release.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
+
+  private def shingled(base: DataFrame): DataFrame = {
+    val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash())
+    shingleCache.computeIfAbsent(key, _ =>
+      base.select(col("doc_id"), col("text"), shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def clearShingleCache(): Unit = {
+    shingleCache.values.forEach(df => df.unpersist())
+    shingleCache.clear()
+  }
+
+  /** Default document-frequency cap on inverted-index shingle buckets: a
+    * shingle shared by more than this many documents (boilerplate at web
+    * scale) is dropped instead of expanding O(df^2) pairs in one row. The
+    * number of dropped shingles is surfaced as an observed metric
+    * ("dropped_shingles") on the result's query execution.
+    */
+  val DefaultShingleDfCap = 1000
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct
     * shingles -> group by shingle into doc-id buckets -> expand each
-    * bucket's ordered pairs in place (bounded by per-shingle df) -> count
+    * bucket's ordered pairs in place (bounded by `dfCap`) -> count
     * co-occurrences per pair -> join per-doc set sizes (computed as a
     * column expression, no second explode) -> Jaccard filter.
     * Avoids the naive self-join, which would recompute and shuffle the
     * exploded table twice. Returns (id_a, id_b, jaccard).
     */
-  def ngramJaccardPairs(base: DataFrame, threshold: Double): DataFrame = {
-    val withSh = base.select(col("doc_id"), shingles(col("text")).as("sh"))
+  def ngramJaccardPairs(base: DataFrame, threshold: Double,
+                        dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val withSh = shingled(base)
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("set_size"))
     val spark = base.sparkSession
     import spark.implicits._
     val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("sh"))
       .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .observe("ngram_shingle_buckets",
+        sum(when(size(col("ids")) > dfCap, 1L).otherwise(0L)).as("dropped_shingles"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
     // ordered pair expansion inside the row (df is bounded; no skew blowup)
     val pairs = inverted.select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
@@ -137,7 +170,9 @@ object DedupOps {
     val spark = base.sparkSession
     import spark.implicits._
 
-    val withSh = base.select(col("doc_id"), col("text"), shingles(col("text")).as("sh"))
+    // persisted + memoized: the signature path and the two verification
+    // joins would otherwise re-shingle the corpus once each
+    val withSh = shingled(base)
     val sig = withSh.as[(Long, String, Seq[String])].map { case (id, _, sh) =>
       val s = signature(sh)
       val bandKeys = Array.tabulate(Bands)(b => mix64(s(2 * b) ^ mix64(s(2 * b + 1) ^ b.toLong)))

@@ -80,35 +80,68 @@ object SimOps {
   }
 
   /** Approximate cosine top-k via multi-table multi-probe LSH. Recall vs
-    * brute force asserted in SparkOpsSpec.
+    * brute force asserted in SparkOpsSpec and oracle-gated by
+    * e2_ann_recall.
+    *
+    * Candidate generation and dedup operate on (query_id, vec_id) ID PAIRS
+    * only — the full float vectors are attached afterwards via two
+    * broadcast joins, so no embedding payload is ever shuffled or hashed
+    * through the distinct() (at 768-dim float that payload would dominate
+    * the exchange).
     */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val coded = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        bucketCodes(v).zipWithIndex.map { case (c, t) => (id, v, t, c) }
+        bucketCodes(v).zipWithIndex.map { case (c, t) => (id, t, c) }
       }
-      .toDF("vec_id", "embedding", "table", "code")
+      .toDF("vec_id", "table", "code")
 
     val probes = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         bucketCodes(v).zipWithIndex.flatMap { case (c, t) =>
           (Seq(c) ++ (0 until BitsPerTable).map(bp => c ^ (1 << bp)))
-            .map(pc => (id, v, t, pc))
+            .map(pc => (id, t, pc))
         }
       }
-      .toDF("query_id", "q_emb", "table", "code")
+      .toDF("query_id", "table", "code")
 
-    val scored = coded.join(broadcast(probes), Seq("table", "code"))
+    // map-only over the coded corpus (probes broadcast), then a shuffle of
+    // bare id pairs for the multi-table dedup
+    val candIds = coded.join(broadcast(probes), Seq("table", "code"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .distinct() // a candidate may collide in several tables
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+
+    val qVecs = emb.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+    // re-attach one vector copy per side: candidate list and query vectors
+    // are both small relative to the corpus -> broadcast, big side map-only
+    val scored = emb.join(broadcast(candIds), "vec_id")
+      .join(broadcast(qVecs), "query_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** One-row ANN quality gate: recall of [[annTopK]] against
+    * [[bruteForceTopK]] on the same queries. Deterministic (both sides
+    * are), so the driver oracle can assert it as a constant row.
+    */
+  def annRecallGate(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    minRecall: Double = 0.9): DataFrame = {
+    val bf = bruteForceTopK(emb, queryIds, k).select(col("query_id"), col("neighbor_id"))
+    val ann = annTopK(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).cast("int").as("n_queries"),
+        lit(k).as("k"),
+        (sum(coalesce(col("hit"), lit(0L))) / count(lit(1)) >= minRecall).as("recall_ok"))
   }
 }

@@ -117,17 +117,49 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql(0).getInt(0) == 2)
   }
 
+  test("extract_interleaved resolves span struct fields by name") {
+    // external parquet may carry the span struct in a different physical
+    // order (here: media_ref, offset, kind, text) — ordinals must resolve
+    // by name, not position
+    val df = spark.sql(
+      "select '1' as doc_id, array(" +
+        "named_struct('media_ref', '', 'offset', 0, 'kind', 'text', 'text', '<p>hi '), " +
+        "named_struct('media_ref', 'media://1/0', 'offset', 6, 'kind', 'media', 'text', ''), " +
+        "named_struct('media_ref', '', 'offset', 6, 'kind', 'text', 'text', 'there</p>')" +
+        ") as spans")
+    val rows = ExtractPipeline.extractDF(df).selectExpr("inline(spans)").collect()
+    val text = rows.filter(_.getString(0) == "text").map(_.getString(1)).mkString
+    val media = rows.filter(_.getString(0) == "media").map(_.getString(2))
+    assert(text == "hi there")
+    assert(media.toSeq == Seq("media://1/0"))
+    // mistyped input fails at analysis time, not mid-job
+    val bad = spark.sql("select array(named_struct('kind', 1, 'text', 'x', 'media_ref', '')) as spans")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ExtractPipeline.extractDF(bad).collect()
+    }
+  }
+
   test("checkpointed extraction resumes mid-table from the ledger") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val docs = InterleavedGen.table(spark, sf)
-    val first = CheckpointedExtract.run(docs, dir, buckets = 4)
+
+    // single-scan evidence: the whole 4-bucket pass must be ONE Spark job
+    // (one FileScan for N buckets), not a scan per bucket
+    spark.sparkContext.setJobGroup("ckpt-single-scan", "checkpoint pass")
+    val first =
+      try CheckpointedExtract.run(docs, dir, buckets = 4)
+      finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("ckpt-single-scan").length
+    assert(jobs == 1, s"expected one job for the 4-bucket pass, saw $jobs")
     assert(first.map(_.bucket).sorted == Seq(0, 1, 2, 3))
     assert(first.map(_.docs).sum == 500)
-    // simulate a crash after 4 buckets: drop the last two ledger lines
+    assert(first.map(_.bytes).sum > 0)
+    // simulate a crash after 2 buckets: keep header + first two bucket lines
     val p = java.nio.file.Paths.get(dir, "_ledger.jsonl")
     val lines = java.nio.file.Files.readAllLines(p)
+    assert(lines.get(0).contains("\"header\":1"))
     java.nio.file.Files.write(p,
-      String.join("\n", lines.subList(0, 2)).concat("\n").getBytes("UTF-8"))
+      String.join("\n", lines.subList(0, 3)).concat("\n").getBytes("UTF-8"))
     val resumed = CheckpointedExtract.run(docs, dir, buckets = 4)
     assert(resumed.map(_.bucket).sorted == Seq(2, 3))
     // full output present exactly once
@@ -135,6 +167,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 500)
     // third run: nothing to do
     assert(CheckpointedExtract.run(docs, dir, buckets = 4).isEmpty)
+    // resume with a different bucket count must fail fast (disjoint
+    // partitionings would silently duplicate/lose documents)
+    intercept[IllegalArgumentException] {
+      CheckpointedExtract.run(docs, dir, buckets = 8)
+    }
+    // multi-pass knob: a fresh run with 2 buckets per pass commits in two
+    // ledger passes but produces the same output
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val two = CheckpointedExtract.run(docs, dir2, buckets = 4, maxBucketsPerPass = 2)
+    assert(two.map(_.bucket).sorted == Seq(0, 1, 2, 3))
+    assert(spark.read.parquet(s"$dir2/bucket=*").count() == 500)
   }
 
   test("streaming extraction over a file stream matches batch output") {

@@ -30,10 +30,14 @@ for name in sorted(oracle):
     e = expected[cols].sort_values(by=cols).reset_index(drop=True)
     if len(a) != len(e):
         print(name, f'ROWCOUNT {len(a)} vs {len(e)}'); fails += 1; continue
+    # strict: dtype drift (e.g. DuckDB HUGEINT -> float64) is a failure,
+    # exactly like the driver's value-hash compare
+    if list(a.dtypes) != list(e.dtypes):
+        print(name, 'DTYPE MISMATCH',
+              {c: (str(a[c].dtype), str(e[c].dtype))
+               for c in cols if a[c].dtype != e[c].dtype})
+        fails += 1; continue
     same = a.equals(e)
-    if not same:
-        try: same = a.equals(e.astype(a.dtypes.to_dict()))
-        except Exception: pass
     print(name, 'rows', len(a), 'MATCH' if same else 'MISMATCH')
     if not same:
         fails += 1
