@@ -63,6 +63,14 @@ object SparkEntry {
     "x4_links" -> ((s, dir) =>
       HtmlClean.links(HtmlClean.generatedHtml(s, dir))),
 
+    // x5/x6: non-UTF-8 corpora (single-byte and multi-byte) through
+    // meta-charset detection + per-row re-decode; the suffix forces
+    // non-ASCII bytes so a decode bug is observable
+    "x5_encoded_cp1252" -> ((s, dir) =>
+      HtmlClean.encodedRoundtrip(s, dir, "windows-1252", " Äußerst café — résumé")),
+    "x6_encoded_sjis" -> ((s, dir) =>
+      HtmlClean.encodedRoundtrip(s, dir, "Shift_JIS", " 日本語のテスト文書")),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -241,6 +249,10 @@ object SparkEntry {
     "x4_links" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS link_idx, " +
         "'/' || source || '/' || CAST(doc_id AS VARCHAR) AS href FROM documents"),
+    "x5_encoded_cp1252" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Äußerst café — résumé' AS main_text FROM documents",
+    "x6_encoded_sjis" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' 日本語のテスト文書' AS main_text FROM documents",
     "t2_token_counts" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 17 AS n_start_tags, " +
         "16 AS n_end_tags, 1 AS n_comments, 1 AS n_doctypes FROM documents"),

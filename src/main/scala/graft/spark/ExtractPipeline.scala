@@ -211,12 +211,80 @@ object ExtractPipeline {
 
   /** Salted repartition for skewed inputs: distributes rows uniformly by
     * doc_id hash before extraction (one shuffle, then map-only). doc_id is
-    * high-cardinality, so hash partitioning is the salt.
+    * high-cardinality, so hash partitioning is the salt. Balances row
+    * COUNTS; for byte-skewed corpora use [[extractSizeBalanced]].
     */
   def extractBalanced(ds: Dataset[InterleavedDoc], partitions: Int,
                       policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
     val salted = ds.repartition(partitions, col("doc_id"))
     extract(salted.as[InterleavedDoc](ds.sparkSession.implicits.newProductEncoder), policy)
+  }
+
+  /** Byte-aware balanced extraction for size-skewed corpora (SURVEY §4
+    * physical-layout row). A hash repartition balances row counts, not
+    * bytes: a handful of 100x documents land on random tasks and the
+    * stage's wall clock becomes the unlucky task's. This runs a
+    * size-histogram pre-pass (one cheap aggregate over per-doc octet
+    * counts), derives the partition count from `targetBytesPerPartition`,
+    * and builds an explicit partition key:
+    *
+    *  - giant docs (bytes >= max(p99, 4x mean) — rare by construction)
+    *    are enumerated and striped round-robin, one per partition, in
+    *    descending size order (LPT-style); the enumeration window touches
+    *    only the giants;
+    *  - the small tail is hash-spread by doc_id.
+    *
+    * The partition id is mapped EXACTLY onto shuffle partitions: hash
+    * partitioning computes pmod(murmur3(key), P), so we precompute (on the
+    * driver, O(P) probes) one key value per partition index and route each
+    * row through that lookup — no sampling, no two ids colliding on one
+    * task. Extraction then runs map-only. Documents larger than the target
+    * byte budget cannot be split (extraction is per-row); they are still
+    * isolated one-per-task.
+    */
+  def extractSizeBalanced(ds: Dataset[InterleavedDoc],
+                          targetBytesPerPartition: Long = 64L << 20,
+                          minPartitions: Int = 32,
+                          policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
+    val spark = ds.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val withBytes = ds.toDF().withColumn("_bytes",
+      aggregate(col("spans"), lit(0L), (acc, s) => acc + octet_length(s.getField("text"))))
+    // pre-pass: one aggregate over the size column only
+    val stats = withBytes.agg(
+      sum(col("_bytes")).as("total"),
+      avg(col("_bytes")).as("mean"),
+      expr("approx_percentile(_bytes, 0.99, 1000)").as("p99")).head()
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val mean = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val p99 = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+    val numParts = math.max(minPartitions,
+      math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    val giantThreshold = math.max(p99.toDouble, 4.0 * mean)
+
+    val giants = withBytes.where(col("_bytes") >= giantThreshold)
+      .withColumn("_pid",
+        ((row_number().over(Window.orderBy(col("_bytes").desc, col("doc_id"))) - 1)
+          % numParts).cast("int"))
+    val tail = withBytes.where(col("_bytes") < giantThreshold)
+      .withColumn("_pid", pmod(hash(col("doc_id")), lit(numParts)).cast("int"))
+
+    // key value per partition index such that pmod(murmur3(key), P) == index
+    val keyFor = new Array[Int](numParts)
+    val found = new Array[Boolean](numParts)
+    var x = 0
+    var remaining = numParts
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+      val p = ((h % numParts) + numParts) % numParts
+      if (!found(p)) { found(p) = true; keyFor(p) = x; remaining -= 1 }
+      x += 1
+    }
+    val keyed = giants.unionByName(tail)
+      .withColumn("_key", element_at(array(keyFor.map(lit).toSeq: _*), col("_pid") + 1))
+      .repartition(numParts, col("_key"))
+      .drop("_bytes", "_pid", "_key")
+    extract(keyed.as[InterleavedDoc](spark.implicits.newProductEncoder), policy)
   }
 
   /** Extraction + per-partition metrics (the run-ledger payload). */

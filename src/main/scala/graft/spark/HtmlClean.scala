@@ -118,6 +118,36 @@ object HtmlClean {
       .toDF("doc_id", "n_start_tags", "n_end_tags", "n_comments", "n_doctypes")
   }
 
+  /** Non-UTF-8 ingestion (reference D13/D14): build a deterministic
+    * document in `charset` — declared only via `<meta http-equiv>` — encode
+    * to raw bytes, and extract through [[graft.extract.Extractor.extractEncoded]]:
+    * the first parse (assuming UTF-8) detects the meta declaration and the
+    * row is re-decoded + re-parsed in the declared charset. `suffix` must
+    * contain characters outside ASCII (and inside `charset`) so a decode
+    * error is actually observable.
+    */
+  def encodedRoundtrip(spark: SparkSession, sfDir: String,
+                       charset: String, suffix: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val cs = java.nio.charset.Charset.forName(charset)
+        val ex = new graft.extract.Extractor(ExtractPolicy.Default)
+        it.map { case (id, text) =>
+          val payload = text + suffix
+          val html =
+            s"""<!doctype html><html><head><meta http-equiv="Content-Type" content="text/html; charset=$charset">""" +
+              s"""<title>doc $id</title></head><body><nav>nav-$id</nav>""" +
+              s"""<article><p>$payload</p></article><footer>f-$id</footer></body></html>"""
+          val res = ex.extractEncoded(html.getBytes(cs))
+          (id, res.spans.filter(_.kind == "text").map(_.text).mkString)
+        }
+      }
+      .toDF("doc_id", "main_text")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -117,6 +117,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql(0).getInt(0) == 2)
   }
 
+  test("size-balanced extraction spreads giant documents across tasks") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // skewed corpus: every 101st doc is a ~54KB giant (uniform size so the
+    // achievable balance is deterministic), the rest stay ~0.4KB
+    val docs = sp.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[InterleavedGen.DocRow]
+      .map(d => if (d.doc_id % 101 == 0) d.copy(text = "lorem ipsum dolor sit " * 2500) else d)
+      .map(d => InterleavedDoc(d.doc_id.toString, InterleavedGen.spansFor(d)))
+    val out = ExtractPipeline.extractSizeBalanced(docs,
+      targetBytesPerPartition = Long.MaxValue, minPartitions = 8)
+    val loads = out.mapPartitions { it =>
+      var b = 0L
+      it.foreach(d => d.spans.foreach(s => if (s.kind == "text") b += s.text.length))
+      Iterator.single(b)
+    }.collect()
+    assert(loads.length == 8)
+    assert(out.count() == 500)
+    val mean = loads.sum.toDouble / loads.length
+    val ratio = loads.max / mean
+    // LPT striping: the 5 giants land on 5 distinct partitions, so the
+    // heaviest task is one giant + a hash share of the tail. A count-based
+    // hash repartition can stack several giants on one task (>3x here).
+    assert(ratio <= 2.0, s"max/mean partition bytes = $ratio (loads: ${loads.mkString(",")})")
+  }
+
   test("extract_interleaved resolves span struct fields by name") {
     // external parquet may carry the span struct in a different physical
     // order (here: media_ref, offset, kind, text) — ordinals must resolve
