@@ -186,21 +186,28 @@ object Bench {
     }
     val extractor = new Extractor(ExtractPolicy.Default.copy(strict = false))
 
+    // best-of-3 passes after a full warmup pass: single measurements on a
+    // shared box swing +-30%; the best pass is the least-disturbed one
     def mbps(bytes: Array[Byte], reps: Int)(f: => Unit): Double = {
-      var i = 0
-      while (i < reps / 4) { f; i += 1 } // warmup
-      val t0 = System.nanoTime()
-      i = 0
-      while (i < reps) { f; i += 1 }
-      val secs = (System.nanoTime() - t0) / 1e9
-      bytes.length.toDouble * reps / secs / 1e6
+      var best = Double.MaxValue
+      var pass = 0
+      while (pass < 4) { // pass 0 = warmup
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { f; i += 1 }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (pass > 0 && secs < best) best = secs
+        pass += 1
+      }
+      bytes.length.toDouble * reps / best / 1e6
     }
 
     docs.map { case (name, bytes) =>
-      val reps = math.max(8, (24 * 1024 * 1024 / bytes.length))
+      val reps = math.max(8, (48 * 1024 * 1024 / bytes.length))
       val lexMb = mbps(bytes, reps)(lexer.parse(bytes, nullSink))
       val exMb = mbps(bytes, reps)(extractor.extractHtml(bytes, Vector.empty, Vector.empty))
-      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s"
+      val rawMb = mbps(bytes, reps)(extractor.extractRaw(bytes, Vector.empty, Vector.empty))
+      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s  extract_raw=${rawMb}%8.1f MB/s"
     }
   }
 }

@@ -13,4 +13,5 @@ final class IntBuf(initial: Int = 32) {
   @inline def apply(i: Int): Int = a(i)
   def isEmpty: Boolean = length == 0
   def nonEmpty: Boolean = length > 0
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, length)
 }

@@ -206,9 +206,25 @@ final class Lexer(strict: Boolean = true) extends TagView {
   // ---- helpers ------------------------------------------------------------
   @inline private def pos: Int = nextPos - 1
 
+  /** memchr (reference O7): SWAR over 8-byte words — an early-exit
+    * byte loop defeats auto-vectorization, so detect the needle with the
+    * classic zero-byte trick and only then scan the word.
+    */
   @inline private def indexOf(b: Int, from: Int): Int = {
     var i = from
-    while (i < len) { if (input(i) == b) return i; i += 1 }
+    val n = len
+    val limit = n - 8
+    if (i <= limit) {
+      val pattern = 0x0101010101010101L * (b & 0xffL)
+      while (i <= limit) {
+        val w = (Lexer.LongView.get(input, i): Long) ^ pattern
+        val found = (w - 0x0101010101010101L) & ~w & 0x8080808080808080L
+        if (found != 0L)
+          return i + (java.lang.Long.numberOfTrailingZeros(found) >> 3)
+        i += 8
+      }
+    }
+    while (i < n) { if (input(i) == b) return i; i += 1 }
     -1
   }
 
@@ -857,4 +873,11 @@ final class Lexer(strict: Boolean = true) extends TagView {
     else if (c == -1) { emitText(); emitEof(); -1 }
     else { emitText(); reconsume(); textSt }
   }
+}
+
+object Lexer {
+  /** Little-endian long view over byte arrays for the SWAR memchr. */
+  private[core] val LongView: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+      classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 }

@@ -470,6 +470,8 @@ final class Rewriter(
   private object view extends VmElemView {
     var nameLowerV: String = _
     var nameHashV: Long = TagHash.Empty
+    var nameStartV = 0
+    var nameEndV = 0
     var nsV: Int = Ns.Html
     var attrsV: AttrList = _
     var in: Array[Byte] = _
@@ -477,8 +479,10 @@ final class Rewriter(
     private var attrValues: Array[String] = new Array[String](8)
     private var matCount = -1
 
-    def set(in0: Array[Byte], nameLower: String, hash: Long, ns: Int, attrs: AttrList): Unit = {
-      in = in0; nameLowerV = nameLower; nameHashV = hash; nsV = ns; attrsV = attrs
+    def set(in0: Array[Byte], nameStart: Int, nameEnd: Int, hash: Long,
+            ns: Int, attrs: AttrList): Unit = {
+      in = in0; nameLowerV = null; nameStartV = nameStart; nameEndV = nameEnd
+      nameHashV = hash; nsV = ns; attrsV = attrs
       matCount = if (attrs == null) 0 else attrs.count
       if (!program.hasOnlyNameOnlyPreds && matCount > 0) {
         if (matCount > attrNamesLower.length) {
@@ -489,7 +493,13 @@ final class Rewriter(
         java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, matCount, null)
       }
     }
-    def nameLower: String = nameLowerV
+    // lazy: most tags never need the name STRING (hash compares suffice);
+    // interning probes a table and may allocate for unhashable names
+    def nameLower: String = {
+      if (nameLowerV == null)
+        nameLowerV = internTagName(nameStartV, nameEndV, nameHashV)
+      nameLowerV
+    }
     def nameHash: Long = nameHashV
     def isHtmlNs: Boolean = nsV == Ns.Html
     def attrCount: Int = matCount
@@ -513,9 +523,41 @@ final class Rewriter(
     }
   }
 
-  // scratch buffer for matched ids of the current start tag
-  private val matchedIdsBuf = new mutable.ArrayBuffer[Int](4)
+  // scratch buffer for matched ids of the current start tag (primitive —
+  // an ArrayBuffer[Int] boxes every append)
+  private val matchedIdsBuf = new graft.core.IntBuf(8)
   private var lastMatchWithContent = false
+
+  // long-lived VM callbacks (a per-call lambda would allocate per tag and
+  // a Function2[Int, Boolean, Unit] boxes both arguments)
+  private object matchSink extends MatchSink {
+    def onMatch(id: Int, withContent: Boolean): Unit = {
+      if (withContent) {
+        if (locComment(id) >= 0) commentHandlers.inc(locComment(id))
+        if (locText(id) >= 0) textHandlers.inc(locText(id))
+        matchedIdsBuf += id
+      }
+      if (locElement(id) >= 0) elementHandlers.inc(locElement(id))
+      lastMatchWithContent = withContent
+    }
+  }
+
+  private object popSink extends PopSink {
+    def onPop(desc: ElementDescriptor): Unit = {
+      if (desc != null) {
+        val ids = desc.matchedContentHandlers
+        var i = 0
+        while (i < ids.length) {
+          val id = ids(i)
+          if (locComment(id) >= 0) commentHandlers.dec(locComment(id))
+          if (locText(id) >= 0) textHandlers.dec(locText(id))
+          i += 1
+        }
+        if (desc.endTagHandlerIdx >= 0) endTagHandlers.inc(desc.endTagHandlerIdx)
+        if (desc.removeContent) matchedRemoved -= 1
+      }
+    }
+  }
 
   // tag-name interning: hashable names decode from their own 5-bit hash
   // (one allocation per distinct tag name per Rewriter lifetime); primitive
@@ -540,8 +582,73 @@ final class Rewriter(
         i = (i + 1) & mask
       }
       null // unreachable
-    } else HtmlUtil.lowerAscii(new String(input, nameStart, nameEnd - nameStart,
-      java.nio.charset.StandardCharsets.UTF_8))
+    } else internUnhashable(nameStart, nameEnd)
+  }
+
+  // unhashable names (>12 chars or chars outside [a-z0-9-], e.g. custom
+  // elements like <emu-production>) intern by a case-folded FNV over the
+  // input bytes — without this every such tag occurrence allocates two
+  // strings (documents full of custom elements pay it on EVERY tag)
+  private var uKeys = new Array[Long](64)
+  private var uVals = new Array[String](64)
+  private var uCount = 0
+  private def internUnhashable(s: Int, e: Int): String = {
+    var h = 0xcbf29ce484222325L
+    var ascii = true
+    var i = s
+    while (i < e) {
+      val b = input(i) & 0xff
+      if (b >= 0x80) ascii = false
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+      h = (h ^ c) * 0x100000001b3L
+      i += 1
+    }
+    if (!ascii) // rare; byte-vs-char compare below would never match
+      return HtmlUtil.lowerAscii(new String(input, s, e - s,
+        java.nio.charset.StandardCharsets.UTF_8))
+    if (h == 0L) h = 1L
+    val mask = uKeys.length - 1
+    var j = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
+    while (true) {
+      val k = uKeys(j)
+      if (k == h && eqLowerAscii(uVals(j), s, e)) return uVals(j)
+      if (k == 0L) {
+        val str = HtmlUtil.lowerAscii(new String(input, s, e - s,
+          java.nio.charset.StandardCharsets.UTF_8))
+        uKeys(j) = h; uVals(j) = str
+        uCount += 1
+        if (uCount * 2 > uKeys.length) growUnhashableCache()
+        return str
+      }
+      j = (j + 1) & mask
+    }
+    null // unreachable
+  }
+  private def eqLowerAscii(v: String, s: Int, e: Int): Boolean = {
+    if (v.length != e - s) return false
+    var i = 0
+    while (i < v.length) {
+      val b = input(s + i) & 0xff
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+      if (v.charAt(i) != c.toChar) return false
+      i += 1
+    }
+    true
+  }
+  private def growUnhashableCache(): Unit = {
+    val ok = uKeys; val ov = uVals
+    uKeys = new Array[Long](ok.length * 2)
+    uVals = new Array[String](ov.length * 2)
+    val mask = uKeys.length - 1
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        var i = (java.lang.Long.hashCode(ok(j) * 0x9e3779b97f4a7c15L) & mask)
+        while (uKeys(i) != 0L) i = (i + 1) & mask
+        uKeys(i) = ok(j); uVals(i) = ov(j)
+      }
+      j += 1
+    }
   }
   private def growNameCache(): Unit = {
     val ok = nameKeys; val ov = nameVals
@@ -625,20 +732,11 @@ final class Rewriter(
                    rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      val nameLower = internTagName(nameStart, nameEnd, nameHash)
-      view.set(input, nameLower, nameHash, ns, attrs)
+      view.set(input, nameStart, nameEnd, nameHash, ns, attrs)
 
       matchedIdsBuf.clear()
       lastMatchWithContent = false
-      val pushed = vm.execStartTag(view, selfClosing, (id, withContent) => {
-        if (withContent) {
-          if (locComment(id) >= 0) commentHandlers.inc(locComment(id))
-          if (locText(id) >= 0) textHandlers.inc(locText(id))
-          matchedIdsBuf += id
-        }
-        if (locElement(id) >= 0) elementHandlers.inc(locElement(id))
-        lastMatchWithContent = withContent
-      })
+      val pushed = vm.execStartTag(view, selfClosing, matchSink)
 
       var desc: ElementDescriptor = null
       if (pushed && matchedIdsBuf.nonEmpty) {
@@ -649,7 +747,7 @@ final class Rewriter(
 
       val captured = elementHandlers.hasActive
       if (captured) {
-        val el = new Element(input, nameLower, attrs,
+        val el = new Element(input, view.nameLower, attrs,
           canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart)
         if (matchedRemoved > 0) el.startTagMutations.remove()
         elementHandlers.doForEachActiveAndDeactivate(h => h(el))
@@ -692,22 +790,13 @@ final class Rewriter(
                  rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      val nameLower = internTagName(nameStart, nameEnd, nameHash)
+      // hashable names never need the string on this path; the VM matches
+      // frames by hash and the token (rare) interns on demand below
+      val nameLower =
+        if (nameHash != TagHash.Empty) null
+        else internTagName(nameStart, nameEnd, nameHash)
 
-      vm.execEndTag(nameLower, nameHash, desc => {
-        if (desc != null) {
-          val ids = desc.matchedContentHandlers
-          var i = 0
-          while (i < ids.length) {
-            val id = ids(i)
-            if (locComment(id) >= 0) commentHandlers.dec(locComment(id))
-            if (locText(id) >= 0) textHandlers.dec(locText(id))
-            i += 1
-          }
-          if (desc.endTagHandlerIdx >= 0) endTagHandlers.inc(desc.endTagHandlerIdx)
-          if (desc.removeContent) matchedRemoved -= 1
-        }
-      })
+      vm.execEndTag(nameLower, nameHash, popSink)
 
       var forced = false
       if (!emissionEnabled && matchedRemoved == 0) {
@@ -719,7 +808,8 @@ final class Rewriter(
       }
 
       if (endTagHandlers.hasActive || forced) {
-        val tok = new EndTagTok(nameLower)
+        val tok = new EndTagTok(
+          if (nameLower != null) nameLower else internTagName(nameStart, nameEnd, nameHash))
         endTagHandlers.doForEachActiveAndRemoveTail(h => h(tok))
         if (tok.renamedTo != null && !tok.mutations.removed)
           tok.mutations.replace(s"</${tok.renamedTo}>", ContentType.Html)

@@ -28,6 +28,20 @@ trait VmElemView extends ElemView {
   final def nthOfTypeIndex: Int = nthOfTypeIdx
 }
 
+/** Match callback for [[MatchingVm.execStartTag]]. A dedicated trait
+  * instead of `(Int, Boolean) => Unit`: a Function2 over primitives boxes
+  * both arguments on every matched id, and a per-call lambda allocates —
+  * the dispatcher passes one long-lived implementation instead.
+  */
+trait MatchSink {
+  def onMatch(id: Int, withContent: Boolean): Unit
+}
+
+/** Pop callback for [[MatchingVm.execEndTag]] (same rationale). */
+trait PopSink {
+  def onPop(desc: ElementDescriptor): Unit
+}
+
 /** Selector-matching VM over the open-element stack; the analog of
   * /root/reference/src/selectors_vm/mod.rs + stack.rs. One instance per
   * task, `reset()` per document; the compiled [[Program]] is shared.
@@ -157,17 +171,17 @@ final class MatchingVm(program: Program) {
     * here. Returns true if a frame was pushed (element can have content).
     */
   def execStartTag(view: VmElemView, selfClosing: Boolean,
-                   onMatch: (Int, Boolean) => Unit): Boolean = {
-    val nameLower = view.nameLower
-    // add_child on parent
+                   sink: MatchSink): Boolean = {
+    // add_child on parent (view.nameLower is fetched lazily — it may
+    // intern; only the nth-of-type counters need it here)
     if (top >= 0) {
       val p = frames(top)
       p.childCount += 1
       view.nthIdx = p.childCount
       if (program.enableNthOfType) {
         if (p.typedCounters == null) p.typedCounters = new mutable.HashMap
-        val c = p.typedCounters.getOrElse(nameLower, 0) + 1
-        p.typedCounters.update(nameLower, c)
+        val c = p.typedCounters.getOrElse(view.nameLower, 0) + 1
+        p.typedCounters.update(view.nameLower, c)
         view.nthOfTypeIdx = c
       }
     } else {
@@ -175,8 +189,8 @@ final class MatchingVm(program: Program) {
       view.nthIdx = rootChildCount
       if (program.enableNthOfType) {
         if (rootTypedCounters == null) rootTypedCounters = new mutable.HashMap
-        val c = rootTypedCounters.getOrElse(nameLower, 0) + 1
-        rootTypedCounters.update(nameLower, c)
+        val c = rootTypedCounters.getOrElse(view.nameLower, 0) + 1
+        rootTypedCounters.update(view.nameLower, c)
         view.nthOfTypeIdx = c
       }
     }
@@ -188,7 +202,7 @@ final class MatchingVm(program: Program) {
     // (the extraction default) decide entry matches with one hash probe
     if (fastEntry != null && activeHereditary.isEmpty &&
         (top < 0 || frames(top).jumps.length == 0)) {
-      val idx = fastEntry.get(view.nameHash, view.nameLower)
+      val idx = fastEntry.get(view.nameHash, view)
       if (idx < 0) {
         if (withContent) pushFrame(view, noInts, noInts)
         return withContent
@@ -196,7 +210,7 @@ final class MatchingVm(program: Program) {
       // single matching entry instruction
       val in = program.instrs(idx)
       var i = 0
-      while (i < in.matchedIds.length) { onMatch(in.matchedIds(i), withContent); i += 1 }
+      while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
       if (withContent)
         pushFrame(view,
           if (in.jumps.length == 0) noInts else in.jumps,
@@ -245,7 +259,7 @@ final class MatchingVm(program: Program) {
     // fire matches in ascending id order
     var id = matchedIds.nextSetBit(0)
     while (id >= 0) {
-      onMatch(id, withContent)
+      sink.onMatch(id, withContent)
       id = matchedIds.nextSetBit(id + 1)
     }
 
@@ -266,7 +280,9 @@ final class MatchingVm(program: Program) {
       frames = n
     }
     val f = frames(top)
-    f.nameLower = view.nameLower
+    // the frame's name string is consulted only for unhashable names
+    // (end-tag fallback matching) — avoid forcing the lazy intern
+    f.nameLower = if (view.nameHash != TagHash.Empty) null else view.nameLower
     f.nameHash = view.nameHash
     f.jumps = jumps
     f.hereditary = hereditary
@@ -292,7 +308,7 @@ final class MatchingVm(program: Program) {
     * `onPop` receives each popped frame's descriptor (or null), innermost
     * last (stack drain order, matching the reference's `drain(index..)`).
     */
-  def execEndTag(nameLower: String, nameHash: Long, onPop: ElementDescriptor => Unit): Unit = {
+  def execEndTag(nameLower: String, nameHash: Long, sink: PopSink): Unit = {
     if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
     else if (!openNameCountsFallback.contains(nameLower)) return
     var idx = top
@@ -317,7 +333,7 @@ final class MatchingVm(program: Program) {
         if (c == 1) openNameCountsFallback.remove(f.nameLower)
         else openNameCountsFallback.update(f.nameLower, c - 1)
       }
-      onPop(f.desc)
+      sink.onPop(f.desc)
       f.desc = null
       j += 1
     }
@@ -341,9 +357,10 @@ final class MatchingVm(program: Program) {
 final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
                                     byName: java.util.HashMap[String, Integer]) {
   /** Returns the entry instruction index or -1 (primitive open-addressed
-    * probe; valid hashes are >= 6, so 0 marks empty slots).
+    * probe; valid hashes are >= 6, so 0 marks empty slots). The view's
+    * name string is only fetched for unhashable names.
     */
-  def get(hash: Long, nameLower: String): Int = {
+  def get(hash: Long, view: ElemView): Int = {
     if (hash != graft.core.TagHash.Empty) {
       val mask = keys.length - 1
       var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
@@ -355,7 +372,7 @@ final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
       }
       -1 // unreachable
     } else {
-      val v = byName.get(nameLower)
+      val v = byName.get(view.nameLower)
       if (v == null) -1 else v.intValue()
     }
   }

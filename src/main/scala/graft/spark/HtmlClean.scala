@@ -73,11 +73,14 @@ object HtmlClean {
       .as[(String, String)]
       .mapPartitions { it =>
         val hrefs = new scala.collection.mutable.ArrayBuffer[String]()
+        // match-only: no output serialization — the engine only runs the
+        // selector VM and materializes matched elements
         val rw = new Rewriter(Seq("a[href]" -> ElementHandlers(
-          element = el => hrefs += el.attr("href"))), strict = false)
+          element = el => hrefs += el.attr("href"))), strict = false,
+          produceOutput = false)
         it.flatMap { case (id, html) =>
           hrefs.clear()
-          rw.rewrite(html)
+          rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           hrefs.toArray.zipWithIndex.map { case (h, i) => (id, i, h) }
         }
       }
