@@ -202,12 +202,27 @@ object Bench {
       bytes.length.toDouble * reps / best / 1e6
     }
 
+    // selector-only workloads (reference bench selector_matching group):
+    // scan-friendly name selectors vs an attr-predicate mix that disables
+    // attribute skipping ([href] applies to every tag)
+    import graft.rewrite.{ElementHandlers, Rewriter}
+    var matchCount = 0
+    val countHandler = graft.rewrite.ElementHandlers(element = _ => matchCount += 1)
+    val rwNames = new Rewriter(
+      Seq("div" -> countHandler, "p" -> countHandler, "section > h2" -> countHandler),
+      strict = false, produceOutput = false)
+    val rwMix = new Rewriter(
+      Seq("div" -> countHandler, ".note" -> countHandler, "[href]" -> countHandler),
+      strict = false, produceOutput = false)
+
     docs.map { case (name, bytes) =>
       val reps = math.max(8, (48 * 1024 * 1024 / bytes.length))
       val lexMb = mbps(bytes, reps)(lexer.parse(bytes, nullSink))
       val exMb = mbps(bytes, reps)(extractor.extractHtml(bytes, Vector.empty, Vector.empty))
       val rawMb = mbps(bytes, reps)(extractor.extractRaw(bytes, Vector.empty, Vector.empty))
-      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s  extract_raw=${rawMb}%8.1f MB/s"
+      val selMb = mbps(bytes, reps)(rwNames.rewriteToBytes(bytes))
+      val mixMb = mbps(bytes, reps)(rwMix.rewriteToBytes(bytes))
+      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s  extract_raw=${rawMb}%8.1f MB/s  sel_scan=${selMb}%8.1f MB/s  sel_mix=${mixMb}%8.1f MB/s"
     }
   }
 }

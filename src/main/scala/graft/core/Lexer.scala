@@ -150,6 +150,10 @@ final class Lexer(strict: Boolean = true) extends TagView {
   private var sink: LexemeSink = _
   val treeSim = new TreeSim(strict)
 
+  // scan mode (attr-skip) — see the parse(doc, out, attrNeed) overload
+  private var scanAttrNeed: AttrNeed = _
+  private var tSkipAttrs = false
+
   // current tag token
   private var hasTag = false
   private var tagIsStart = false
@@ -190,17 +194,34 @@ final class Lexer(strict: Boolean = true) extends TagView {
   /** Tokenize a whole document. Throws [[ParsingAmbiguityException]] in
     * strict mode on `<select>`/`<frameset>` text-element ambiguity.
     */
-  def parse(doc: Array[Byte], out: LexemeSink): Unit = {
+  def parse(doc: Array[Byte], out: LexemeSink): Unit =
+    parse(doc, out, null)
+
+  /** Scan-mode parse (the reference tag-scanner's job, T3/O1/O5 —
+    * /root/reference/src/parser/tag_scanner/mod.rs:28-195): when
+    * `attrNeed` is non-null, tags whose name the policy rules out are
+    * walked with a minimal quote-correct automaton that records NO
+    * attribute outlines. Design difference from the reference: the whole
+    * document is in memory, so instead of two state machines with
+    * bookmark/rewind switching, attribute recording is decided per tag
+    * at the end of the tag name — same grammar, same positions, no
+    * replay. End tags always skip (their attributes are dropped by spec);
+    * foreign-content tags never skip (tree feedback reads <font>/
+    * <annotation-xml> attributes).
+    */
+  def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeed): Unit = {
     input = doc; len = doc.length; sink = out
+    scanAttrNeed = attrNeed
     nextPos = 0; lexemeStart = 0; tokenPartStart = 0
     cdataAllowed = false; state = S_DATA
     lastStartTagNameHash = TagHash.Empty
     closingQuote = '"'; lastTextType = Data
     hasTag = false; hasComment = false; hasDoctype = false; hasAttr = false
+    tSkipAttrs = false
     attrs.clear()
     treeSim.reset()
     run()
-    input = null; sink = null
+    input = null; sink = null; scanAttrNeed = null
   }
 
   // ---- helpers ------------------------------------------------------------
@@ -290,7 +311,16 @@ final class Lexer(strict: Boolean = true) extends TagView {
   @inline private def updateTagNameHash(): Unit =
     if (pos < len) tNameHash = TagHash.update(tNameHash, input(pos))
 
-  private def finishTagName(): Unit = { tNameStart = tokenPartStart; tNameEnd = pos }
+  private def finishTagName(): Unit = {
+    tNameStart = tokenPartStart; tNameEnd = pos
+    // scan mode: decide attribute recording once per tag. End tags always
+    // skip (attrs dropped by spec); foreign content never skips (tree
+    // feedback reads <font color/size/face> and <annotation-xml encoding>)
+    tSkipAttrs = scanAttrNeed != null && (
+      !tagIsStart ||
+        (treeSim.currentNs == Ns.Html &&
+          !scanAttrNeed.needsAttrs(tNameHash, tNameStart, tNameEnd, input)))
+  }
 
   @inline private def isAppropriateEndTag: Boolean = tNameHash == lastStartTagNameHash
 
@@ -614,12 +644,17 @@ final class Lexer(strict: Boolean = true) extends TagView {
 
         // ---- attributes ----
         case S_BEFORE_ATTR_NAME =>
-          val c = consume()
-          if (isWs(c)) ()
-          else if (c == '/') state = S_SELF_CLOSING_START_TAG
-          else if (c == '>') state = emitTag()
-          else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
-          else { startAttr(); state = S_ATTR_NAME }
+          if (tSkipAttrs) {
+            val next = skipAttrs()
+            if (next < 0) { emitEof(); done = true } else state = next
+          } else {
+            val c = consume()
+            if (isWs(c)) ()
+            else if (c == '/') state = S_SELF_CLOSING_START_TAG
+            else if (c == '>') state = emitTag()
+            else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
+            else { startAttr(); state = S_ATTR_NAME }
+          }
 
         case S_ATTR_NAME =>
           val c = consume()
@@ -847,6 +882,49 @@ final class Lexer(strict: Boolean = true) extends TagView {
     }
   }
 
+  /** Scan-mode attribute walker (the tag scanner's attribute handling):
+    * same grammar as the S_ATTR_* states — identical tag-end positions,
+    * quote semantics, and self-closing detection — but records no
+    * attribute outlines and runs as one tight loop. Returns the next
+    * state, or -1 at EOF (raw already flushed; caller emits EOF).
+    */
+  private def skipAttrs(): Int = {
+    // modes: 0 between attrs, 1 in attr name, 2 after attr name,
+    //        3 before value, 4 in unquoted value
+    var mode = 0
+    while (true) {
+      val c = consume()
+      if (c == -1) { emitRawWithoutToken(inclusive = false); return -1 }
+      if (mode <= 2) {
+        if (c == '>') return emitTag()
+        else if (c == '/') {
+          // self-closing only when '/' is immediately followed by '>'
+          val n = consume()
+          if (n == '>') { tSelfClosing = true; return emitTag() }
+          else if (n == -1) { emitRawWithoutToken(inclusive = false); return -1 }
+          else { reconsume(); mode = 0 }
+        }
+        else if (isWs(c)) { if (mode == 1) mode = 2 }
+        else if (c == '=') mode = if (mode == 0) 1 else 3 // leading '=' is a name char
+        else mode = 1
+      } else if (mode == 3) {
+        if (isWs(c)) ()
+        else if (c == '>') return emitTag()
+        else if (c == '"') {
+          if (!consumeUntil('"')) { emitRawWithoutToken(inclusive = false); return -1 }
+          mode = 0
+        } else if (c == '\'') {
+          if (!consumeUntil('\'')) { emitRawWithoutToken(inclusive = false); return -1 }
+          mode = 0
+        } else mode = 4
+      } else { // unquoted value: quotes, '/', '=' are value characters
+        if (isWs(c)) mode = 0
+        else if (c == '>') return emitTag()
+      }
+    }
+    -1 // unreachable
+  }
+
   @inline private def consume(): Int = {
     val c = if (nextPos < len) input(nextPos) & 0xff else -1
     nextPos += 1
@@ -880,4 +958,14 @@ object Lexer {
   private[core] val LongView: java.lang.invoke.VarHandle =
     java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
       classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+}
+
+/** Scan-mode policy hook: must a start tag with this name have its
+  * attributes recorded? True when the selector program could match it
+  * (matched elements expose attributes to handlers) or an attribute
+  * predicate targets it. The lexer additionally forces recording for all
+  * foreign-content tags and never records end-tag attributes.
+  */
+trait AttrNeed {
+  def needsAttrs(nameHash: Long, nameStart: Int, nameEnd: Int, input: Array[Byte]): Boolean
 }

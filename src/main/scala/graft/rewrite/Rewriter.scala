@@ -436,6 +436,18 @@ final class Rewriter(
   private val vm = new MatchingVm(program)
   private val out = new ByteBuf(4096)
 
+  /** Scan mode (reference O1: two-mode parsing): eligible when no token
+    * kind other than tags can ever be consumed — no output serialization,
+    * no raw-text listener, and no text/comment/doctype handlers (selector-
+    * scoped content handlers could activate mid-document, so their mere
+    * registration disqualifies). The lexer then skips attribute recording
+    * for every tag the program can't match (Program.scanAttrNeed).
+    * Document-end handlers are fine (they see no tokens).
+    */
+  private val scanEligible =
+    !produceOutput && listener == null &&
+      textHandlers.size == 0 && commentHandlers.size == 0 && doctypeHandlers.size == 0
+
   // ---- per-document state ----
   private var input: Array[Byte] = _
   private var pendingStart = 0
@@ -461,7 +473,8 @@ final class Rewriter(
     // selector-scoped inactive, dynamic end-tag handlers dropped)
     elementHandlers.reset(); commentHandlers.reset(); textHandlers.reset()
     doctypeHandlers.reset(); endHandlers.reset(); endTagHandlers.reset()
-    lexer.parse(doc, sink)
+    if (scanEligible) lexer.parse(doc, sink, program.scanAttrNeed)
+    else lexer.parse(doc, sink)
     input = null
     out.toArray
   }
@@ -521,6 +534,9 @@ final class Rewriter(
       }
       s
     }
+    // byte-level probe: unmatched attributes never materialize a name
+    override def attrNameEq(i: Int, lowerName: String): Boolean =
+      HtmlUtil.eqIgnoreCase(in, attrsV.nameStart(i), attrsV.nameEnd(i), lowerName)
   }
 
   // scratch buffer for matched ids of the current start tag (primitive —

@@ -13,6 +13,11 @@ trait ElemView {
   def attrCount: Int
   def attrNameLower(i: Int): String
   def attrValue(i: Int): String
+  /** Case-insensitive attr-name probe; implementations override with a
+    * byte compare so unmatched attributes never materialize a string
+    * (the dominant cost of universal attr predicates like [href]).
+    */
+  def attrNameEq(i: Int, lowerName: String): Boolean = attrNameLower(i) == lowerName
   /** 1-based index among the parent's children (nth-child). */
   def nthIndex: Int
   /** 1-based index among same-type siblings (nth-of-type). */
@@ -75,7 +80,7 @@ object Instr {
     var i = 0
     val n = e.attrCount
     while (i < n) {
-      if (e.attrNameLower(i) == lowerName) return e.attrValue(i)
+      if (e.attrNameEq(i, lowerName)) return e.attrValue(i)
       i += 1
     }
     null
@@ -149,9 +154,69 @@ final class Program private (
     val entryPoints: Array[Int],
     val enableNthOfType: Boolean,
     val hasOnlyNameOnlyPreds: Boolean
-) extends Serializable
+) extends Serializable {
+
+  /** Scan-mode attribute policy (the static half of the reference's
+    * two-phase evaluation, O1/O5): a start tag needs recorded attributes
+    * iff some instruction could match or continue on it — matched
+    * elements expose attributes to handlers, and attribute predicates
+    * need values. Compounds without a TypeSel anchor (universal, bare
+    * .class/#id/[attr]) force every tag. Conservative w.r.t. context
+    * (a name anywhere in the program needs attrs everywhere), which
+    * keeps the check O(1) per tag with no VM recovery points.
+    */
+  @transient lazy val scanAttrNeed: graft.core.AttrNeed = {
+    var all = false
+    val hashes = mutable.ArrayBuffer[Long]()
+    val names = mutable.ArrayBuffer[String]()
+    for (in <- instrs) {
+      in.simples.collectFirst { case t: TypeSel => t } match {
+        case Some(TypeSel(lower, hash)) =>
+          if (hash != TagHash.Empty) hashes += hash else names += lower
+        case None => all = true
+      }
+    }
+    var cap = 16
+    while (cap < hashes.length * 3) cap *= 2
+    val keys = new Array[Long](cap)
+    for (h <- hashes) {
+      val mask = keys.length - 1
+      var i = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
+      while (keys(i) != 0L && keys(i) != h) i = (i + 1) & mask
+      keys(i) = h
+    }
+    new Program.ScanAttrNeedImpl(all, keys, names.toArray)
+  }
+}
 
 object Program {
+
+  private[selectors] final class ScanAttrNeedImpl(
+      allTags: Boolean, keys: Array[Long], names: Array[String])
+      extends graft.core.AttrNeed {
+    def needsAttrs(nameHash: Long, s: Int, e: Int, input: Array[Byte]): Boolean = {
+      if (allTags) return true
+      if (nameHash != TagHash.Empty) {
+        if (keys.length == 0) return false
+        val mask = keys.length - 1
+        var i = java.lang.Long.hashCode(nameHash * 0x9e3779b97f4a7c15L) & mask
+        while (true) {
+          val k = keys(i)
+          if (k == nameHash) return true
+          if (k == 0L) return false
+          i = (i + 1) & mask
+        }
+        false // unreachable
+      } else {
+        var i = 0
+        while (i < names.length) {
+          if (graft.core.HtmlUtil.eqIgnoreCase(input, s, e, names(i))) return true
+          i += 1
+        }
+        false
+      }
+    }
+  }
 
   /** Compile a list of (selector source, payload match id). */
   def compile(selectors: Seq[(SelectorList, Int)]): Program = {

@@ -1,0 +1,131 @@
+package graft.rewrite
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core._
+import scala.collection.mutable
+
+/** Scan-mode (attr-skip) equivalence: the reduced attribute walker must
+  * produce the exact same token stream — kinds, raw positions, name
+  * hashes, self-closing flags, text runs — as the full attribute states,
+  * for any input. Attribute OUTLINES may differ (that's the point); the
+  * policy guarantees no consumer reads them on skipped tags.
+  */
+class ScanModeSpec extends AnyFunSuite {
+
+  /** Records every lexeme event (attr outlines excluded by design). */
+  private final class TraceSink extends LexemeSink {
+    val trace = new mutable.ArrayBuffer[String]()
+    def onText(s: Int, e: Int, t: Int): Unit = trace += s"T:$s:$e:$t"
+    def onStartTag(ns: Int, ne: Int, h: Long, nsp: Int, sc: Boolean,
+                   a: AttrList, rs: Int, re: Int): Unit =
+      trace += s"S:$ns:$ne:$h:$nsp:$sc:$rs:$re"
+    def onEndTag(ns: Int, ne: Int, h: Long, rs: Int, re: Int): Unit =
+      trace += s"E:$ns:$ne:$h:$rs:$re"
+    def onComment(ts: Int, te: Int, rs: Int, re: Int): Unit = trace += s"C:$ts:$te:$rs:$re"
+    def onDoctype(a: Int, b: Int, c: Boolean, d: Int, e: Int, f: Boolean,
+                  g: Int, h: Int, i: Boolean, j: Boolean, k: Int, l: Int): Unit =
+      trace += s"D:$a:$b:$c:$k:$l"
+    def onRawWithoutToken(rs: Int, re: Int): Unit = trace += s"R:$rs:$re"
+    def onEof(p: Int): Unit = trace += s"F:$p"
+  }
+
+  private object skipAll extends AttrNeed {
+    def needsAttrs(h: Long, s: Int, e: Int, in: Array[Byte]): Boolean = false
+  }
+
+  private def tracesMatch(html: String): Unit = {
+    val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val full = new TraceSink
+    val scan = new TraceSink
+    new Lexer(strict = false).parse(bytes, full)
+    new Lexer(strict = false).parse(bytes, scan, skipAll)
+    assert(scan.trace == full.trace, s"trace divergence on: $html")
+  }
+
+  test("edge cases: quotes, leading '=', unquoted specials, self-closing, EOF") {
+    Seq(
+      """<div foo="a>b"><span>x</span></div>""",
+      """<p =">">x<i>y</i>""",
+      """<p a=b"c><i></i>""",
+      """<p a=b/><i></i>""",
+      """<br/><hr />""",
+      """<a b = 'c>d' e>t</a>""",
+      """<a b=c d='e' f="g" h>x""",
+      """<div foo="unclosed""",
+      """<div foo='unclosed""",
+      """<div foo=unclosed""",
+      """<div foo""",
+      """<div /""",
+      """<a ==x><i></i>""",
+      """<a = =x><i></i>""",
+      """<a b=/>c""",
+      """<a b==">"><i></i>""",
+      """<title>x</title foo="<">after""",
+      """<script>var a = "</script fake='>'>";</script>rest""",
+      """<script><!--<script>alert("</script>")--></script>tail""",
+      """<svg><font color="red"><text>t</text></font></svg>""",
+      """<textarea a=">">v</textarea>""",
+      """<p
+        |multi="line
+        |value">x</p>""".stripMargin,
+      """<em-pty-ish custom-element attr="v">x</em-pty-ish>"""
+    ).foreach(tracesMatch)
+  }
+
+  test("property: scan-mode trace equals full-mode trace on random html-ish input") {
+    val piece = Gen.oneOf(
+      Gen.oneOf("<", ">", "</", "<!--", "-->", "<!", "]]>", "<![CDATA[", "'", "\"",
+        "=", "/", "/>", " ", "\n", "<tag", "attr=", "attr='v'", "attr=\"v\"", "a=b"),
+      Gen.oneOf("div", "p", "script", "style", "svg", "math", "title", "textarea",
+        "plaintext", "annotation-xml", "foreignObject"),
+      Gen.oneOf("<div>", "</div>", "<script>", "</script>", "<svg>", "</svg>",
+        "<div a='x>y'>", "<p b=c/>", "<a href=\"u\">", "</a>", "<!doctype html>",
+        "<math>", "</math>", "<title>", "</title>", "<textarea>", "</textarea>"),
+      Gen.asciiPrintableStr.map(_.take(12))
+    )
+    val htmlish = Gen.listOf(piece).map(_.mkString).map(_.take(600))
+    var i = 0
+    while (i < 400) {
+      htmlish.apply(Gen.Parameters.default, Seed(1042L + i)).foreach(tracesMatch)
+      i += 1
+    }
+  }
+
+  test("rewriter scan mode: matches identical to full mode, matched tags keep attrs") {
+    val selectors = Seq("div", "a[href]", "div > span", "p")
+    def run(html: String, forceFull: Boolean): Seq[String] = {
+      val buf = new mutable.ArrayBuffer[String]()
+      val handlers = selectors.map(s => s -> ElementHandlers(element = el =>
+        buf += s"$s:${el.tagName}:${Option(el.attr("href")).getOrElse("-")}:${el.attributes.size}"))
+      val rw = new Rewriter(handlers, strict = false, produceOutput = false,
+        listener = if (forceFull) new RewriteListener {} else null)
+      rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      buf.toSeq
+    }
+    val docs = Seq(
+      """<html><body><div id=x class="k"><span>s</span></div><a href="/u" rel=nofollow>l</a><p q="r>s">t</p></body></html>""",
+      """<ul skip="a>b"><li><a href='1'>x</a></li></ul><div><span><a>noref</a></span></div>""",
+      """<table border=1><tr><td><div data-a="1" data-b='2' data-c=3>d</div></td></tr></table>"""
+    )
+    for (d <- docs) {
+      val full = run(d, forceFull = true)
+      val scan = run(d, forceFull = false)
+      assert(scan == full, s"match divergence on: $d")
+      // matched a[href] elements must expose their attributes in scan mode
+      assert(scan.filter(_.startsWith("a[href]")).forall(!_.endsWith(":0")))
+    }
+  }
+
+  test("scan mode skips attr recording for unmatched tags (spot check via bench doc)") {
+    val in = getClass.getResourceAsStream("/benchdocs/cloudflare.com.html")
+    assume(in != null)
+    val bytes = in.readAllBytes(); in.close()
+    val full = new TraceSink
+    val scan = new TraceSink
+    new Lexer(strict = false).parse(bytes, full)
+    new Lexer(strict = false).parse(bytes, scan, skipAll)
+    assert(scan.trace == full.trace)
+  }
+}
