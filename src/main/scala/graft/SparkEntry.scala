@@ -71,6 +71,11 @@ object SparkEntry {
     "x6_encoded_sjis" -> ((s, dir) =>
       HtmlClean.encodedRoundtrip(s, dir, "Shift_JIS", " 日本語のテスト文書")),
 
+    // x7: rewrite mode with the transcoding OUTPUT sink — cleaned HTML is
+    // re-encoded in the document's charset, then decoded back for compare
+    "x7_clean_encoded" -> ((s, dir) =>
+      HtmlClean.cleanEncodedRoundtrip(s, dir, "windows-1252", " déjà-vu™")),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -253,6 +258,10 @@ object SparkEntry {
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Äußerst café — résumé' AS main_text FROM documents",
     "x6_encoded_sjis" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' 日本語のテスト文書' AS main_text FROM documents",
+    "x7_clean_encoded" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'<!doctype html><html><body><article><p>' || text || ' déjà-vu™' || " +
+        "'</p></article></body></html>' AS cleaned FROM documents"),
     "t2_token_counts" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 17 AS n_start_tags, " +
         "16 AS n_end_tags, 1 AS n_comments, 1 AS n_doctypes FROM documents"),

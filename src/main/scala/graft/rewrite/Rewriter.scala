@@ -461,6 +461,21 @@ final class Rewriter(
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Transcoding output sink (reference D13 out,
+    * /root/reference/src/rewritable_units/streaming_sink.rs:8-60): rewrite
+    * a document that arrives as raw bytes in `charset` and emit the result
+    * re-encoded in the SAME charset. Per-row whole-document transcode —
+    * the reference's incremental UTF-8 resync machinery exists because it
+    * streams chunks; a table row is complete, so decode-once/encode-once
+    * is equivalent and simpler.
+    */
+  def rewriteEncodedBytes(raw: Array[Byte], charset: java.nio.charset.Charset): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val in = if (charset == utf8) raw else new String(raw, charset).getBytes(utf8)
+    val out = rewriteToBytes(in)
+    if (charset == utf8) out else new String(out, utf8).getBytes(charset)
+  }
+
   def rewriteToBytes(doc: Array[Byte]): Array[Byte] = {
     out.reset()
     input = doc

@@ -151,6 +151,36 @@ object HtmlClean {
       .toDF("doc_id", "main_text")
   }
 
+  /** Rewrite-mode transcoding roundtrip (reference D13 output side): the
+    * document arrives as raw bytes in `charset`, boilerplate subtrees are
+    * stripped, and the cleaned HTML is emitted re-encoded in the SAME
+    * charset. The returned column decodes the output with that charset —
+    * if the engine emitted UTF-8 bytes instead, the non-ASCII `suffix`
+    * would mojibake and the oracle hash would fail.
+    */
+  def cleanEncodedRoundtrip(spark: SparkSession, sfDir: String,
+                            charset: String, suffix: String,
+                            policy: ExtractPolicy = ExtractPolicy.Default): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val cs = java.nio.charset.Charset.forName(charset)
+        val rw = new Rewriter(
+          policy.stripSelectors.map(sel => sel -> ElementHandlers(element = el => el.remove())),
+          strict = false)
+        it.map { case (id, text) =>
+          val html =
+            s"""<!doctype html><html><head><title>d$id</title></head><body><nav>nav-$id</nav>""" +
+              s"""<article><p>$text$suffix</p></article><script>var x=1;</script></body></html>"""
+          val out = rw.rewriteEncodedBytes(html.getBytes(cs), cs)
+          (id, new String(out, cs))
+        }
+      }
+      .toDF("doc_id", "cleaned")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */
