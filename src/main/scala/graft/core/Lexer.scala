@@ -159,7 +159,19 @@ final class Lexer(strict: Boolean = true) extends TagView {
   private var tagIsStart = false
   private var tNameStart, tNameEnd = 0
   private var tNameHash = 0L
+  private var tNameFnv = 0xcbf29ce484222325L
   private var tSelfClosing = false
+
+  private var tNameAscii = true
+
+  /** Case-folded FNV-1a of the current tag's name bytes. Valid during a
+    * sink callback for that tag; lets consumers key unhashable names
+    * without rehashing them.
+    */
+  def tagNameFnv: Long = tNameFnv
+
+  /** True iff the current tag's name is pure ASCII (same validity). */
+  def tagNameIsAscii: Boolean = tNameAscii
   private val attrs = new AttrList
   // current attribute
   private var hasAttr = false
@@ -298,18 +310,27 @@ final class Lexer(strict: Boolean = true) extends TagView {
 
   private def createStartTag(): Unit = {
     hasTag = true; tagIsStart = true
-    tNameStart = 0; tNameEnd = 0; tNameHash = 0L; tSelfClosing = false
+    tNameStart = 0; tNameEnd = 0; tNameHash = 0L; tNameFnv = 0xcbf29ce484222325L; tNameAscii = true; tSelfClosing = false
     attrs.clear(); hasAttr = false
   }
 
   private def createEndTag(): Unit = {
     hasTag = true; tagIsStart = false
-    tNameStart = 0; tNameEnd = 0; tNameHash = 0L; tSelfClosing = false
+    tNameStart = 0; tNameEnd = 0; tNameHash = 0L; tNameFnv = 0xcbf29ce484222325L; tNameAscii = true; tSelfClosing = false
     attrs.clear(); hasAttr = false
   }
 
   @inline private def updateTagNameHash(): Unit =
-    if (pos < len) tNameHash = TagHash.update(tNameHash, input(pos))
+    if (pos < len) {
+      val b = input(pos)
+      tNameHash = TagHash.update(tNameHash, b)
+      // case-folded FNV-1a fallback identity for names the 5-bit hash
+      // can't encode — computed here (the byte is already in hand) so
+      // consumers never rehash the name (see Lexer.tagNameFnv)
+      if (b < 0) tNameAscii = false
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b & 0xff
+      tNameFnv = (tNameFnv ^ c) * 0x100000001b3L
+    }
 
   private def finishTagName(): Unit = {
     tNameStart = tokenPartStart; tNameEnd = pos

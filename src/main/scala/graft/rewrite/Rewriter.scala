@@ -624,19 +624,12 @@ final class Rewriter(
   private var uVals = new Array[String](64)
   private var uCount = 0
   private def internUnhashable(s: Int, e: Int): String = {
-    var h = 0xcbf29ce484222325L
-    var ascii = true
-    var i = s
-    while (i < e) {
-      val b = input(i) & 0xff
-      if (b >= 0x80) ascii = false
-      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
-      h = (h ^ c) * 0x100000001b3L
-      i += 1
-    }
-    if (!ascii) // rare; byte-vs-char compare below would never match
+    // the lexer computed the case-folded FNV while scanning the name —
+    // valid here because interning only happens inside sink callbacks
+    if (!lexer.tagNameIsAscii) // rare; byte-vs-char compare below would never match
       return HtmlUtil.lowerAscii(new String(input, s, e - s,
         java.nio.charset.StandardCharsets.UTF_8))
+    var h = lexer.tagNameFnv
     if (h == 0L) h = 1L
     val mask = uKeys.length - 1
     var j = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
