@@ -96,6 +96,10 @@ object SparkEntry {
       DedupOps.simhashSketch(DedupOps.withVariants(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(DedupOps.withVariants(s, dir), 3)),
+    // d7: embedding-cosine near-dup — sign-projection blocking + exact
+    // cosine verify over planted same-direction duplicates
+    "d7_embdup_pairs" -> ((s, dir) =>
+      DedupOps.embCosineDupPairs(DedupOps.withEmbVariants(s, dir), 0.9)),
 
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
@@ -312,6 +316,17 @@ object SparkEntry {
       (SimhashCte + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
         "FROM sig a, sig b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "d7_embdup_pairs" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500 " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding " +
+        "FROM embeddings WHERE vec_id < 500), " +
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos " +
+        "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9"),
 
     "e1_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), " +

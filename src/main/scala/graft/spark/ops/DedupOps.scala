@@ -196,6 +196,83 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- Embedding-cosine near-dup ----
+
+  /** Embedding working set: vectors plus planted same-direction duplicates
+    * (component-wise x2 — exact in floating point, so cosine is exactly
+    * 1.0 — id offset by 1,000,000). `maxId` bounds the set so the exact
+    * all-pairs oracle stays cheap at every SF.
+    */
+  def withEmbVariants(spark: SparkSession, sfDir: String, maxId: Long = 500): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    emb.unionAll(emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
+  /** Number of sign-projection planes for the near-dup blocking code. */
+  val EmbDupPlanes = 24
+
+  /** Row-local sign-projection code: vectors with the same direction get
+    * the same code deterministically (sign(v . p) is invariant under
+    * positive scaling), so exact-duplicate directions always collide.
+    */
+  def embDupCode(v: Array[Float]): Int = {
+    var code = 0
+    var p = 0
+    while (p < EmbDupPlanes) {
+      var s = 0.0
+      var d = 0
+      // plane family offset 4096 decorrelates from SimOps.annTopK planes
+      while (d < v.length) { s += v(d) * SimOps.planeComp(4096 + p, d); d += 1 }
+      if (s > 0) code |= (1 << p)
+      p += 1
+    }
+    code
+  }
+
+  /** Embedding-cosine near-dup pairs: sign-projection blocking (one
+    * 24-bit code per vector -> bucket) -> in-row ordered pair expansion
+    * (the inverted-index shape, no all-pairs join) -> exact cosine verify
+    * in double precision (sequential fold, DuckDB-bit-compatible).
+    * Blocking recall is exactly 1.0 for same-direction duplicates; for
+    * fuzzy angular thresholds use multi-table probing as in
+    * [[SimOps.annTopK]]. Returns (id_a, id_b, cos >= threshold).
+    */
+  def embCosineDupPairs(base: DataFrame, threshold: Double): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val coded = base.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, embDupCode(v)) }
+      .toDF("vec_id", "code")
+    val pairs = coded.groupBy("code")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+        var i = 0
+        while (i < ids.size) {
+          var j = i + 1
+          while (j < ids.size) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+    val vecs = base.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("cos", round(SimOps.cosine(col("emb_a"), col("emb_b")), 4))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   // ---- SimHash ----
 
   /** 60-bit SimHash over whitespace tokens; token hash = first 15 hex

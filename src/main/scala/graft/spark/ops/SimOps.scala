@@ -56,7 +56,7 @@ object SimOps {
   val BitsPerTable = 4
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim). */
-  @inline private def planeComp(p: Int, d: Int): Double = {
+  @inline private[ops] def planeComp(p: Int, d: Int): Double = {
     val h = DedupOps.mix64(p.toLong * 1048573L + d.toLong + 0x9e3779b97f4a7c15L)
     // map to [-1, 1)
     (h >> 11).toDouble / (1L << 52).toDouble

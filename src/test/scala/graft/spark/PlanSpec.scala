@@ -69,6 +69,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("e2 ANN candidate dedup shuffles bare id pairs, never embeddings") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.spark.ops.SimOps.annTopK(emb, 0L to 9L, 10)
+    // the HashAggregate implementing distinct() must group on exactly
+    // (query_id, vec_id) — an embedding column in its keys would mean
+    // float payloads hashed and exchanged per candidate
+    val agg = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.nonEmpty => a
+    }
+    assert(agg.nonEmpty)
+    val dedup = agg.filter(a =>
+      a.groupingExpressions.map(_.references.map(_.name).mkString).exists(n =>
+        n.contains("query_id") || n.contains("vec_id")))
+    assert(dedup.nonEmpty)
+    assert(dedup.forall(a =>
+      !a.groupingExpressions.exists(_.references.exists(_.name.contains("emb")))),
+      dedup.mkString("\n"))
+  }
+
+  test("d2 shingles once: the persisted shingle view feeds both subtrees") {
+    val df = graft.SparkEntry.queries("d2_ngram_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // both the inverted index and the set-size side must read the cached
+    // relation, not recompute the scan+split+shingle lineage
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("whole-stage codegen wraps the relational queries") {
     val df = graft.SparkEntry.queries("r1_lineitem_agg")(spark, sf)
     df.collect() // finalize the adaptive plan (count() would build a new one)
