@@ -104,10 +104,13 @@ object SparkEntry {
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
       SimOps.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
-    // e2: the ANN path end-to-end, gated on recall vs brute force — the
-    // only oracle-expressible property of an approximate operator
+    // e2/e3: both ANN scale paths end-to-end (multi-probe LSH and IVF
+    // inverted lists), gated on recall vs brute force — the only
+    // oracle-expressible property of an approximate operator
     "e2_ann_recall" -> ((s, dir) =>
       SimOps.annRecallGate(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
+    "e3_ivf_recall" -> ((s, dir) =>
+      SimOps.ivfRecallGate(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
 
     // m2: non-HTML payload routing — deterministic PDFs through the
     // DocRouter branch; extracted text must equal the source text
@@ -340,6 +343,8 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim FROM ranked WHERE rank <= 10"),
 
     "e2_ann_recall" ->
+      "SELECT 10 AS n_queries, 10 AS k, true AS recall_ok",
+    "e3_ivf_recall" ->
       "SELECT 10 AS n_queries, 10 AS k, true AS recall_ok",
     "m2_pdf_branch" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS extracted_text FROM documents",
