@@ -228,11 +228,15 @@ object ExtractPipeline {
     * counts), derives the partition count from `targetBytesPerPartition`,
     * and builds an explicit partition key:
     *
-    *  - giant docs (bytes >= max(p99, 4x mean) — rare by construction)
-    *    are enumerated and striped round-robin, one per partition, in
-    *    descending size order (LPT-style); the enumeration window touches
-    *    only the giants;
-    *  - the small tail is hash-spread by doc_id.
+    *  - giant docs (bytes >= 1/4 of the per-partition byte budget) are
+    *    enumerated and striped round-robin, one per partition, in
+    *    descending size order (LPT-style). The threshold bounds the giant
+    *    COUNT by construction: at most 4x the partition count of them can
+    *    exist, so the single-task enumeration window stays O(partitions)
+    *    at any corpus size (a quantile-based threshold would make it
+    *    O(corpus fraction) — unusable at 10^12 rows);
+    *  - the small tail is hash-spread by doc_id (law of large numbers
+    *    balances sub-threshold docs per task).
     *
     * The partition id is mapped EXACTLY onto shuffle partitions: hash
     * partitioning computes pmod(murmur3(key), P), so we precompute (on the
@@ -253,14 +257,15 @@ object ExtractPipeline {
     // pre-pass: one aggregate over the size column only
     val stats = withBytes.agg(
       sum(col("_bytes")).as("total"),
-      avg(col("_bytes")).as("mean"),
-      expr("approx_percentile(_bytes, 0.99, 1000)").as("p99")).head()
+      avg(col("_bytes")).as("mean")).head()
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val mean = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-    val p99 = if (stats.isNullAt(2)) 0L else stats.getLong(2)
     val numParts = math.max(minPartitions,
       math.ceil(total.toDouble / targetBytesPerPartition).toInt)
-    val giantThreshold = math.max(p99.toDouble, 4.0 * mean)
+    // effective per-task byte budget (the explicit target, or what the
+    // partition count implies); giants fill >= 1/4 of a task
+    val budget = math.max(total.toDouble / numParts, 1.0)
+    val giantThreshold = math.max(4.0 * mean, budget / 4.0)
 
     val giants = withBytes.where(col("_bytes") >= giantThreshold)
       .withColumn("_pid",

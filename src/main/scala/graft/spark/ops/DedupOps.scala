@@ -240,8 +240,15 @@ object DedupOps {
     * Blocking recall is exactly 1.0 for same-direction duplicates; for
     * fuzzy angular thresholds use multi-table probing as in
     * [[SimOps.annTopK]]. Returns (id_a, id_b, cos >= threshold).
+    *
+    * `bucketCap` bounds the in-row pair expansion: a web-scale corpus has
+    * million-member duplicate clusters (and degenerate all-zero vectors
+    * share code 0), whose O(n^2) pair lists are useless — dedup-apply
+    * wants cluster representatives, not every edge. Oversized buckets are
+    * dropped and surfaced via the observed metric "dropped_buckets".
     */
-  def embCosineDupPairs(base: DataFrame, threshold: Double): DataFrame = {
+  def embCosineDupPairs(base: DataFrame, threshold: Double,
+                        bucketCap: Int = 10000): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val coded = base.select(col("vec_id"), col("embedding"))
@@ -250,7 +257,9 @@ object DedupOps {
       .toDF("vec_id", "code")
     val pairs = coded.groupBy("code")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .observe("embdup_buckets",
+        sum(when(size(col("ids")) > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
