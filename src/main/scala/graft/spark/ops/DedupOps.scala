@@ -99,7 +99,12 @@ object DedupOps {
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("set_size"))
     val spark = base.sparkSession
     import spark.implicits._
+    // the inverted-index shuffle keys on xxhash64 of the shingle, not the
+    // string: the exchange carries 8 bytes instead of ~20-char trigrams
+    // (a 64-bit collision would need ~2^32 distinct shingles to appear
+    // at even odds; at that point inter counts drift by at most 1)
     val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .observe("ngram_shingle_buckets",
         sum(when(size(col("ids")) > dfCap, 1L).otherwise(0L)).as("dropped_shingles"))
