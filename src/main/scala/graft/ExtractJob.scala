@@ -18,10 +18,12 @@ import graft.spark._
   */
 object ExtractJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ExtractJob <input> <output> [buckets]")
+    require(args.length >= 2,
+      "usage: ExtractJob <input> <output> [buckets] [maxBucketsPerPass]")
     val input = args(0)
     val output = args(1)
     val buckets = if (args.length > 2) args(2).toInt else 256
+    val perPass = if (args.length > 3) args(3).toInt else Int.MaxValue
 
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -30,7 +32,8 @@ object ExtractJob {
     import spark.implicits._
 
     val docs = spark.read.parquet(input).as[InterleavedDoc]
-    val results = CheckpointedExtract.run(docs, output, buckets)
+    val results = CheckpointedExtract.run(docs, output, buckets,
+      maxBucketsPerPass = perPass)
     results.foreach(r => println(
       s"bucket=${r.bucket} docs=${r.docs} text=${r.textSpans} media=${r.mediaSpans} " +
         s"errors=${r.errors} bytes=${r.bytes} wall_ms=${r.wallMs}"))

@@ -503,8 +503,13 @@ final class Rewriter(
     var nsV: Int = Ns.Html
     var attrsV: AttrList = _
     var in: Array[Byte] = _
+    // lazily-materialized attr strings, validated by an epoch stamp so
+    // per-tag invalidation is one counter bump instead of two array fills
     private var attrNamesLower: Array[String] = new Array[String](8)
     private var attrValues: Array[String] = new Array[String](8)
+    private var nameStamp = new Array[Int](8)
+    private var valueStamp = new Array[Int](8)
+    private var epoch = 0
     private var matCount = -1
 
     def set(in0: Array[Byte], nameStart: Int, nameEnd: Int, hash: Long,
@@ -512,13 +517,17 @@ final class Rewriter(
       in = in0; nameLowerV = null; nameStartV = nameStart; nameEndV = nameEnd
       nameHashV = hash; nsV = ns; attrsV = attrs
       matCount = if (attrs == null) 0 else attrs.count
-      if (!program.hasOnlyNameOnlyPreds && matCount > 0) {
-        if (matCount > attrNamesLower.length) {
-          attrNamesLower = new Array[String](matCount * 2)
-          attrValues = new Array[String](matCount * 2)
-        }
-        java.util.Arrays.fill(attrNamesLower.asInstanceOf[Array[AnyRef]], 0, matCount, null)
-        java.util.Arrays.fill(attrValues.asInstanceOf[Array[AnyRef]], 0, matCount, null)
+      if (matCount > attrNamesLower.length) {
+        attrNamesLower = new Array[String](matCount * 2)
+        attrValues = new Array[String](matCount * 2)
+        nameStamp = new Array[Int](matCount * 2)
+        valueStamp = new Array[Int](matCount * 2)
+      }
+      epoch += 1
+      if (epoch == Int.MaxValue) { // stamp wrap: clear once per 2^31 tags
+        java.util.Arrays.fill(nameStamp, 0)
+        java.util.Arrays.fill(valueStamp, 0)
+        epoch = 1
       }
     }
     // lazy: most tags never need the name STRING (hash compares suffice);
@@ -532,22 +541,20 @@ final class Rewriter(
     def isHtmlNs: Boolean = nsV == Ns.Html
     def attrCount: Int = matCount
     def attrNameLower(i: Int): String = {
-      var s = attrNamesLower(i)
-      if (s == null) {
-        s = HtmlUtil.lowerAscii(new String(in, attrsV.nameStart(i),
+      if (nameStamp(i) != epoch) {
+        attrNamesLower(i) = HtmlUtil.lowerAscii(new String(in, attrsV.nameStart(i),
           attrsV.nameEnd(i) - attrsV.nameStart(i), java.nio.charset.StandardCharsets.UTF_8))
-        attrNamesLower(i) = s
+        nameStamp(i) = epoch
       }
-      s
+      attrNamesLower(i)
     }
     def attrValue(i: Int): String = {
-      var s = attrValues(i)
-      if (s == null) {
-        s = new String(in, attrsV.valueStart(i),
+      if (valueStamp(i) != epoch) {
+        attrValues(i) = new String(in, attrsV.valueStart(i),
           attrsV.valueEnd(i) - attrsV.valueStart(i), java.nio.charset.StandardCharsets.UTF_8)
-        attrValues(i) = s
+        valueStamp(i) = epoch
       }
-      s
+      attrValues(i)
     }
     // byte-level probe: unmatched attributes never materialize a name
     override def attrNameEq(i: Int, lowerName: String): Boolean =
