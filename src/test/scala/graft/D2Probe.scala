@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object D2Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("d2_ngram_pairs")(spark, "/root/testdata/sf0.1")
+        .queryExecution.toRdd.count()
+      println(f"d2 run $i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}
