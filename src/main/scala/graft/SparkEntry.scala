@@ -129,6 +129,14 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "m1_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.decodeMeta(MultimodalOps.assets(s, dir))),
+    // m3/m4/m5: resize, frame-sample (explode shape + byte-offset math
+    // under the oracle), and feature extraction over the decoded payload
+    "m3_multimodal_resize" -> ((s, dir) =>
+      MultimodalOps.resizeMeta(MultimodalOps.assets(s, dir), 64, 48)),
+    "m4_multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(MultimodalOps.assets(s, dir), 2)),
+    "m5_multimodal_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(MultimodalOps.assets(s, dir))),
 
     // ---- stock relational coverage ----
     "r1_lineitem_agg" -> ((s, dir) => {
@@ -358,6 +366,20 @@ object SparkEntry {
       ("SELECT vec_id, CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
         "CAST(24 + (label % 5) * 12 AS INT) AS height, 3 AS channels, " +
         "CAST(len(embedding) * 4 AS INT) AS payload_bytes, true AS ok FROM embeddings"),
+    "m3_multimodal_resize" ->
+      ("SELECT vec_id, 64 AS width, 48 AS height, 3 AS channels, " +
+        "CAST(len(embedding) / 2 * 4 AS INT) AS payload_bytes, true AS ok FROM embeddings"),
+    // the resized payload keeps every other 4-byte group; the frame
+    // sampler reads float f*4+1 of the ORIGINAL payload (frame = 4 floats)
+    "m4_multimodal_frames" ->
+      ("SELECT vec_id, CAST(f AS INT) AS frame_idx, 16 AS frame_bytes, " +
+        "round(CAST(embedding[CAST(f * 4 + 1 AS INT)] AS DOUBLE), 4) AS lead " +
+        "FROM embeddings, unnest(range(0, CAST(len(embedding) / 4 AS BIGINT), 2)) AS t(f)"),
+    "m5_multimodal_features" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
+        "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +
+        "round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2 " +
+        "FROM embeddings"),
 
     "r1_lineitem_agg" ->
       // CAST the sum itself: DuckDB sum(BIGINT) yields HUGEINT, which the

@@ -69,4 +69,88 @@ object MultimodalOps {
       .mapPartitions { it => it.map { case (_, bytes) => decodeStub(bytes) } }
       .toDF()
   }
+
+  /** STUB resize: binary in -> binary out, new header dims, payload
+    * downsampled 2x (every other 4-byte group — a real build swaps in a
+    * real scaler with the same signature). Returns the re-decoded
+    * metadata of the resized asset so the byte plumbing is checked
+    * end-to-end, not just the header arithmetic.
+    */
+  def resizeMeta(assetsDf: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.select(col("vec_id"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (_, bytes) =>
+          val in = java.nio.ByteBuffer.wrap(bytes)
+          in.getInt(); val id = in.getLong(); in.getInt(); in.getInt()
+          val groups = (bytes.length - 20) / 4
+          val outGroups = groups / 2
+          val bb = java.nio.ByteBuffer.allocate(20 + outGroups * 4)
+          bb.putInt(Magic); bb.putLong(id); bb.putInt(targetW); bb.putInt(targetH)
+          var g = 0
+          while (g < outGroups) { bb.putInt(in.getInt(20 + g * 8)); g += 1 }
+          decodeStub(bb.array())
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames (16 bytes = 4
+    * float32), emit every `everyN`-th frame as its own row with the
+    * frame's leading component decoded from the raw bytes — the explode
+    * shape of a video frame-sampler, with the offset arithmetic under the
+    * oracle. Returns (vec_id, frame_idx, frame_bytes, lead rounded 4dp).
+    */
+  def sampleFrames(assetsDf: DataFrame, everyN: Int): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.select(col("vec_id"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val payload = bytes.length - 20
+        val frames = payload / 16
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        (0 until frames by everyN).map { f =>
+          (id, f, 16, bb.getFloat(20 + f * 16).toDouble)
+        }
+      }
+      // Spark's round (HALF_UP) matches DuckDB's; rounding in Scala
+      // (rint = half-even) would not
+      .toDF("vec_id", "frame_idx", "frame_bytes", "lead")
+      .withColumn("lead", round(col("lead"), 4))
+  }
+
+  /** Feature extraction over the decoded payload: per-asset mean and L2
+    * norm of the float components, accumulated sequentially in double
+    * precision (bit-compatible with DuckDB's list_reduce /
+    * list_dot_product over DOUBLE[]). A real build would run a feature
+    * network here; the batch/schema shape is identical.
+    */
+  def extractFeatures(assetsDf: DataFrame): DataFrame = {
+    val spark = assetsDf.sparkSession
+    import spark.implicits._
+    assetsDf.select(col("vec_id"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val n = (bytes.length - 20) / 4
+          var sum = 0.0
+          var sq = 0.0
+          var i = 0
+          while (i < n) {
+            val v = bb.getFloat(20 + i * 4).toDouble
+            sum += v
+            sq += v * v
+            i += 1
+          }
+          (id, n, sum / n, math.sqrt(sq))
+        }
+      }
+      .toDF("vec_id", "n_comp", "mean", "l2")
+      .withColumn("mean", round(col("mean"), 4))
+      .withColumn("l2", round(col("l2"), 4))
+  }
 }
