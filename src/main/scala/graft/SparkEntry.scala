@@ -100,6 +100,12 @@ object SparkEntry {
     // cosine verify over planted same-direction duplicates
     "d7_embdup_pairs" -> ((s, dir) =>
       DedupOps.embCosineDupPairs(DedupOps.withEmbVariants(s, dir), 0.9)),
+    // d8: connected-component cluster assignment over the near-dup pair
+    // list (min-id label propagation to fixpoint)
+    "d8_dedup_clusters" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      DedupOps.clusterIds(base, DedupOps.minhashLshPairs(base, 0.6))
+    }),
 
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
@@ -247,7 +253,20 @@ object SparkEntry {
       "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END) AS BIGINT) AS simhash " +
       "FROM bits GROUP BY 1)"
 
+  // connected components over the thresholded pair list via a recursive
+  // CTE (label = min reachable id)
+  private val ClustersSql =
+    "WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a " +
+      "JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6), " +
+      "sym AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b AS a, id_a AS b FROM jp), " +
+      "r(id, lab) AS (SELECT doc_id, doc_id FROM base " +
+      "UNION SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.id) " +
+      "SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1"
+
   def oracleSql: Map[String, String] = Map(
+    "d8_dedup_clusters" -> ClustersSql,
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x2_extract_media" ->

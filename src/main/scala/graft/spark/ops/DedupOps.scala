@@ -201,6 +201,43 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected-component cluster ids over a near-dup pair list: every
+    * document gets the MIN doc_id of its duplicate component (the
+    * scale-correct dedup-apply primitive — dropping `id_b` of each pair,
+    * as d6 does, over-deletes on chains A~B~C). Iterative min-label
+    * propagation; each round is one shuffle join and the label sum
+    * strictly decreases until fixpoint, so convergence is checked with a
+    * cheap aggregate (O(component diameter) rounds; near-dup components
+    * are shallow — for web-graph-diameter inputs switch to
+    * large-star/small-star). Returns (doc_id, cluster_id).
+    */
+  def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodes = base.select(col("doc_id")).distinct()
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    val sym = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = sym
+        .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nlabel")), "id_b")
+        .groupBy(col("id_a").as("doc_id")).agg(min(col("nlabel")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ---- Embedding-cosine near-dup ----
 
   /** Embedding working set: vectors plus planted same-direction duplicates
