@@ -214,6 +214,15 @@ object Bench {
     val rwMix = new Rewriter(
       Seq("div" -> countHandler, ".note" -> countHandler, "[href]" -> countHandler),
       strict = false, produceOutput = false)
+    // the reference's rewriting bench group (benches/cases/rewriting.rs):
+    // body tag-rename + content append, and ul inner-content removal —
+    // full output serialization
+    val rwModify = new Rewriter(Seq("body" -> ElementHandlers(element = el => {
+      el.setTagName("div")
+      el.append("<!--appended-->")
+    })), strict = false)
+    val rwRemove = new Rewriter(Seq("ul" -> ElementHandlers(element = el =>
+      el.setInnerContent(""))), strict = false)
 
     docs.map { case (name, bytes) =>
       val reps = math.max(8, (48 * 1024 * 1024 / bytes.length))
@@ -222,7 +231,9 @@ object Bench {
       val rawMb = mbps(bytes, reps)(extractor.extractRaw(bytes, Vector.empty, Vector.empty))
       val selMb = mbps(bytes, reps)(rwNames.rewriteToBytes(bytes))
       val mixMb = mbps(bytes, reps)(rwMix.rewriteToBytes(bytes))
-      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s  extract_raw=${rawMb}%8.1f MB/s  sel_scan=${selMb}%8.1f MB/s  sel_mix=${mixMb}%8.1f MB/s"
+      val modMb = mbps(bytes, reps)(rwModify.rewriteToBytes(bytes))
+      val remMb = mbps(bytes, reps)(rwRemove.rewriteToBytes(bytes))
+      f"$name%-24s lex=${lexMb}%8.1f MB/s  extract=${exMb}%8.1f MB/s  extract_raw=${rawMb}%8.1f MB/s  sel_scan=${selMb}%8.1f MB/s  sel_mix=${mixMb}%8.1f MB/s  rw_rename=${modMb}%8.1f MB/s  rw_remove=${remMb}%8.1f MB/s"
     }
   }
 }

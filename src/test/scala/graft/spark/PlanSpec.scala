@@ -98,6 +98,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("bucketed tables co-locate the fact join: no shuffle on the join keys") {
+    import org.apache.spark.sql.functions.col
+    // pre-bucketing both sides on the join key is the 100 TB recipe for
+    // repeated fact-fact joins (one write-time shuffle, then every join
+    // is exchange-free); prove the plan here
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.collect() // finalize AQE
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    spark.sql("DROP TABLE li_b")
+    spark.sql("DROP TABLE ord_b")
+  }
+
   test("whole-stage codegen wraps the relational queries") {
     val df = graft.SparkEntry.queries("r1_lineitem_agg")(spark, sf)
     df.collect() // finalize the adaptive plan (count() would build a new one)
