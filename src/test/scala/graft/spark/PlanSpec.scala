@@ -124,6 +124,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE ord_b")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the plan)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // 95% of the left side shares one key; lower AQE's skew thresholds so
+    // the sf0.001-sized input trips the same re-plan a 100 TB job would
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+      val right = spark.range(0, 100).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      joined.collect() // finalize the adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen wraps the relational queries") {
     val df = graft.SparkEntry.queries("r1_lineitem_agg")(spark, sf)
     df.collect() // finalize the adaptive plan (count() would build a new one)
