@@ -49,6 +49,21 @@ object StreamingExtract {
       .start()
   }
 
+  /** In-stream exact dedup: drop re-crawled/duplicate documents by content
+    * fingerprint inside the watermark horizon (state is bounded — the
+    * classic requirement for unbounded streams; an unwatermarked
+    * dropDuplicates would grow state forever at crawl scale). Emits the
+    * first-seen row per fingerprint.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "30 seconds"): DataFrame = {
+    docs
+      .withColumn("fp", md5(to_json(col("spans"))))
+      .withColumn("arrival", current_timestamp())
+      .withWatermark("arrival", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("arrival")
+  }
+
   /** Windowed span-rate metrics over a stream of (doc batch arrival time,
     * span counts): tumbling 10s windows with a 30s watermark — the
     * event-time aggregation shape for production monitoring.

@@ -219,6 +219,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == 500)
   }
 
+  test("streaming dedup drops duplicate documents within the watermark") {
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_din").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dout").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_dck").toString
+    // 500 docs, each duplicated once under a shifted id (a re-crawl)
+    val base = InterleavedGen.table(spark, sf).toDF()
+    base.unionAll(base.withColumn("doc_id", concat(lit("re-"), col("doc_id"))))
+      .write.mode("overwrite").parquet(inDir)
+    val in = spark.readStream
+      .schema(graft.streaming.StreamingExtract.inputSchema).parquet(inDir)
+    val q = graft.streaming.StreamingExtract.dedupStream(in)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 500) // one survivor per content fingerprint
+    assert(out.select(countDistinct(col("fp"))).head().getLong(0) == 500)
+  }
+
   test("salted rebalance evens out a pathologically skewed input") {
     import org.apache.spark.sql.functions._
     // all rows crammed into one partition; AQE off so the requested
