@@ -650,12 +650,17 @@ final class Lexer(strict: Boolean = true) extends TagView {
           } else { createComment(); reconsume(); state = S_BOGUS_COMMENT }
 
         case S_TAG_NAME =>
-          val c = consume()
-          if (isWs(c)) { finishTagName(); state = S_BEFORE_ATTR_NAME }
-          else if (c == '>') { finishTagName(); state = emitTag() }
-          else if (c == '/') { finishTagName(); state = S_SELF_CLOSING_START_TAG }
-          else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
-          else updateTagNameHash()
+          // hot state: stay in a tight inner loop over the name chars
+          // instead of re-entering the dispatch switch per char
+          var spin = true
+          while (spin) {
+            val c = consume()
+            if (isWs(c)) { finishTagName(); state = S_BEFORE_ATTR_NAME; spin = false }
+            else if (c == '>') { finishTagName(); state = emitTag(); spin = false }
+            else if (c == '/') { finishTagName(); state = S_SELF_CLOSING_START_TAG; spin = false }
+            else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true; spin = false }
+            else updateTagNameHash()
+          }
 
         case S_SELF_CLOSING_START_TAG =>
           val c = consume()
@@ -678,13 +683,15 @@ final class Lexer(strict: Boolean = true) extends TagView {
           }
 
         case S_ATTR_NAME =>
-          val c = consume()
-          if (isWs(c)) { finishAttrName(); state = S_AFTER_ATTR_NAME }
-          else if (c == '=') { finishAttrName(); state = S_BEFORE_ATTR_VALUE }
-          else if (c == '/') { finishAttrName(); finishAttr(); state = S_SELF_CLOSING_START_TAG }
-          else if (c == '>') { finishAttrName(); finishAttr(); state = emitTag() }
-          else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
-          else ()
+          var spin = true
+          while (spin) {
+            val c = consume()
+            if (isWs(c)) { finishAttrName(); state = S_AFTER_ATTR_NAME; spin = false }
+            else if (c == '=') { finishAttrName(); state = S_BEFORE_ATTR_VALUE; spin = false }
+            else if (c == '/') { finishAttrName(); finishAttr(); state = S_SELF_CLOSING_START_TAG; spin = false }
+            else if (c == '>') { finishAttrName(); finishAttr(); state = emitTag(); spin = false }
+            else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true; spin = false }
+          }
 
         case S_AFTER_ATTR_NAME =>
           val c = consume()
@@ -715,11 +722,13 @@ final class Lexer(strict: Boolean = true) extends TagView {
           } else { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
 
         case S_ATTR_VALUE_UNQ =>
-          val c = consume()
-          if (isWs(c)) { finishAttrValue(); finishAttr(); state = S_BEFORE_ATTR_NAME }
-          else if (c == '>') { finishAttrValue(); finishAttr(); state = emitTag() }
-          else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true }
-          else ()
+          var spin = true
+          while (spin) {
+            val c = consume()
+            if (isWs(c)) { finishAttrValue(); finishAttr(); state = S_BEFORE_ATTR_NAME; spin = false }
+            else if (c == '>') { finishAttrValue(); finishAttr(); state = emitTag(); spin = false }
+            else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true; spin = false }
+          }
 
         // ---- comments ----
         case S_BOGUS_COMMENT =>
