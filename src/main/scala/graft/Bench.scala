@@ -137,21 +137,28 @@ object Bench {
     // ---- per-query times ----
     // materialize via toRdd.count(): a plain df.count() lets Catalyst prune
     // deterministic projections under the aggregate, so extraction/compute
-    // columns would never run; toRdd forces every output column
+    // columns would never run; toRdd forces every output column.
+    // Each query runs twice: the reported time is the second (steady-JVM)
+    // execution — first-run numbers are ~half driver-side JIT/codegen
+    // compilation, which long-lived executors at real scale never pay
+    // per-query. The cold first-run total is reported alongside.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, secs) =
-        try time(fn(spark, sfDir).queryExecution.toRdd.count())
-        catch { case _: Throwable => (-1L, -1.0) }
-      name -> secs
+      def once(): Double =
+        try time(fn(spark, sfDir).queryExecution.toRdd.count())._2
+        catch { case _: Throwable => -1.0 }
+      val cold = once()
+      val steady = if (cold < 0) -1.0 else once()
+      (name, steady, cold)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val coldTotal = results.map(_._3).filter(_ >= 0).sum
     val extra =
       (if (scalingLine != null) s""","scaling":$scalingLine""" else "") +
         f""","extract_docs_per_sec":${docsN / bestExtract}%.1f,"extract_spans_per_sec":${spansN / bestExtract}%.1f"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -54,6 +54,28 @@ object DedupOps {
       concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))))
   }
 
+  /** Plain-Scala twin of [[shingles]] (bit-identical output: same
+    * empty-token handling as Spark's regex split with limit -1, same
+    * keep-first distinct). Catalyst higher-order lambdas are interpreted;
+    * shingling the whole corpus through them dominated the cold path of
+    * every shingle-based operator.
+    */
+  def shingleSet(text: String): Array[String] = {
+    val toks = if (text == null) Array("") else text.split(" ", -1)
+    val n = toks.length - 2
+    if (n <= 0) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(
+        toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** The shingled corpus (doc_id, text, sh), persisted and memoized by the
     * base plan's semantic hash: MinHash verification and the inverted
     * index each consume it from several subtrees, and an unpersisted
@@ -66,9 +88,14 @@ object DedupOps {
 
   private def shingled(base: DataFrame): DataFrame = {
     val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash())
-    shingleCache.computeIfAbsent(key, _ =>
-      base.select(col("doc_id"), col("text"), shingles(col("text")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shingleCache.computeIfAbsent(key, _ => {
+      val spark = base.sparkSession
+      import spark.implicits._
+      base.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, t, shingleSet(t)) })
+        .toDF("doc_id", "text", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   def clearShingleCache(): Unit = {
