@@ -436,17 +436,19 @@ final class Rewriter(
   private val vm = new MatchingVm(program)
   private val out = new ByteBuf(4096)
 
-  /** Scan mode (reference O1: two-mode parsing): eligible when no token
-    * kind other than tags can ever be consumed — no output serialization,
-    * no raw-text listener, and no text/comment/doctype handlers (selector-
-    * scoped content handlers could activate mid-document, so their mere
-    * registration disqualifies). The lexer then skips attribute recording
-    * for every tag the program can't match (Program.scanAttrNeed).
-    * Document-end handlers are fine (they see no tokens).
+  /** Scan mode (reference O1: two-mode parsing): the lexer skips
+    * attribute recording for every tag the program cannot match
+    * (Program.scanAttrNeed). Safe for EVERY workload, not just match-only
+    * ones: unmatched tags' attribute outlines have no consumer — raw
+    * passthrough serialization emits original input slices, text/comment/
+    * doctype tokens carry no attributes, the raw-text listener reads byte
+    * ranges, and every tag that CAN match (and therefore materialize an
+    * Element or evaluate an attribute predicate) has its name in the
+    * attr-need table, so its attributes are always recorded. Foreign
+    * content and end tags are handled inside the lexer. Tests can force
+    * the full attribute states via [[disableAttrSkip]].
     */
-  private val scanEligible =
-    !produceOutput && listener == null &&
-      textHandlers.size == 0 && commentHandlers.size == 0 && doctypeHandlers.size == 0
+  private[rewrite] var disableAttrSkip = false
 
   // ---- per-document state ----
   private var input: Array[Byte] = _
@@ -488,8 +490,8 @@ final class Rewriter(
     // selector-scoped inactive, dynamic end-tag handlers dropped)
     elementHandlers.reset(); commentHandlers.reset(); textHandlers.reset()
     doctypeHandlers.reset(); endHandlers.reset(); endTagHandlers.reset()
-    if (scanEligible) lexer.parse(doc, sink, program.scanAttrNeed)
-    else lexer.parse(doc, sink)
+    if (disableAttrSkip) lexer.parse(doc, sink)
+    else lexer.parse(doc, sink, program.scanAttrNeed)
     input = null
     out.toArray
   }

@@ -99,8 +99,8 @@ class ScanModeSpec extends AnyFunSuite {
       val buf = new mutable.ArrayBuffer[String]()
       val handlers = selectors.map(s => s -> ElementHandlers(element = el =>
         buf += s"$s:${el.tagName}:${Option(el.attr("href")).getOrElse("-")}:${el.attributes.size}"))
-      val rw = new Rewriter(handlers, strict = false, produceOutput = false,
-        listener = if (forceFull) new RewriteListener {} else null)
+      val rw = new Rewriter(handlers, strict = false, produceOutput = false)
+      rw.disableAttrSkip = forceFull
       rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       buf.toSeq
     }
