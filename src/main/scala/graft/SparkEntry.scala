@@ -230,6 +230,12 @@ object SparkEntry {
       "array_to_string(list_filter(string_split(text, ' '), (x,i) -> i % 17 != 0), ' ') AS text " +
       "FROM documents)"
 
+  // `pairs` is the exact co-occurrence count (MinHash verification is
+  // uncapped); `pairsc` applies d2's document-frequency cap on shingle
+  // buckets — the cap is part of that operator's DEFINED semantics
+  // (DedupOps.DefaultShingleDfCap), so its oracle must apply the
+  // identical cap: co-occurrence counts exclude over-frequent shingles
+  // while set sizes keep them
   private val ShinglesCte =
     BaseCte + ", sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "range(1, greatest(len(string_split(text,' ')) - 1, 1)), " +
@@ -239,6 +245,20 @@ object SparkEntry {
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
       "FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
 
+  private val CappedPairsCte =
+    ShinglesCte +
+      s", shok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND ${DedupOps.DefaultShingleDfCap}), " +
+      "pairsc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM sh a JOIN sh b USING (sh) JOIN shok USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  /** d2's oracle: capped pairs (the operator's semantics). */
+  private val JaccardPairsCappedSql =
+    CappedPairsCte +
+      " SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard " +
+      "FROM pairsc JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"
+
+  /** d3's oracle: exact uncapped Jaccard ground truth. */
   private val JaccardPairsSql =
     ShinglesCte +
       " SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard " +
@@ -336,7 +356,7 @@ object SparkEntry {
 
     "d1_exact_dedup" ->
       (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),
-    "d2_ngram_pairs" -> JaccardPairsSql,
+    "d2_ngram_pairs" -> JaccardPairsCappedSql,
     // d3 (MinHash+LSH with exact-Jaccard verify) must equal the exact
     // ground truth at this threshold; recall is deterministic and checked
     // locally (banding: 32 bands x 2 rows)

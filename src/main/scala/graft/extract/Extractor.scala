@@ -157,26 +157,7 @@ final class Extractor(policy: ExtractPolicy) {
     extractHtml(html, mediaRefs, mediaOffsets)
   }
 
-  private def utf8Len(s: String): Int = {
-    // counts exactly what String.getBytes(UTF_8) produces: an unpaired
-    // surrogate (high without a following low, or stray low) encodes as a
-    // single '?' replacement byte, not a 3/4-byte sequence
-    var n = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      n += (if (c < 0x80) 1
-            else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) {
-              if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
-              else 1
-            }
-            else if (Character.isLowSurrogate(c)) 1
-            else 3)
-      i += 1
-    }
-    n
-  }
+  private def utf8Len(s: String): Int = graft.core.Utf8.encodedLength(s).toInt
 
   /** Raw extraction result: span structure as parallel arrays over the
     * document's byte buffer — no string materialization. kind 0 = text

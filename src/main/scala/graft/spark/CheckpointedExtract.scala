@@ -98,6 +98,12 @@ object CheckpointedExtract {
         require(p == pid,
           s"resume with a different extraction policy (ledger $p, requested $pid)")
       case None =>
+        // a headerless ledger that already has bucket lines predates the
+        // header format — stamping the CURRENT parameters would legitimize
+        // a mismatched resume, the exact bug the header prevents
+        require(doneBuckets(outDir).isEmpty,
+          s"ledger at $outDir has completed buckets but no header " +
+            "(pre-header format); re-run from scratch or add the header manually")
         appendLedger(outDir, Seq(s"""{"header":1,"buckets":$buckets,"policy":"$pid"}"""))
     }
     val done = doneBuckets(outDir)

@@ -144,29 +144,11 @@ object InterleavedGen {
   */
 object ExtractPipeline {
 
-  /** UTF-8 octet count of a string (what getBytes(UTF_8) would produce,
-    * including single-byte replacement of unpaired surrogates), without
-    * materializing the byte array — ledger/metrics "bytes" are octets,
-    * not chars.
+  /** Ledger/metrics "bytes" are UTF-8 octets, not chars — single source
+    * of truth in [[graft.core.Utf8]] so metrics and the extractor's
+    * buffer sizing can never drift apart.
     */
-  private[spark] def utf8Bytes(s: String): Long = {
-    if (s == null) return 0L
-    var n = 0L
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      n += (if (c < 0x80) 1
-            else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) {
-              if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
-              else 1
-            }
-            else if (Character.isLowSurrogate(c)) 1
-            else 3)
-      i += 1
-    }
-    n
-  }
+  private[spark] def utf8Bytes(s: String): Long = graft.core.Utf8.encodedLength(s)
 
   /** DataFrame-level extraction: the engine runs as a Catalyst expression
     * directly over columnar data (no encoder round-trip). The `spans`
@@ -252,8 +234,12 @@ object ExtractPipeline {
                           policy: ExtractPolicy = ExtractPolicy.Default): Dataset[ExtractedDoc] = {
     val spark = ds.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // null-safe: a null spans array or null span text must not make the
+    // byte count NULL (a NULL fails both threshold predicates below and
+    // the document would silently vanish from the output)
     val withBytes = ds.toDF().withColumn("_bytes",
-      aggregate(col("spans"), lit(0L), (acc, s) => acc + octet_length(s.getField("text"))))
+      coalesce(aggregate(col("spans"), lit(0L),
+        (acc, s) => acc + coalesce(octet_length(s.getField("text")), lit(0))), lit(0L)))
     // pre-pass: one aggregate over the size column only
     val stats = withBytes.agg(
       sum(col("_bytes")).as("total"),

@@ -54,11 +54,12 @@ object DedupOps {
       concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))))
   }
 
-  /** Plain-Scala twin of [[shingles]] (bit-identical output: same
-    * empty-token handling as Spark's regex split with limit -1, same
-    * keep-first distinct). Catalyst higher-order lambdas are interpreted;
-    * shingling the whole corpus through them dominated the cold path of
-    * every shingle-based operator.
+  /** Plain-Scala twin of [[shingles]] — bit-identical output for non-null
+    * text (same empty-token handling as Spark's regex split with limit
+    * -1, same keep-first distinct); null text maps to an EMPTY set where
+    * the column expression would propagate NULL. Catalyst higher-order
+    * lambdas are interpreted; shingling the whole corpus through them
+    * dominated the cold path of every shingle-based operator.
     */
   def shingleSet(text: String): Array[String] = {
     val toks = if (text == null) Array("") else text.split(" ", -1)
@@ -81,24 +82,39 @@ object DedupOps {
     * index each consume it from several subtrees, and an unpersisted
     * DataFrame subtree recomputes its whole lineage (scan + split +
     * shingle) once per consumer. At 100 TB this is a staging table write;
-    * locally MEMORY_AND_DISK. Call [[clearShingleCache]] to release.
+    * locally MEMORY_AND_DISK, bounded to the most recent few plans (older
+    * entries are unpersisted on eviction). Caveat: memoization keys on
+    * the PLAN, not the data — if the underlying files are overwritten
+    * in-place within one session, call [[clearShingleCache]] first.
     */
+  private val MaxCachedShingleViews = 4
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Int), DataFrame]): Boolean = {
+        val evict = size() > MaxCachedShingleViews
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
 
-  private def shingled(base: DataFrame): DataFrame = {
+  private def shingled(base: DataFrame): DataFrame = shingleCache.synchronized {
     val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash())
-    shingleCache.computeIfAbsent(key, _ => {
+    val cached = shingleCache.get(key)
+    if (cached != null) cached
+    else {
       val spark = base.sparkSession
       import spark.implicits._
-      base.select(col("doc_id"), col("text")).as[(Long, String)]
+      val df = base.select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => (id, t, shingleSet(t)) })
         .toDF("doc_id", "text", "sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      shingleCache.put(key, df)
+      df
+    }
   }
 
-  def clearShingleCache(): Unit = {
+  def clearShingleCache(): Unit = shingleCache.synchronized {
     shingleCache.values.forEach(df => df.unpersist())
     shingleCache.clear()
   }
@@ -245,8 +261,12 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("cluster_id", col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
-    var converged = false
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster_id"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty input: sum is NULL
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum == 0L // empty corpus: nothing to propagate
     while (!converged) {
       val viaNeighbors = sym
         .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nlabel")), "id_b")
@@ -255,7 +275,7 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum

@@ -114,12 +114,18 @@ object SimOps {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+    rankCandidates(emb, candIds, queryIds, k)
+  }
 
+  /** Shared ANN tail: attach one vector copy per side (candidate id list
+    * and query vectors broadcast, big side map-only), exact-cosine score,
+    * top-k per query. Both approximate paths MUST rank identically —
+    * this is the single definition of the tie-break order.
+    */
+  private def rankCandidates(emb: DataFrame, candIds: DataFrame,
+                             queryIds: Seq[Long], k: Int): DataFrame = {
     val qVecs = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-
-    // re-attach one vector copy per side: candidate list and query vectors
-    // are both small relative to the corpus -> broadcast, big side map-only
     val scored = emb.join(broadcast(candIds), "vec_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
@@ -127,6 +133,20 @@ object SimOps {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Shared recall gate: both approximate paths assert the SAME property
+    * against the same brute-force ground truth.
+    */
+  private def recallGate(bf: DataFrame, approx: DataFrame, k: Int,
+                         minRecall: Double): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).cast("int").as("n_queries"),
+        lit(k).as("k"),
+        (sum(coalesce(col("hit"), lit(0L))) / count(lit(1)) >= minRecall).as("recall_ok"))
   }
 
   // ---- IVF (inverted-file) ANN: the second scale path ----
@@ -192,6 +212,18 @@ object SimOps {
         if (counts(j) > 0) {
           var d = 0
           while (d < dim) { cents(j)(d) = (sums(j)(d) / counts(j)).toFloat; d += 1 }
+        } else {
+          // empty cluster: re-seed from the sample point farthest from
+          // its current centroid (otherwise the dead list never recovers)
+          var best = -1.0
+          var bestIdx = 0
+          var s = 0
+          while (s < sample.length) {
+            val dd = d2(sample(s), cents(nearestCentroid(sample(s), cents)))
+            if (dd > best) { best = dd; bestIdx = s }
+            s += 1
+          }
+          cents(j) = sample(bestIdx).clone()
         }
         j += 1
       }
@@ -248,15 +280,7 @@ object SimOps {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val qVecs = emb.where(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(candIds), "vec_id")
-      .join(broadcast(qVecs), "query_id")
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+    rankCandidates(emb, candIds, queryIds, k)
   }
 
   /** One-row IVF quality gate (same shape as [[annRecallGate]]). Defaults
@@ -269,14 +293,8 @@ object SimOps {
                     nCentroids: Int = 32, nprobe: Int = 24,
                     minRecall: Double = 0.9): DataFrame = {
     val cents = trainIvfCentroids(emb, nCentroids)
-    val bf = bruteForceTopK(emb, queryIds, k).select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfTopK(emb, queryIds, k, cents, nprobe)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        countDistinct(col("query_id")).cast("int").as("n_queries"),
-        lit(k).as("k"),
-        (sum(coalesce(col("hit"), lit(0L))) / count(lit(1)) >= minRecall).as("recall_ok"))
+    recallGate(bruteForceTopK(emb, queryIds, k),
+      ivfTopK(emb, queryIds, k, cents, nprobe), k, minRecall)
   }
 
   /** One-row ANN quality gate: recall of [[annTopK]] against
@@ -284,14 +302,7 @@ object SimOps {
     * are), so the driver oracle can assert it as a constant row.
     */
   def annRecallGate(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                    minRecall: Double = 0.9): DataFrame = {
-    val bf = bruteForceTopK(emb, queryIds, k).select(col("query_id"), col("neighbor_id"))
-    val ann = annTopK(emb, queryIds, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    bf.join(ann, Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        countDistinct(col("query_id")).cast("int").as("n_queries"),
-        lit(k).as("k"),
-        (sum(coalesce(col("hit"), lit(0L))) / count(lit(1)) >= minRecall).as("recall_ok"))
-  }
+                    minRecall: Double = 0.9): DataFrame =
+    recallGate(bruteForceTopK(emb, queryIds, k),
+      annTopK(emb, queryIds, k), k, minRecall)
 }
