@@ -84,6 +84,12 @@ object SparkEntry {
 
     // ---- text analysis ----
     "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
+    // t3: Gopher-style repetition quality signals
+    "t3_repetition" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        TextOps.repetitionRatio(col("text")).as("rep_ratio"),
+        TextOps.topTokenShare(col("text")).as("top_share"))),
 
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, dir) =>
@@ -353,6 +359,14 @@ object SparkEntry {
         "md5(text) AS fp_md5, " +
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*131+b) % 1000000007) AS fp_roll " +
         "FROM documents"),
+
+    "t3_repetition" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN ntok > 0 THEN round(1 - CAST(ndist AS DOUBLE) / ntok, 4) ELSE 0.0 END AS rep_ratio, " +
+        "CASE WHEN ntok > 0 THEN round(CAST(maxc AS DOUBLE) / ntok, 4) ELSE 0.0 END AS top_share " +
+        "FROM (SELECT doc_id, len(toks) AS ntok, len(list_distinct(toks)) AS ndist, " +
+        "list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS maxc " +
+        "FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks FROM documents))"),
 
     "d1_exact_dedup" ->
       (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),

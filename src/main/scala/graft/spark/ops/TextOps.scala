@@ -74,6 +74,35 @@ object TextOps {
   }
 
   /** Exact document fingerprint: md5 of the raw text (dedup key). */
+  /** Gopher-style repetition signals: fraction of repeated tokens
+    * (1 - distinct/total) and the most frequent token's share —
+    * boilerplate and spam score high on both. Pure Catalyst columns.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4))
+      .otherwise(lit(0.0))
+  }
+
+  def topTokenShare(text: Column): Column = {
+    val t = tokens(text)
+    // max token frequency as the longest equal-run of the SORTED token
+    // array: one aggregate pass whose lambda touches only its own state
+    // and element (a lambda referencing the outer token array would
+    // re-evaluate the split per element — interpreted HOFs)
+    val maxRun = aggregate(array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, tok) => {
+        val run = when(tok === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1))
+        struct(tok.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    when(size(t) > 0, round(maxRun.cast("double") / size(t), 4))
+      .otherwise(lit(0.0))
+  }
+
   def fingerprint(text: Column): Column = md5(encode(text, "UTF-8"))
 
   /** Rolling polynomial fingerprint (mod 2^63) — byte-level Rabin-style

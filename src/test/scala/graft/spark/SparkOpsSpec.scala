@@ -145,6 +145,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ratio <= 2.0, s"max/mean partition bytes = $ratio (loads: ${loads.mkString(",")})")
   }
 
+  test("size-balanced extraction keeps documents with null span text") {
+    val sp = spark
+    import sp.implicits._
+    // media spans legitimately carry null text; the byte pre-pass must
+    // not turn the aggregate NULL (which would drop the doc silently)
+    val docs = Seq(
+      InterleavedDoc("a", Seq(InSpan("text", "<p>x</p>", "", 0))),
+      InterleavedDoc("b", Seq(InSpan("text", "<p>y</p>", "", 0),
+        InSpan("media", null, "media://b/0", 8)))).toDS()
+    val out = ExtractPipeline.extractSizeBalanced(docs,
+      targetBytesPerPartition = Long.MaxValue, minPartitions = 2)
+    assert(out.collect().map(_.doc_id).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("extract_interleaved resolves span struct fields by name") {
     // external parquet may carry the span struct in a different physical
     // order (here: media_ref, offset, kind, text) — ordinals must resolve
