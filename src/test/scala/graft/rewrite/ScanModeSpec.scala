@@ -118,6 +118,29 @@ class ScanModeSpec extends AnyFunSuite {
     }
   }
 
+  test("attr-skip rewrite output is byte-identical to full-mode output on bench docs") {
+    // produceOutput mode now also runs with attribute skipping; the
+    // serialized bytes (including structural re-serialization of matched
+    // elements) must be identical to the full attribute states
+    def rewriter(forceFull: Boolean) = {
+      val rw = new Rewriter(Seq(
+        "nav" -> ElementHandlers(element = el => el.remove()),
+        "a[href]" -> ElementHandlers(element = el => el.setAttribute("rel", "nofollow")),
+        "body" -> ElementHandlers(element = el => el.append("<!--x-->"))),
+        strict = false)
+      rw.disableAttrSkip = forceFull
+      rw
+    }
+    for (name <- Seq("cloudflare.com.html", "ecma402-spec.html", "html-parsing-spec.html")) {
+      val in = getClass.getResourceAsStream(s"/benchdocs/$name")
+      assume(in != null)
+      val bytes = in.readAllBytes(); in.close()
+      val full = rewriter(forceFull = true).rewriteToBytes(bytes)
+      val skip = rewriter(forceFull = false).rewriteToBytes(bytes)
+      assert(java.util.Arrays.equals(skip, full), s"output divergence on $name")
+    }
+  }
+
   test("scan mode skips attr recording for unmatched tags (spot check via bench doc)") {
     val in = getClass.getResourceAsStream("/benchdocs/cloudflare.com.html")
     assume(in != null)
