@@ -96,6 +96,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both the inverted index and the set-size side must read the cached
     // relation, not recompute the scan+split+shingle lineage
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    // and the inverted-index shuffle must key on the 64-bit shingle hash,
+    // not the trigram string (the exchange payload optimization)
+    assert(p.contains("xxhash64"), p)
   }
 
   test("bucketed tables co-locate the fact join: no shuffle on the join keys") {
