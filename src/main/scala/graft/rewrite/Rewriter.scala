@@ -515,9 +515,9 @@ final class Rewriter(
     private var matCount = -1
 
     def set(in0: Array[Byte], nameStart: Int, nameEnd: Int, hash: Long,
-            ns: Int, attrs: AttrList): Unit = {
+            fnv: Long, ns: Int, attrs: AttrList): Unit = {
       in = in0; nameLowerV = null; nameStartV = nameStart; nameEndV = nameEnd
-      nameHashV = hash; nsV = ns; attrsV = attrs
+      nameHashV = hash; nameFnvV = fnv; nsV = ns; attrsV = attrs
       matCount = if (attrs == null) 0 else attrs.count
       if (matCount > attrNamesLower.length) {
         attrNamesLower = new Array[String](matCount * 2)
@@ -765,7 +765,7 @@ final class Rewriter(
                    rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      view.set(input, nameStart, nameEnd, nameHash, ns, attrs)
+      view.set(input, nameStart, nameEnd, nameHash, lexer.tagNameFnv, ns, attrs)
 
       matchedIdsBuf.clear()
       lastMatchWithContent = false
@@ -829,7 +829,7 @@ final class Rewriter(
         if (nameHash != TagHash.Empty) null
         else internTagName(nameStart, nameEnd, nameHash)
 
-      vm.execEndTag(nameLower, nameHash, popSink)
+      vm.execEndTag(nameLower, nameHash, lexer.tagNameFnv, popSink)
 
       var forced = false
       if (!emissionEnabled && matchedRemoved == 0) {

@@ -24,8 +24,14 @@ object ElementDescriptor {
 trait VmElemView extends ElemView {
   var nthIdx: Int = 0
   var nthOfTypeIdx: Int = 0
+  /** Case-folded FNV identity of the tag name bytes (the lexer computes
+    * it while scanning) — keys the open-name counts for names the 5-bit
+    * hash can't encode, without string materialization.
+    */
+  var nameFnvV: Long = 0L
   final def nthIndex: Int = nthIdx
   final def nthOfTypeIndex: Int = nthOfTypeIdx
+  final def nameFnv: Long = nameFnvV
 }
 
 /** Match callback for [[MatchingVm.execStartTag]]. A dedicated trait
@@ -64,6 +70,7 @@ final class MatchingVm(program: Program) {
   private final class Frame {
     var nameLower: String = _
     var nameHash: Long = TagHash.Empty
+    var nameFnv: Long = 0L // set only for unhashable names
     var jumps: Array[Int] = noInts
     var hereditary: Array[Int] = noInts
     var desc: ElementDescriptor = _
@@ -82,12 +89,53 @@ final class MatchingVm(program: Program) {
   private val activeHereditary = new mutable.ArrayBuffer[(Array[Int], Int)](16)
 
   // open-name counts keyed by tag-name hash (primitive open addressing;
-  // valid hashes >= 6 so 0 is the empty sentinel); unhashable names use
-  // the string-keyed fallback
+  // valid hashes >= 6 so 0 is the empty sentinel); unhashable names use a
+  // second primitive table keyed by the case-folded byte FNV (collisions
+  // only cost a wasted O(depth) scan — the frame match compares strings)
   private var oncKeys = new Array[Long](128)
   private var oncCounts = new Array[Int](128)
   private var oncSize = 0
-  private val openNameCountsFallback = new mutable.HashMap[String, Int]()
+  private var fnvKeys = new Array[Long](32)
+  private var fnvCounts = new Array[Int](32)
+  private var fnvSize = 0
+
+  @inline private def normFnv(f: Long): Long = if (f == 0L) 1L else f
+  @inline private def fnvSlot(key: Long): Int = {
+    val mask = fnvKeys.length - 1
+    var i = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & mask
+    while (fnvKeys(i) != 0L && fnvKeys(i) != key) i = (i + 1) & mask
+    i
+  }
+  private def fnvInc(key: Long): Unit = {
+    val i = fnvSlot(key)
+    if (fnvKeys(i) == 0L) {
+      fnvKeys(i) = key
+      fnvSize += 1
+      if (fnvSize * 3 > fnvKeys.length) fnvGrow()
+    }
+    fnvCounts(if (fnvKeys(i) == key) i else fnvSlot(key)) += 1
+  }
+  private def fnvGrow(): Unit = {
+    val ok = fnvKeys; val oc = fnvCounts
+    fnvKeys = new Array[Long](ok.length * 2)
+    fnvCounts = new Array[Int](oc.length * 2)
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        val i = fnvSlot(ok(j))
+        fnvKeys(i) = ok(j); fnvCounts(i) = oc(j)
+      }
+      j += 1
+    }
+  }
+  @inline private def fnvGet(key: Long): Int = {
+    val i = fnvSlot(key)
+    if (fnvKeys(i) == key) fnvCounts(i) else 0
+  }
+  @inline private def fnvDec(key: Long): Unit = {
+    val i = fnvSlot(key)
+    if (fnvKeys(i) == key && fnvCounts(i) > 0) fnvCounts(i) -= 1
+  }
 
   @inline private def oncSlot(hash: Long): Int = {
     val mask = oncKeys.length - 1
@@ -148,7 +196,11 @@ final class MatchingVm(program: Program) {
       java.util.Arrays.fill(oncCounts, 0)
       oncSize = 0
     }
-    if (openNameCountsFallback.nonEmpty) openNameCountsFallback.clear()
+    if (fnvSize > 0) {
+      java.util.Arrays.fill(fnvKeys, 0L)
+      java.util.Arrays.fill(fnvCounts, 0)
+      fnvSize = 0
+    }
   }
 
   def depth: Int = top + 1
@@ -284,6 +336,7 @@ final class MatchingVm(program: Program) {
     // (end-tag fallback matching) — avoid forcing the lazy intern
     f.nameLower = if (view.nameHash != TagHash.Empty) null else view.nameLower
     f.nameHash = view.nameHash
+    f.nameFnv = if (view.nameHash != TagHash.Empty) 0L else normFnv(view.nameFnv)
     f.jumps = jumps
     f.hereditary = hereditary
     f.desc = null
@@ -291,8 +344,7 @@ final class MatchingVm(program: Program) {
     if (f.typedCounters != null) f.typedCounters = null
 
     if (f.nameHash != TagHash.Empty) oncInc(f.nameHash)
-    else openNameCountsFallback.update(f.nameLower,
-      openNameCountsFallback.getOrElse(f.nameLower, 0) + 1)
+    else fnvInc(f.nameFnv)
     if (f.hereditary.length > 0) {
       var present = false
       var k = 0
@@ -308,9 +360,10 @@ final class MatchingVm(program: Program) {
     * `onPop` receives each popped frame's descriptor (or null), innermost
     * last (stack drain order, matching the reference's `drain(index..)`).
     */
-  def execEndTag(nameLower: String, nameHash: Long, sink: PopSink): Unit = {
+  def execEndTag(nameLower: String, nameHash: Long, nameFnv: Long,
+                 sink: PopSink): Unit = {
     if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
-    else if (!openNameCountsFallback.contains(nameLower)) return
+    else if (fnvGet(normFnv(nameFnv)) == 0) return
     var idx = top
     while (idx >= 0 && !(
       if (nameHash != TagHash.Empty) frames(idx).nameHash == nameHash
@@ -328,11 +381,7 @@ final class MatchingVm(program: Program) {
     while (j <= top) {
       val f = frames(j)
       if (f.nameHash != TagHash.Empty) oncDec(f.nameHash)
-      else {
-        val c = openNameCountsFallback(f.nameLower)
-        if (c == 1) openNameCountsFallback.remove(f.nameLower)
-        else openNameCountsFallback.update(f.nameLower, c - 1)
-      }
+      else fnvDec(f.nameFnv)
       sink.onPop(f.desc)
       f.desc = null
       j += 1
@@ -340,13 +389,24 @@ final class MatchingVm(program: Program) {
     top = idx - 1
   }
 
-  /** Pop everything (document end); fires `onPop` innermost-first is NOT
-    * required by the reference (it never pops at EOF), kept for extraction
-    * interval closing.
+  /** Open count for a tag name (diagnostics; the string's byte FNV is
+    * computed here the same way the lexer folds it).
     */
   def depthAt(name: String): Int = {
     val h = TagHash.of(name)
-    if (h != TagHash.Empty) oncGet(h) else openNameCountsFallback.getOrElse(name, 0)
+    if (h != TagHash.Empty) oncGet(h)
+    else {
+      var f = 0xcbf29ce484222325L
+      val bytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+        f = (f ^ c) * 0x100000001b3L
+        i += 1
+      }
+      fnvGet(normFnv(f))
+    }
   }
 }
 

@@ -141,6 +141,28 @@ class ScanModeSpec extends AnyFunSuite {
     }
   }
 
+  test("unhashable tag names: matching, open-name counts, stray-end-tag reject") {
+    // >12-char custom-element names bypass the 5-bit hash; matching,
+    // frame pops, and the O(1) stray-end-tag reject run on the FNV table
+    val rw = new Rewriter(Seq("my-custom-element" ->
+      ElementHandlers(element = el => el.remove())), strict = false)
+    val out = rw.rewrite(
+      "<div><my-custom-element a=1>zap<b>x</b></my-custom-element>keep</div>" +
+        "<my-custom-element>z</my-custom-element>tail")
+    assert(out == "<div>keep</div>tail", out)
+    // stray end tag: no open frame with that name -> rejected, kept raw
+    val out2 = rw.rewrite(
+      "a</my-custom-element>b<my-custom-element>c</my-custom-element>d")
+    assert(out2 == "a</my-custom-element>bd", out2)
+    // nesting: pop must close the right frame
+    val rw2 = new Rewriter(Seq("emu-clause-like-name emu-xref-like-name" ->
+      ElementHandlers(element = el => el.remove())), strict = false)
+    val out3 = rw2.rewrite(
+      "<emu-xref-like-name>keep</emu-xref-like-name>" +
+        "<emu-clause-like-name>a<emu-xref-like-name>drop</emu-xref-like-name>b</emu-clause-like-name>")
+    assert(out3 == "<emu-xref-like-name>keep</emu-xref-like-name><emu-clause-like-name>ab</emu-clause-like-name>", out3)
+  }
+
   test("scan mode skips attr recording for unmatched tags (spot check via bench doc)") {
     val in = getClass.getResourceAsStream("/benchdocs/cloudflare.com.html")
     assume(in != null)
