@@ -475,7 +475,8 @@ final class Rewriter(
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val in = if (charset == utf8) raw else new String(raw, charset).getBytes(utf8)
     val out = rewriteToBytes(in)
-    if (charset == utf8) out else new String(out, utf8).getBytes(charset)
+    if (charset == utf8) out
+    else Rewriter.encodeHtmlCompat(new String(out, utf8), charset)
   }
 
   def rewriteToBytes(doc: Array[Byte]): Array[Byte] = {
@@ -893,5 +894,60 @@ final class Rewriter(
         endHandlers.doForEachActiveAndRemoveTail(h => h(de))
       }
     }
+  }
+}
+
+object Rewriter {
+
+  /** HTML-compatible encode (reference D13 output behavior —
+    * encoding_rs's `encode_from_utf8` in
+    * /root/reference/src/rewritable_units/streaming_sink.rs emits numeric
+    * character references for unmappable characters): characters outside
+    * `charset` become `&#NNN;` instead of the JVM encoder's replacement
+    * byte, so handler-injected content survives a narrow output charset.
+    * Malformed UTF-16 (lone surrogates) has no code point to reference and
+    * falls back to the charset's replacement, like the reference's
+    * U+FFFD-on-decode behavior.
+    */
+  def encodeHtmlCompat(s: String, charset: java.nio.charset.Charset): Array[Byte] = {
+    import java.nio.{ByteBuffer, CharBuffer}
+    import java.nio.charset.CodingErrorAction
+    val enc = charset.newEncoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val in = CharBuffer.wrap(s)
+    var buf = ByteBuffer.allocate(
+      math.max(64, (s.length * enc.averageBytesPerChar()).toInt + 16))
+    def ensure(n: Int): Unit = if (buf.remaining < n) {
+      val nb = ByteBuffer.allocate(math.max(buf.capacity * 2, buf.position() + n))
+      buf.flip(); nb.put(buf); buf = nb
+    }
+    var done = false
+    while (!done) {
+      val cr = enc.encode(in, buf, true)
+      if (cr.isUnderflow) {
+        var fr = enc.flush(buf)
+        while (fr.isOverflow) { ensure(64); fr = enc.flush(buf) }
+        done = true
+      } else if (cr.isOverflow) {
+        ensure(256)
+      } else { // unmappable: numeric character reference
+        val cp =
+          if (cr.length == 2)
+            Character.toCodePoint(in.get(in.position()), in.get(in.position() + 1))
+          else in.get(in.position()).toInt
+        in.position(in.position() + cr.length)
+        // every WHATWG OUTPUT encoding is ASCII-compatible (UTF-16 is not
+        // an output encoding), so the reference's bytes are written as-is
+        val ref = "&#" + cp + ";"
+        ensure(ref.length)
+        var k = 0
+        while (k < ref.length) { buf.put(ref.charAt(k).toByte); k += 1 }
+      }
+    }
+    buf.flip()
+    val arr = new Array[Byte](buf.remaining)
+    buf.get(arr)
+    arr
   }
 }

@@ -43,9 +43,27 @@ object CheckpointedExtract {
 
   private def ledgerPath(outDir: String) = Paths.get(outDir, "_ledger.jsonl")
 
-  /** Stable across JVMs: case-class hashCode over strings/ints. */
-  private def policyId(policy: ExtractPolicy): String =
-    f"${policy.hashCode}%08x"
+  /** Policy identity for the ledger header: a 64-bit FNV-1a digest of an
+    * explicit canonical serialization of every policy field. Unlike the
+    * case-class hashCode this cannot silently change meaning if a future
+    * field hashes by object identity, and 64 bits make an accidental
+    * collision legitimizing a mismatched resume vanishingly unlikely.
+    */
+  private def policyId(policy: ExtractPolicy): String = {
+    val canonical = Seq(
+      "stripSelectors=" + policy.stripSelectors.mkString("[", ",", "]"),
+      "keepRcData=" + policy.keepRcData,
+      "keepCData=" + policy.keepCData,
+      "dropWhitespaceOnlyNodes=" + policy.dropWhitespaceOnlyNodes,
+      "strict=" + policy.strict,
+      "maxDocBytes=" + policy.maxDocBytes
+    ).mkString(";")
+    var h = 0xcbf29ce484222325L
+    canonical.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    f"$h%016x"
+  }
 
   def doneBuckets(outDir: String): Set[Int] = {
     val p = ledgerPath(outDir)

@@ -93,12 +93,17 @@ object DedupOps {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, Int), DataFrame]): Boolean = {
         val evict = size() > MaxCachedShingleViews
-        if (evict) e.getValue.unpersist()
+        // unpersist may throw if the entry's session has since been stopped;
+        // never let a dead cache entry fail a live session's shingled() call
+        if (evict) scala.util.Try(e.getValue.unpersist())
         evict
       }
     }
 
   private def shingled(base: DataFrame): DataFrame = shingleCache.synchronized {
+    // drop entries whose session is gone so they don't pin stopped
+    // sessions/plans until LRU eviction reaches them
+    shingleCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash())
     val cached = shingleCache.get(key)
     if (cached != null) cached
@@ -115,7 +120,7 @@ object DedupOps {
   }
 
   def clearShingleCache(): Unit = shingleCache.synchronized {
-    shingleCache.values.forEach(df => df.unpersist())
+    shingleCache.values.forEach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
   }
 
@@ -126,6 +131,27 @@ object DedupOps {
     * ("dropped_shingles") on the result's query execution.
     */
   val DefaultShingleDfCap = 1000
+
+  /** Lazy ordered-pair iterator over a bucket's sorted id list: O(1)
+    * memory per bucket instead of buffering the full O(n^2/2) tuple list
+    * in an ArrayBuffer before the runtime consumes it (a 10k-member
+    * bucket would otherwise stage ~50M tuples / ~1.6 GB in one task).
+    */
+  private[ops] def orderedPairs(ids: Seq[Long]): Iterator[(Long, Long)] = {
+    val arr = ids.toArray
+    val n = arr.length
+    new scala.collection.AbstractIterator[(Long, Long)] {
+      private var i = 0
+      private var j = 1
+      def hasNext: Boolean = i < n - 1
+      def next(): (Long, Long) = {
+        val out = (arr(i), arr(j))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        out
+      }
+    }
+  }
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct
@@ -152,19 +178,10 @@ object DedupOps {
       .observe("ngram_shingle_buckets",
         sum(when(size(col("ids")) > dfCap, 1L).otherwise(0L)).as("dropped_shingles"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
-    // ordered pair expansion inside the row (df is bounded; no skew blowup)
+    // ordered pair expansion inside the row (df is bounded; no skew
+    // blowup), streamed lazily so no bucket's pair list is buffered
     val pairs = inverted.select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val n = ids.size
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
-        var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) { out += ((ids(i), ids(j))); j += 1 }
-          i += 1
-        }
-        out
-      }
+      .flatMap(ids => orderedPairs(ids))
       .toDF("id_a", "id_b")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
@@ -248,41 +265,45 @@ object DedupOps {
     * document gets the MIN doc_id of its duplicate component (the
     * scale-correct dedup-apply primitive — dropping `id_b` of each pair,
     * as d6 does, over-deletes on chains A~B~C). Iterative min-label
-    * propagation; each round is one shuffle join and the label sum
-    * strictly decreases until fixpoint, so convergence is checked with a
-    * cheap aggregate (O(component diameter) rounds; near-dup components
-    * are shallow — for web-graph-diameter inputs switch to
-    * large-star/small-star). Returns (doc_id, cluster_id).
+    * propagation; each round is one shuffle join; convergence is an exact
+    * count of labels that changed this round (robust to negative doc_ids
+    * and to Long-overflow aliasing that a label-sum test would miss;
+    * O(component diameter) rounds; near-dup components are shallow — for
+    * web-graph-diameter inputs switch to large-star/small-star).
+    * Returns (doc_id, cluster_id), persisted (MEMORY_AND_DISK) — callers
+    * that are done with the result should `.unpersist()` it.
     */
   def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nodes = base.select(col("doc_id")).distinct()
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("cluster_id", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("cluster_id"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty input: sum is NULL
-    }
-    var prevSum = labelSum(labels)
-    var converged = prevSum == 0L // empty corpus: nothing to propagate
+      .persist(lvl)
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).persist(lvl)
+    var converged = labels.isEmpty // empty corpus: nothing to propagate
     while (!converged) {
       val viaNeighbors = sym
         .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nlabel")), "id_b")
         .groupBy(col("id_a").as("doc_id")).agg(min(col("nlabel")).as("nlabel"))
+      // keep the previous label alongside so the fixpoint test is an exact
+      // changed-row count over this round's (persisted) result — one cheap
+      // job against the cache, no extra shuffle
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev_label"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)
+        .persist(lvl)
+      val changed = next.where(col("cluster_id") =!= col("prev_label")).count()
       labels.unpersist()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
     }
     sym.unpersist()
-    labels
+    // re-persist the 2-column projection so the caller gets a directly
+    // releasable result, then drop the iteration cache it was built from
+    val out = labels.select(col("doc_id"), col("cluster_id")).persist(lvl)
+    out.count()
+    labels.unpersist()
+    out
   }
 
   // ---- Embedding-cosine near-dup ----
@@ -337,7 +358,7 @@ object DedupOps {
     * dropped and surfaced via the observed metric "dropped_buckets".
     */
   def embCosineDupPairs(base: DataFrame, threshold: Double,
-                        bucketCap: Int = 10000): DataFrame = {
+                        bucketCap: Int = 2000): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val coded = base.select(col("vec_id"), col("embedding"))
@@ -350,16 +371,7 @@ object DedupOps {
         sum(when(size(col("ids")) > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
       .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
-        var i = 0
-        while (i < ids.size) {
-          var j = i + 1
-          while (j < ids.size) { out += ((ids(i), ids(j))); j += 1 }
-          i += 1
-        }
-        out
-      }
+      .flatMap(ids => orderedPairs(ids)) // lazy: O(1) memory per bucket
       .toDF("id_a", "id_b")
       .distinct()
     val vecs = base.select(col("vec_id"), col("embedding"))

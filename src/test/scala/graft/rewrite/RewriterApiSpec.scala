@@ -97,3 +97,38 @@ class RewriterApiSpec extends AnyFunSuite {
     assert(r3.spans.map(_.text) == Seq("ok"))
   }
 }
+
+/** Output-transcoding encode: unmappable characters become numeric
+  * character references (the reference's encoding_rs HTML-encode behavior
+  * in streaming_sink.rs) instead of '?' replacement bytes.
+  */
+class EncodeHtmlCompatSpec extends AnyFunSuite {
+  private def enc(s: String, cs: String): Array[Byte] =
+    Rewriter.encodeHtmlCompat(s, java.nio.charset.Charset.forName(cs))
+
+  test("in-charset characters encode natively") {
+    val b = enc("café", "windows-1252")
+    assert(b.toSeq == "caf".getBytes("windows-1252").toSeq :+ 0xe9.toByte)
+  }
+
+  test("unmappable BMP char becomes &#NNN;") {
+    assert(new String(enc("a→b", "windows-1252"), "windows-1252") == "a&#8594;b")
+  }
+
+  test("astral char becomes one NCR with the full code point") {
+    assert(new String(enc("x😀y", "Shift_JIS"), "Shift_JIS") == "x&#128512;y")
+  }
+
+  test("mixed: mappable non-ASCII survives, unmappable is referenced") {
+    val out = new String(enc("é❤è", "windows-1252"), "windows-1252")
+    assert(out == "é&#10084;è")
+  }
+
+  test("rewriteEncodedBytes preserves handler-injected out-of-charset content") {
+    val rw = new Rewriter(Seq("p" -> ElementHandlers(element = el =>
+      el.append("✓", ContentType.Text))), strict = false)
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    val out = rw.rewriteEncodedBytes("<p>hi</p>".getBytes(cs), cs)
+    assert(new String(out, cs) == "<p>hi&#10003;</p>")
+  }
+}
