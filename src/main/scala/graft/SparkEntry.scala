@@ -76,6 +76,17 @@ object SparkEntry {
     "x7_clean_encoded" -> ((s, dir) =>
       HtmlClean.cleanEncodedRoundtrip(s, dir, "windows-1252", " déjà-vu™")),
 
+    // x8: graceful bail-out + memory limiter (D16/D17) — planted
+    // ambiguous/oversized documents become error rows with partial spans
+    // instead of failing the task
+    "x8_bailouts" -> ((s, dir) => HtmlClean.bailoutExtract(s, dir)),
+
+    // x9: a third non-UTF-8 corpus through the WHATWG label resolver
+    // (koi8-r is NOT a JVM-default-decoded superset of ASCII punctuation:
+    // a decode bug mojibakes every Cyrillic byte)
+    "x9_encoded_koi8r" -> ((s, dir) =>
+      HtmlClean.encodedRoundtrip(s, dir, "koi8-r", " Русская проверка текста")),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -322,6 +333,18 @@ object SparkEntry {
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
         "'<!doctype html><html><body><article><p>' || text || ' déjà-vu™' || " +
         "'</p></article></body></html>' AS cleaned FROM documents"),
+    // x8 mirrors HtmlClean.bailoutExtract's planting rules; the oversized
+    // document's byte length is template(68) + pad(budget 8192 + 16)
+    "x8_bailouts" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'parsing_ambiguity:style' " +
+        "WHEN doc_id % 5 = 0 THEN 'memory_limit_exceeded:8260' " +
+        "ELSE '' END AS error, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 1 WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT) AS n_spans, " +
+        "CASE WHEN doc_id % 7 != 0 AND doc_id % 5 = 0 THEN '' ELSE text END AS main_text " +
+        "FROM documents"),
+    "x9_encoded_koi8r" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Русская проверка текста' AS main_text FROM documents",
     "t2_token_counts" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 17 AS n_start_tags, " +
         "16 AS n_end_tags, 1 AS n_comments, 1 AS n_doctypes FROM documents"),

@@ -307,22 +307,24 @@ final class Extractor(policy: ExtractPolicy) {
     * ignored (parse continues with the current charset).
     */
   def extractEncoded(rawBytes: Array[Byte], defaultCharset: String = "UTF-8"): ExtractResult = {
-    def decode(cs: String): Array[Byte] = {
-      val charset = java.nio.charset.Charset.forName(cs)
-      if (charset == java.nio.charset.StandardCharsets.UTF_8) rawBytes
-      else new String(rawBytes, charset).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    }
-    val first = extractHtml(decode(defaultCharset), Vector.empty, Vector.empty)
+    // WHATWG label resolution (latin1 -> windows-1252 etc.) with JVM
+    // fallback; unknown labels keep the current charset
+    def resolve(cs: String): java.nio.charset.Charset =
+      WhatwgEncodings.forLabel(cs).getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    def decode(cs: java.nio.charset.Charset): Array[Byte] =
+      if (cs == java.nio.charset.StandardCharsets.UTF_8) rawBytes
+      else new String(rawBytes, cs).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val defaultCs = resolve(defaultCharset)
+    val first = extractHtml(decode(defaultCs), Vector.empty, Vector.empty)
     val meta = detectedCharset
-    if (meta == null || !isAsciiCompatible(meta) ||
-        java.nio.charset.Charset.forName(meta) == java.nio.charset.Charset.forName(defaultCharset))
-      first
-    else extractHtml(decode(meta), Vector.empty, Vector.empty)
+    if (meta == null) return first
+    val metaCs = WhatwgEncodings.forLabel(meta).orNull
+    if (metaCs == null || !isAsciiCompatible(metaCs) || metaCs == defaultCs) first
+    else extractHtml(decode(metaCs), Vector.empty, Vector.empty)
   }
 
-  private def isAsciiCompatible(label: String): Boolean = {
+  private def isAsciiCompatible(cs: java.nio.charset.Charset): Boolean = {
     try {
-      val cs = java.nio.charset.Charset.forName(label)
       // UTF-16/32 and EBCDIC are not ASCII-compatible; quick probe
       val probe = "<a>".getBytes(cs)
       probe.length == 3 && probe(0) == '<' && probe(1) == 'a' && probe(2) == '>'

@@ -181,6 +181,45 @@ object HtmlClean {
       .toDF("doc_id", "cleaned")
   }
 
+  /** Bail-out corpus (reference D16 graceful bail-out + D17 memory
+    * limiter under the driver oracle): deterministic planting rules over
+    * the documents table —
+    *  - doc_id % 7 == 0: a `<select><style>` parsing ambiguity AFTER the
+    *    article (the reference ambiguity_guard's security bail-out); the
+    *    article's text span is already committed, so the row keeps its
+    *    partial output plus the error code
+    *  - else doc_id % 5 == 0: the document is inflated past `budget`
+    *    bytes (memory limiter; no spans, deterministic error string)
+    *  - otherwise: normal extraction, empty error
+    * Output (doc_id, error, n_spans, main_text); tasks never fail — bad
+    * documents become error rows, the property that keeps a 100 TB run
+    * alive when a crawl shard contains hostile HTML.
+    */
+  def bailoutExtract(spark: SparkSession, sfDir: String, budget: Int = 8192): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val ex = new graft.extract.Extractor(
+          ExtractPolicy.Default.copy(strict = true, maxDocBytes = budget))
+        val pad = "x" * (budget + 16)
+        it.map { case (id, text) =>
+          val idNum = id.toLong
+          val body =
+            if (idNum % 7 == 0) s"<article><p>$text</p></article><select><style>bail</style></select>"
+            else if (idNum % 5 == 0) s"<article><p>$pad</p></article>"
+            else s"<article><p>$text</p></article>"
+          val html = s"<html><body>$body</body></html>"
+          val r = ex.extractHtml(html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Vector.empty, Vector.empty)
+          (id, if (r.error == null) "" else r.error, r.spans.length,
+            r.spans.filter(_.kind == "text").map(_.text).mkString)
+        }
+      }
+      .toDF("doc_id", "error", "n_spans", "main_text")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */
