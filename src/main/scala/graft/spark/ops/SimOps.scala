@@ -287,7 +287,9 @@ object SimOps {
     * tuned on the synthetic tables: near-uniform embeddings are IVF's
     * worst case (neighbors spread across lists), needing a high probe
     * fraction (24/32 lists -> recall 0.94-0.95 at sf0.01/sf0.1); clustered
-    * real-world embeddings need far fewer probes for the same recall.
+    * real-world-shaped embeddings need far fewer probes — IvfClusteredSpec
+    * measures recall >= 0.9 at nprobe 4/32 (and >= 0.8 at 2/32) on
+    * deterministic Gaussian blobs, the intended production regime.
     */
   def ivfRecallGate(emb: DataFrame, queryIds: Seq[Long], k: Int,
                     nCentroids: Int = 32, nprobe: Int = 24,
