@@ -151,7 +151,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
   val treeSim = new TreeSim(strict)
 
   // scan mode (attr-skip) — see the parse(doc, out, attrNeed) overload
-  private var scanAttrNeed: AttrNeed = _
+  private var scanAttrNeed: AttrNeedTable = _
   private var tSkipAttrs = false
 
   // current tag token
@@ -165,8 +165,9 @@ final class Lexer(strict: Boolean = true) extends TagView {
   private var tNameAscii = true
 
   /** Case-folded FNV-1a of the current tag's name bytes. Valid during a
-    * sink callback for that tag; lets consumers key unhashable names
-    * without rehashing them.
+    * sink callback for that tag AND only when the tag's 5-bit name hash is
+    * [[TagHash.Empty]] (it is computed lazily at name end for exactly
+    * those names); lets consumers key unhashable names without rehashing.
     */
   def tagNameFnv: Long = tNameFnv
 
@@ -221,7 +222,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
     * foreign-content tags never skip (tree feedback reads <font>/
     * <annotation-xml> attributes).
     */
-  def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeed): Unit = {
+  def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeedTable): Unit = {
     input = doc; len = doc.length; sink = out
     scanAttrNeed = attrNeed
     nextPos = 0; lexemeStart = 0; tokenPartStart = 0
@@ -321,19 +322,31 @@ final class Lexer(strict: Boolean = true) extends TagView {
   }
 
   @inline private def updateTagNameHash(): Unit =
-    if (pos < len) {
-      val b = input(pos)
-      tNameHash = TagHash.update(tNameHash, b)
-      // case-folded FNV-1a fallback identity for names the 5-bit hash
-      // can't encode — computed here (the byte is already in hand) so
-      // consumers never rehash the name (see Lexer.tagNameFnv)
-      if (b < 0) tNameAscii = false
+    if (pos < len) tNameHash = TagHash.update(tNameHash, input(pos))
+
+  /** Case-folded FNV-1a fallback identity + ASCII flag for names the
+    * 5-bit hash can't encode. Computed ONCE at name end and only for
+    * unhashable names (one cache-hot rescan of <=name-length bytes) —
+    * hashable names, the common case, pay nothing per character.
+    */
+  private def computeNameFnv(): Unit = {
+    var f = 0xcbf29ce484222325L
+    var ascii = true
+    var i = tNameStart
+    while (i < tNameEnd) {
+      val b = input(i)
+      if (b < 0) ascii = false
       val c = if (b >= 'A' && b <= 'Z') b + 32 else b & 0xff
-      tNameFnv = (tNameFnv ^ c) * 0x100000001b3L
+      f = (f ^ c) * 0x100000001b3L
+      i += 1
     }
+    tNameFnv = f
+    tNameAscii = ascii
+  }
 
   private def finishTagName(): Unit = {
     tNameStart = tokenPartStart; tNameEnd = pos
+    if (tNameHash == TagHash.Empty) computeNameFnv()
     // scan mode: decide attribute recording once per tag. End tags always
     // skip (attrs dropped by spec); foreign content never skips (tree
     // feedback reads <font color/size/face> and <annotation-xml encoding>)
@@ -990,12 +1003,61 @@ object Lexer {
       classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 }
 
-/** Scan-mode policy hook: must a start tag with this name have its
+/** Scan-mode policy table: must a start tag with this name have its
   * attributes recorded? True when the selector program could match it
   * (matched elements expose attributes to handlers) or an attribute
   * predicate targets it. The lexer additionally forces recording for all
   * foreign-content tags and never records end-tag attributes.
+  *
+  * A concrete final class (not a trait): the check runs once per start
+  * tag inside the lexer's hottest dispatch, and a monomorphic call the
+  * JIT can inline measurably beats an interface call there.
+  *
+  * `keys` is an open-addressed power-of-two table of 5-bit-packed name
+  * hashes (0 = empty slot); `names` lists lowercase unhashable selector
+  * names (almost always empty — standard HTML tag names all hash).
   */
-trait AttrNeed {
-  def needsAttrs(nameHash: Long, nameStart: Int, nameEnd: Int, input: Array[Byte]): Boolean
+final class AttrNeedTable(val allTags: Boolean, keys: Array[Long],
+                          names: Array[String]) {
+  def needsAttrs(nameHash: Long, s: Int, e: Int, input: Array[Byte]): Boolean = {
+    if (allTags) return true
+    if (nameHash != TagHash.Empty) {
+      if (keys.length == 0) return false
+      val mask = keys.length - 1
+      var i = java.lang.Long.hashCode(nameHash * 0x9e3779b97f4a7c15L) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == nameHash) return true
+        if (k == 0L) return false
+        i = (i + 1) & mask
+      }
+      false // unreachable
+    } else {
+      var i = 0
+      while (i < names.length) {
+        if (HtmlUtil.eqIgnoreCase(input, s, e, names(i))) return true
+        i += 1
+      }
+      false
+    }
+  }
+}
+
+object AttrNeedTable {
+  /** Build from explicit hash / name lists (allTags forces every tag). */
+  def apply(allTags: Boolean, hashes: Seq[Long], names: Seq[String]): AttrNeedTable = {
+    var cap = 16
+    while (cap < hashes.length * 3) cap *= 2
+    val keys = new Array[Long](cap)
+    for (h <- hashes) {
+      val mask = keys.length - 1
+      var i = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
+      while (keys(i) != 0L && keys(i) != h) i = (i + 1) & mask
+      keys(i) = h
+    }
+    new AttrNeedTable(allTags, keys, names.toArray)
+  }
+
+  /** Record attributes for no tag at all (test hook). */
+  val SkipAll: AttrNeedTable = apply(allTags = false, Nil, Nil)
 }

@@ -131,7 +131,14 @@ final class TreeSim(strict: Boolean) {
   def feedbackForStartTag(nameHash: Long, tag: TagView): Int = {
     if (strict) trackStartTag(nameHash)
 
-    if (nameHash == Svg) enterNs(Ns.Svg)
+    // unhashable names (custom elements) can never be one of the special
+    // tags below — all of those are hashable — so in HTML content they
+    // take one branch instead of the whole comparison ladder
+    if (nameHash == TagHash.Empty) {
+      if (currentNs != Ns.Html) startTagInForeignContent(nameHash, tag)
+      else FbNone
+    }
+    else if (nameHash == Svg) enterNs(Ns.Svg)
     else if (nameHash == Math) enterNs(Ns.MathML)
     else if (currentNs != Ns.Html) startTagInForeignContent(nameHash, tag)
     else textTypeAdjustment(nameHash)

@@ -501,11 +501,10 @@ final class Rewriter(
   private object view extends VmElemView {
     var nameLowerV: String = _
     var nameHashV: Long = TagHash.Empty
-    var nameStartV = 0
-    var nameEndV = 0
     var nsV: Int = Ns.Html
     var attrsV: AttrList = _
     var in: Array[Byte] = _
+    def nameInput: Array[Byte] = in
     // lazily-materialized attr strings, validated by an epoch stamp so
     // per-tag invalidation is one counter bump instead of two array fills
     private var attrNamesLower: Array[String] = new Array[String](8)
@@ -824,13 +823,10 @@ final class Rewriter(
                  rawStart: Int, rawEnd: Int): Unit = {
       flushPendingText(rawStart)
 
-      // hashable names never need the string on this path; the VM matches
-      // frames by hash and the token (rare) interns on demand below
-      val nameLower =
-        if (nameHash != TagHash.Empty) null
-        else internTagName(nameStart, nameEnd, nameHash)
-
-      vm.execEndTag(nameLower, nameHash, lexer.tagNameFnv, popSink)
+      // no string on this path at all: the VM matches frames by hash, or
+      // by FNV + byte-slice compare for unhashable names; only an actual
+      // EndTag token (rare) interns on demand below
+      vm.execEndTag(input, nameStart, nameEnd, nameHash, lexer.tagNameFnv, popSink)
 
       var forced = false
       if (!emissionEnabled && matchedRemoved == 0) {
@@ -842,8 +838,7 @@ final class Rewriter(
       }
 
       if (endTagHandlers.hasActive || forced) {
-        val tok = new EndTagTok(
-          if (nameLower != null) nameLower else internTagName(nameStart, nameEnd, nameHash))
+        val tok = new EndTagTok(internTagName(nameStart, nameEnd, nameHash))
         endTagHandlers.doForEachActiveAndRemoveTail(h => h(tok))
         if (tok.renamedTo != null && !tok.mutations.removed)
           tok.mutations.replace(s"</${tok.renamedTo}>", ContentType.Html)

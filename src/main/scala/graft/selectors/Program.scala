@@ -165,7 +165,7 @@ final class Program private (
     * (a name anywhere in the program needs attrs everywhere), which
     * keeps the check O(1) per tag with no VM recovery points.
     */
-  @transient lazy val scanAttrNeed: graft.core.AttrNeed = {
+  @transient lazy val scanAttrNeed: graft.core.AttrNeedTable = {
     var all = false
     val hashes = mutable.ArrayBuffer[Long]()
     val names = mutable.ArrayBuffer[String]()
@@ -176,47 +176,11 @@ final class Program private (
         case None => all = true
       }
     }
-    var cap = 16
-    while (cap < hashes.length * 3) cap *= 2
-    val keys = new Array[Long](cap)
-    for (h <- hashes) {
-      val mask = keys.length - 1
-      var i = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
-      while (keys(i) != 0L && keys(i) != h) i = (i + 1) & mask
-      keys(i) = h
-    }
-    new Program.ScanAttrNeedImpl(all, keys, names.toArray)
+    graft.core.AttrNeedTable(all, hashes.toSeq, names.toSeq)
   }
 }
 
 object Program {
-
-  private[selectors] final class ScanAttrNeedImpl(
-      allTags: Boolean, keys: Array[Long], names: Array[String])
-      extends graft.core.AttrNeed {
-    def needsAttrs(nameHash: Long, s: Int, e: Int, input: Array[Byte]): Boolean = {
-      if (allTags) return true
-      if (nameHash != TagHash.Empty) {
-        if (keys.length == 0) return false
-        val mask = keys.length - 1
-        var i = java.lang.Long.hashCode(nameHash * 0x9e3779b97f4a7c15L) & mask
-        while (true) {
-          val k = keys(i)
-          if (k == nameHash) return true
-          if (k == 0L) return false
-          i = (i + 1) & mask
-        }
-        false // unreachable
-      } else {
-        var i = 0
-        while (i < names.length) {
-          if (graft.core.HtmlUtil.eqIgnoreCase(input, s, e, names(i))) return true
-          i += 1
-        }
-        false
-      }
-    }
-  }
 
   /** Compile a list of (selector source, payload match id). */
   def compile(selectors: Seq[(SelectorList, Int)]): Program = {

@@ -29,6 +29,14 @@ trait VmElemView extends ElemView {
     * hash can't encode, without string materialization.
     */
   var nameFnvV: Long = 0L
+  /** Tag-name byte range in [[nameInput]]: stack frames keep positions
+    * instead of interned strings, so unhashable names (custom elements)
+    * never materialize on push/pop.
+    */
+  var nameStartV: Int = 0
+  var nameEndV: Int = 0
+  /** The document buffer the name range points into (stable per parse). */
+  def nameInput: Array[Byte]
   final def nthIndex: Int = nthIdx
   final def nthOfTypeIndex: Int = nthOfTypeIdx
   final def nameFnv: Long = nameFnvV
@@ -68,9 +76,18 @@ trait PopSink {
 final class MatchingVm(program: Program) {
 
   private final class Frame {
-    var nameLower: String = _
+    // unhashable names keep their byte range into the current document
+    // buffer (valid for the whole parse) — no string is ever interned on
+    // the push/pop path
+    var nameStart: Int = 0
+    var nameEnd: Int = 0
     var nameHash: Long = TagHash.Empty
     var nameFnv: Long = 0L // set only for unhashable names
+    /** Cached open-name-count slot (onc table for hashable names, fnv
+      * table otherwise) — popping decrements without re-probing; the grow
+      * paths re-point live frames' slots.
+      */
+    var cntSlot: Int = 0
     var jumps: Array[Int] = noInts
     var hereditary: Array[Int] = noInts
     var desc: ElementDescriptor = _
@@ -106,14 +123,16 @@ final class MatchingVm(program: Program) {
     while (fnvKeys(i) != 0L && fnvKeys(i) != key) i = (i + 1) & mask
     i
   }
-  private def fnvInc(key: Long): Unit = {
-    val i = fnvSlot(key)
+  /** Increment and return the key's slot (stable until the next grow). */
+  private def fnvInc(key: Long): Int = {
+    var i = fnvSlot(key)
     if (fnvKeys(i) == 0L) {
       fnvKeys(i) = key
       fnvSize += 1
-      if (fnvSize * 3 > fnvKeys.length) fnvGrow()
+      if (fnvSize * 3 > fnvKeys.length) { fnvGrow(); i = fnvSlot(key) }
     }
-    fnvCounts(if (fnvKeys(i) == key) i else fnvSlot(key)) += 1
+    fnvCounts(i) += 1
+    i
   }
   private def fnvGrow(): Unit = {
     val ok = fnvKeys; val oc = fnvCounts
@@ -127,14 +146,17 @@ final class MatchingVm(program: Program) {
       }
       j += 1
     }
+    // re-point live frames' cached slots at the rebuilt table
+    var f = 0
+    while (f <= top) {
+      if (frames(f).nameHash == TagHash.Empty)
+        frames(f).cntSlot = fnvSlot(frames(f).nameFnv)
+      f += 1
+    }
   }
   @inline private def fnvGet(key: Long): Int = {
     val i = fnvSlot(key)
     if (fnvKeys(i) == key) fnvCounts(i) else 0
-  }
-  @inline private def fnvDec(key: Long): Unit = {
-    val i = fnvSlot(key)
-    if (fnvKeys(i) == key && fnvCounts(i) > 0) fnvCounts(i) -= 1
   }
 
   @inline private def oncSlot(hash: Long): Int = {
@@ -143,14 +165,16 @@ final class MatchingVm(program: Program) {
     while (oncKeys(i) != 0L && oncKeys(i) != hash) i = (i + 1) & mask
     i
   }
-  private def oncInc(hash: Long): Unit = {
-    val i = oncSlot(hash)
+  /** Increment and return the hash's slot (stable until the next grow). */
+  private def oncInc(hash: Long): Int = {
+    var i = oncSlot(hash)
     if (oncKeys(i) == 0L) {
       oncKeys(i) = hash
       oncSize += 1
-      if (oncSize * 3 > oncKeys.length) oncGrow()
+      if (oncSize * 3 > oncKeys.length) { oncGrow(); i = oncSlot(hash) }
     }
-    oncCounts(if (oncKeys(i) == hash) i else oncSlot(hash)) += 1
+    oncCounts(i) += 1
+    i
   }
   private def oncGrow(): Unit = {
     val ok = oncKeys; val oc = oncCounts
@@ -164,14 +188,17 @@ final class MatchingVm(program: Program) {
       }
       j += 1
     }
+    // re-point live frames' cached slots at the rebuilt table
+    var f = 0
+    while (f <= top) {
+      if (frames(f).nameHash != TagHash.Empty)
+        frames(f).cntSlot = oncSlot(frames(f).nameHash)
+      f += 1
+    }
   }
   @inline private def oncGet(hash: Long): Int = {
     val i = oncSlot(hash)
     if (oncKeys(i) == hash) oncCounts(i) else 0
-  }
-  @inline private def oncDec(hash: Long): Unit = {
-    val i = oncSlot(hash)
-    if (oncKeys(i) == hash && oncCounts(i) > 0) oncCounts(i) -= 1
   }
 
   /** For programs whose entry points are all single-TypeSel compounds
@@ -332,19 +359,25 @@ final class MatchingVm(program: Program) {
       frames = n
     }
     val f = frames(top)
-    // the frame's name string is consulted only for unhashable names
-    // (end-tag fallback matching) — avoid forcing the lazy intern
-    f.nameLower = if (view.nameHash != TagHash.Empty) null else view.nameLower
+    // unhashable names: keep the byte range (end-tag fallback matching
+    // compares slices in the same buffer) — never intern a string here
     f.nameHash = view.nameHash
-    f.nameFnv = if (view.nameHash != TagHash.Empty) 0L else normFnv(view.nameFnv)
+    if (view.nameHash != TagHash.Empty) {
+      f.nameFnv = 0L
+    } else {
+      f.nameFnv = normFnv(view.nameFnv)
+      f.nameStart = view.nameStartV
+      f.nameEnd = view.nameEndV
+    }
     f.jumps = jumps
     f.hereditary = hereditary
     f.desc = null
     f.childCount = 0
     if (f.typedCounters != null) f.typedCounters = null
 
-    if (f.nameHash != TagHash.Empty) oncInc(f.nameHash)
-    else fnvInc(f.nameFnv)
+    f.cntSlot =
+      if (f.nameHash != TagHash.Empty) oncInc(f.nameHash)
+      else fnvInc(f.nameFnv)
     if (f.hereditary.length > 0) {
       var present = false
       var k = 0
@@ -356,19 +389,52 @@ final class MatchingVm(program: Program) {
     }
   }
 
-  /** Pop up to (and including) the last open element named `nameLower`;
-    * `onPop` receives each popped frame's descriptor (or null), innermost
-    * last (stack drain order, matching the reference's `drain(index..)`).
+  /** ASCII-case-insensitive equality of two byte slices (both in the same
+    * document buffer — start vs end tag names of one element).
     */
-  def execEndTag(nameLower: String, nameHash: Long, nameFnv: Long,
-                 sink: PopSink): Unit = {
-    if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
-    else if (fnvGet(normFnv(nameFnv)) == 0) return
+  @inline private def eqSliceIgnoreCase(in: Array[Byte], aS: Int, aE: Int,
+                                        bS: Int, bE: Int): Boolean = {
+    val n = aE - aS
+    if (n != bE - bS) return false
+    var i = 0
+    while (i < n) {
+      val a = in(aS + i) & 0xff
+      val b = in(bS + i) & 0xff
+      val af = if (a >= 'A' && a <= 'Z') a + 32 else a
+      val bf = if (b >= 'A' && b <= 'Z') b + 32 else b
+      if (af != bf) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Pop up to (and including) the last open element whose name matches
+    * the byte range `nameStart until nameEnd` of `input`; `onPop` receives
+    * each popped frame's descriptor (or null), innermost last (stack drain
+    * order, matching the reference's `drain(index..)`). No string is
+    * materialized: unhashable names match by case-folded FNV plus an exact
+    * slice compare within the same buffer.
+    */
+  def execEndTag(input: Array[Byte], nameStart: Int, nameEnd: Int,
+                 nameHash: Long, nameFnv: Long, sink: PopSink): Unit = {
+    val fnv = normFnv(nameFnv)
+    @inline def matches(f: Frame): Boolean =
+      if (nameHash != TagHash.Empty) f.nameHash == nameHash
+      else f.nameHash == TagHash.Empty && f.nameFnv == fnv &&
+        eqSliceIgnoreCase(input, f.nameStart, f.nameEnd, nameStart, nameEnd)
+
     var idx = top
-    while (idx >= 0 && !(
-      if (nameHash != TagHash.Empty) frames(idx).nameHash == nameHash
-      else frames(idx).nameHash == TagHash.Empty && frames(idx).nameLower == nameLower)) idx -= 1
-    if (idx < 0) return
+    if (top >= 0 && matches(frames(top))) {
+      // fast path: well-formed content closes the innermost element — no
+      // open-count probe needed (the cached slot decrements directly)
+      ()
+    } else {
+      // stray end tag O(1) reject via open-name counts
+      if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
+      else if (fnvGet(fnv) == 0) return
+      while (idx >= 0 && !matches(frames(idx))) idx -= 1
+      if (idx < 0) return
+    }
 
     // retain hereditary jumps owned by frames below idx
     var k = activeHereditary.length - 1
@@ -380,8 +446,8 @@ final class MatchingVm(program: Program) {
     var j = idx
     while (j <= top) {
       val f = frames(j)
-      if (f.nameHash != TagHash.Empty) oncDec(f.nameHash)
-      else fnvDec(f.nameFnv)
+      if (f.nameHash != TagHash.Empty) oncCounts(f.cntSlot) -= 1
+      else fnvCounts(f.cntSlot) -= 1
       sink.onPop(f.desc)
       f.desc = null
       j += 1
@@ -416,9 +482,13 @@ final class MatchingVm(program: Program) {
   */
 final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
                                     byName: java.util.HashMap[String, Integer]) {
+  private val byNameEmpty = byName.isEmpty
+
   /** Returns the entry instruction index or -1 (primitive open-addressed
     * probe; valid hashes are >= 6, so 0 marks empty slots). The view's
-    * name string is only fetched for unhashable names.
+    * name string is only fetched for unhashable names, and only when the
+    * program actually selects an unhashable name — a document full of
+    * custom elements against hashed-only selectors never interns.
     */
   def get(hash: Long, view: ElemView): Int = {
     if (hash != graft.core.TagHash.Empty) {
@@ -431,7 +501,8 @@ final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
         i = (i + 1) & mask
       }
       -1 // unreachable
-    } else {
+    } else if (byNameEmpty) -1
+    else {
       val v = byName.get(view.nameLower)
       if (v == null) -1 else v.intValue()
     }

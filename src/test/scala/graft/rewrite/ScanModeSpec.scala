@@ -31,9 +31,7 @@ class ScanModeSpec extends AnyFunSuite {
     def onEof(p: Int): Unit = trace += s"F:$p"
   }
 
-  private object skipAll extends AttrNeed {
-    def needsAttrs(h: Long, s: Int, e: Int, in: Array[Byte]): Boolean = false
-  }
+  private val skipAll = AttrNeedTable.SkipAll
 
   private def tracesMatch(html: String): Unit = {
     val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
