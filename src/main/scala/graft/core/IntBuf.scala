@@ -11,6 +11,10 @@ final class IntBuf(initial: Int = 32) {
     length += 1
   }
   @inline def apply(i: Int): Int = a(i)
+  /** Backing array (valid indices: 0 until length; invalidated by +=).
+    * For hot read loops that want direct array access.
+    */
+  def raw: Array[Int] = a
   def isEmpty: Boolean = length == 0
   def nonEmpty: Boolean = length > 0
   def toArray: Array[Int] = java.util.Arrays.copyOf(a, length)

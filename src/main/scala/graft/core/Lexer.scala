@@ -225,6 +225,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
   def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeedTable): Unit = {
     input = doc; len = doc.length; sink = out
     scanAttrNeed = attrNeed
+    memoNeedHash = 0L // the memo is per-(parse, attrNeed table)
     nextPos = 0; lexemeStart = 0; tokenPartStart = 0
     cdataAllowed = false; state = S_DATA
     lastStartTagNameHash = TagHash.Empty
@@ -344,6 +345,13 @@ final class Lexer(strict: Boolean = true) extends TagView {
     tNameAscii = ascii
   }
 
+  // one-entry memo for the scan-mode decision: documents repeat tag names
+  // in runs (<td>, <li>, <emu-alg>...), so the common case is one compare
+  // instead of a table probe (0 is never a real tag hash — names start
+  // with a letter — and never Empty, so it doubles as "invalid")
+  private var memoNeedHash = 0L
+  private var memoNeedSkip = false
+
   private def finishTagName(): Unit = {
     tNameStart = tokenPartStart; tNameEnd = pos
     if (tNameHash == TagHash.Empty) computeNameFnv()
@@ -352,8 +360,14 @@ final class Lexer(strict: Boolean = true) extends TagView {
     // feedback reads <font color/size/face> and <annotation-xml encoding>)
     tSkipAttrs = scanAttrNeed != null && (
       !tagIsStart ||
-        (treeSim.currentNs == Ns.Html &&
-          !scanAttrNeed.needsAttrs(tNameHash, tNameStart, tNameEnd, input)))
+        (treeSim.currentNs == Ns.Html && {
+          if (tNameHash == memoNeedHash) memoNeedSkip
+          else {
+            val skip = !scanAttrNeed.needsAttrs(tNameHash, tNameStart, tNameEnd, input)
+            if (tNameHash != TagHash.Empty) { memoNeedHash = tNameHash; memoNeedSkip = skip }
+            skip
+          }
+        }))
   }
 
   @inline private def isAppropriateEndTag: Boolean = tNameHash == lastStartTagNameHash
@@ -664,15 +678,16 @@ final class Lexer(strict: Boolean = true) extends TagView {
 
         case S_TAG_NAME =>
           // hot state: stay in a tight inner loop over the name chars
-          // instead of re-entering the dispatch switch per char
+          // instead of re-entering the dispatch switch per char; the
+          // common case (another name char) is one table load
           var spin = true
           while (spin) {
             val c = consume()
-            if (isWs(c)) { finishTagName(); state = S_BEFORE_ATTR_NAME; spin = false }
+            if (c >= 0 && !Lexer.NameDelim(c)) updateTagNameHash()
+            else if (isWs(c)) { finishTagName(); state = S_BEFORE_ATTR_NAME; spin = false }
             else if (c == '>') { finishTagName(); state = emitTag(); spin = false }
             else if (c == '/') { finishTagName(); state = S_SELF_CLOSING_START_TAG; spin = false }
-            else if (c == -1) { emitRawWithoutToken(inclusive = false); emitEof(); done = true; spin = false }
-            else updateTagNameHash()
+            else { emitRawWithoutToken(inclusive = false); emitEof(); done = true; spin = false }
           }
 
         case S_SELF_CLOSING_START_TAG =>
@@ -1001,6 +1016,16 @@ object Lexer {
   private[core] val LongView: java.lang.invoke.VarHandle =
     java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
       classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Tag-name delimiters (whitespace, '/', '>'): one load classifies the
+    * common "another name char" case in the S_TAG_NAME spin loop.
+    */
+  private[core] val NameDelim: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    t(' ') = true; t('\n') = true; t('\r') = true; t('\t') = true; t(0x0c) = true
+    t('/') = true; t('>') = true
+    t
+  }
 }
 
 /** Scan-mode policy table: must a start tag with this name have its

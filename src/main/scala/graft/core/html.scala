@@ -41,16 +41,22 @@ object TagHash {
   /** Sentinel for names not representable in the encoding (all bits set). */
   final val Empty: Long = -1L
 
+  // byte -> 5-bit code + 1 (0 = unrepresentable): one load replaces the
+  // four-compare ladder in the per-name-character hot path
+  private val Enc5: Array[Byte] = {
+    val t = new Array[Byte](256)
+    var c = 'a'.toInt
+    while (c <= 'z') { t(c) = (((c & 0x1f) + 5) + 1).toByte; t(c ^ 0x20) = t(c); c += 1 }
+    c = '1'.toInt
+    while (c <= '6') { t(c) = (((c & 0x0f) - 1) + 1).toByte; c += 1 }
+    t
+  }
+
   /** Incremental update with one byte; returns Empty once unrepresentable. */
   @inline def update(h: Long, ch: Byte): Long = {
-    if ((h >>> 59) == 0L) {
-      val c = ch & 0xff
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
-        (h << 5) | ((c & 0x1f) + 5L)
-      else if (c >= '1' && c <= '6')
-        (h << 5) | ((c & 0x0f) - 1L)
-      else Empty
-    } else Empty
+    val v = Enc5(ch & 0xff)
+    if (v != 0 && (h >>> 59) == 0L) (h << 5) | (v - 1L)
+    else Empty
   }
 
   def of(s: String): Long = {

@@ -87,10 +87,25 @@ final class Extractor(policy: ExtractPolicy) {
     }
     override def onRawTextEnd(): Unit = {
       if (curNodeStart >= 0) {
-        nodeStarts += curNodeStart
-        nodeEnds += curNodeEnd
+        commitNode(curNodeStart, curNodeEnd)
         curNodeStart = -1
       }
+    }
+  }
+
+  // media-free rows (most of a real corpus) skip the node-buffer staging
+  // entirely: whitespace classification + span emission happen right at
+  // node end, while the node's bytes are still cache-hot from the scan
+  private var directToRaw = false
+  private var curHtml: Array[Byte] = _
+
+  private def commitNode(s: Int, e: Int): Unit = {
+    if (directToRaw) {
+      if (!(policy.dropWhitespaceOnlyNodes && isAllWs(curHtml, s, e)))
+        raw.add(0, s, e, -1)
+    } else {
+      nodeStarts += s
+      nodeEnds += e
     }
   }
 
@@ -196,6 +211,8 @@ final class Extractor(policy: ExtractPolicy) {
     nodeStarts.clear(); nodeEnds.clear(); curNodeStart = -1
     raw.clear()
     detectedCharset = null
+    directToRaw = mediaOffsets.isEmpty
+    curHtml = html
 
     if (policy.maxDocBytes > 0 && html.length > policy.maxDocBytes) {
       raw.error = s"memory_limit_exceeded:${html.length}"
@@ -206,11 +223,12 @@ final class Extractor(policy: ExtractPolicy) {
     catch {
       case e: EngineBailoutException =>
         raw.error = e.errorCode
-        if (curNodeStart >= 0) { nodeStarts += curNodeStart; nodeEnds += curNodeEnd; curNodeStart = -1 }
+        if (curNodeStart >= 0) { commitNode(curNodeStart, curNodeEnd); curNodeStart = -1 }
       case e: Exception =>
         raw.error = s"engine_error:${e.getClass.getSimpleName}"
     }
     if (removing) removedTo += html.length
+    if (directToRaw) return raw // spans were emitted at node end
 
     // media survival: offset outside every removed interval
     keptMediaIdx.clear()
@@ -226,6 +244,21 @@ final class Extractor(policy: ExtractPolicy) {
 
     // merge text nodes and media in document order, splitting nodes that
     // contain a media offset (media first on offset ties)
+    if (keptMediaIdx.length == 0) {
+      // media-free fast path (most rows): direct array walk, no interleave
+      val ns = nodeStarts.raw
+      val ne = nodeEnds.raw
+      val n = nodeStarts.length
+      val dropWs = policy.dropWhitespaceOnlyNodes
+      var i = 0
+      while (i < n) {
+        val s = ns(i)
+        val e = ne(i)
+        if (!(dropWs && isAllWs(html, s, e))) raw.add(0, s, e, -1)
+        i += 1
+      }
+      return raw
+    }
     var ni = 0
     var ki = 0
     @inline def mediaOff(k: Int) = mediaOffsets(keptMediaIdx(k))

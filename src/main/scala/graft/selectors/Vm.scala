@@ -123,8 +123,14 @@ final class MatchingVm(program: Program) {
     while (fnvKeys(i) != 0L && fnvKeys(i) != key) i = (i + 1) & mask
     i
   }
+  // one-entry memo: repeated pushes of the same name (list items, table
+  // cells) reuse the slot without re-probing; grow/reset invalidate
+  private var lastFnvKey = 0L
+  private var lastFnvSlot = 0
+
   /** Increment and return the key's slot (stable until the next grow). */
   private def fnvInc(key: Long): Int = {
+    if (key == lastFnvKey) { val i = lastFnvSlot; fnvCounts(i) += 1; return i }
     var i = fnvSlot(key)
     if (fnvKeys(i) == 0L) {
       fnvKeys(i) = key
@@ -132,6 +138,7 @@ final class MatchingVm(program: Program) {
       if (fnvSize * 3 > fnvKeys.length) { fnvGrow(); i = fnvSlot(key) }
     }
     fnvCounts(i) += 1
+    lastFnvKey = key; lastFnvSlot = i
     i
   }
   private def fnvGrow(): Unit = {
@@ -146,6 +153,7 @@ final class MatchingVm(program: Program) {
       }
       j += 1
     }
+    lastFnvKey = 0L
     // re-point live frames' cached slots at the rebuilt table
     var f = 0
     while (f <= top) {
@@ -165,8 +173,12 @@ final class MatchingVm(program: Program) {
     while (oncKeys(i) != 0L && oncKeys(i) != hash) i = (i + 1) & mask
     i
   }
+  private var lastOncHash = 0L
+  private var lastOncSlot = 0
+
   /** Increment and return the hash's slot (stable until the next grow). */
   private def oncInc(hash: Long): Int = {
+    if (hash == lastOncHash) { val i = lastOncSlot; oncCounts(i) += 1; return i }
     var i = oncSlot(hash)
     if (oncKeys(i) == 0L) {
       oncKeys(i) = hash
@@ -174,6 +186,7 @@ final class MatchingVm(program: Program) {
       if (oncSize * 3 > oncKeys.length) { oncGrow(); i = oncSlot(hash) }
     }
     oncCounts(i) += 1
+    lastOncHash = hash; lastOncSlot = i
     i
   }
   private def oncGrow(): Unit = {
@@ -188,6 +201,7 @@ final class MatchingVm(program: Program) {
       }
       j += 1
     }
+    lastOncHash = 0L
     // re-point live frames' cached slots at the rebuilt table
     var f = 0
     while (f <= top) {
@@ -228,6 +242,8 @@ final class MatchingVm(program: Program) {
       java.util.Arrays.fill(fnvCounts, 0)
       fnvSize = 0
     }
+    lastOncHash = 0L
+    lastFnvKey = 0L
   }
 
   def depth: Int = top + 1
