@@ -172,3 +172,85 @@ class ScanModeSpec extends AnyFunSuite {
     assert(scan.trace == full.trace)
   }
 }
+
+/** T4 (dynamic text capture under scan mode): the reference re-decides
+  * parser mode per tag so text handlers under a matched element get full
+  * lexemes while the rest of the document stays in the fast mode
+  * (/root/reference/src/parser/mod.rs:26-118). This engine reaches the
+  * same end state differently: text-handler activation is refcounted per
+  * matched subtree (D1), text chunks materialize ONLY while a matched
+  * element is open, and attribute skipping stays on for all other tags —
+  * these tests pin that composition against forced full mode.
+  */
+class ScanModeTextCaptureSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import scala.collection.mutable
+
+  private def run(html: String, forceFull: Boolean,
+                  selectors: Seq[String]): (Seq[String], String) = {
+    val texts = new mutable.ArrayBuffer[String]()
+    val handlers = selectors.map(s => s -> ElementHandlers(
+      text = tc => { if (tc.text.nonEmpty) texts += s"$s:${tc.text}" }))
+    val rw = new Rewriter(handlers, strict = false)
+    rw.disableAttrSkip = forceFull
+    val out = rw.rewrite(html)
+    (texts.toSeq, out)
+  }
+
+  private def sameBothModes(html: String, selectors: Seq[String]): (Seq[String], String) = {
+    val (tFull, oFull) = run(html, forceFull = true, selectors)
+    val (tScan, oScan) = run(html, forceFull = false, selectors)
+    assert(tScan == tFull, s"text capture divergence on: $html")
+    assert(oScan == oFull, s"output divergence on: $html")
+    (tScan, oScan)
+  }
+
+  test("text handler under a matched element captures only that subtree") {
+    val (texts, out) = sameBothModes(
+      "<p>before</p><div a='x>y'>in<span>deep</span></div><p>after</p>",
+      Seq("div"))
+    assert(texts == Seq("div:in", "div:deep"))
+    assert(out == "<p>before</p><div a='x>y'>in<span>deep</span></div><p>after</p>")
+  }
+
+  test("nested matches: refcounted activation (no double capture, exact deactivation)") {
+    val (texts, _) = sameBothModes(
+      "<div>a<div>b</div>c</div>d<section>skip</section>",
+      Seq("div"))
+    assert(texts == Seq("div:a", "div:b", "div:c"))
+  }
+
+  test("text mutation under a matched subtree rewrites only there") {
+    def run2(forceFull: Boolean): String = {
+      val rw = new Rewriter(Seq("article" -> ElementHandlers(
+        text = tc => { if (tc.text.contains("secret")) tc.replace("[redacted]", ContentType.Text) })),
+        strict = false)
+      rw.disableAttrSkip = forceFull
+      rw.rewrite("<p>secret stays</p><article q=\"a>b\">a secret here</article><p>secret too</p>")
+    }
+    val full = run2(forceFull = true)
+    val scan = run2(forceFull = false)
+    assert(scan == full)
+    assert(scan == "<p>secret stays</p><article q=\"a>b\">[redacted]</article><p>secret too</p>")
+  }
+
+  test("mixed workload: text capture + attr predicate + rcdata/script subtrees") {
+    val html = "<title>t</title><div class=k><script>var s='</div>';</script>tx</div>" +
+      "<a href='/u'>link</a><textarea>raw<div></textarea>"
+    val selectors = Seq("div", "a[href]", "textarea")
+    val (texts, out) = sameBothModes(html, selectors)
+    // text chunks split at markup-lookalike boundaries; content is the join
+    def joined(sel: String) =
+      texts.filter(_.startsWith(sel + ":")).map(_.drop(sel.length + 1)).mkString
+    assert(joined("textarea") == "raw<div>")
+    assert(texts.contains("div:tx"))
+    assert(joined("a[href]") == "link")
+    assert(out == html)
+  }
+
+  test("unhashable matched name activates text capture for its subtree only") {
+    val (texts, _) = sameBothModes(
+      "<emu-alg-like-name>steps<span>inner</span></emu-alg-like-name><p>out</p>",
+      Seq("emu-alg-like-name"))
+    assert(texts == Seq("emu-alg-like-name:steps", "emu-alg-like-name:inner"))
+  }
+}
