@@ -48,20 +48,52 @@ final class ByteBuf(initial: Int = 1024) {
   def toUtf8String: String = new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
 }
 
+/** Receives streamed content chunks (reference StreamingHandlerSink,
+  * /root/reference/src/rewritable_units/streaming_sink.rs:8-60): each
+  * write is escaped per its content type and concatenated into the
+  * output. Valid only during the [[StreamingHandler.writeAll]] call.
+  */
+trait StreamingSink {
+  def writeStr(content: String, contentType: Int): Unit
+}
+
+/** Content provider for streaming mutations (the reference's
+  * `streaming!` handlers, /root/reference/src/rewriter/settings.rs
+  * streaming! + Element::streaming_*): invoked once at output
+  * serialization time, writing any number of chunks — large generated
+  * content never has to be built as one String.
+  */
+trait StreamingHandler {
+  def writeAll(sink: StreamingSink): Unit
+}
+
 /** Ordered list of content chunks with front/back insertion
   * (reference DynamicString, src/rewritable_units/mutations.rs:108-193).
+  * A chunk is either a (String, contentType) literal or a deferred
+  * [[StreamingHandler]].
   */
 final class DynamicString {
-  private[rewrite] val chunks = new mutable.ArrayBuffer[(String, Int)](2)
+  private[rewrite] val chunks = new mutable.ArrayBuffer[(AnyRef, Int)](2)
   def pushBack(s: String, ct: Int): Unit = chunks += ((s, ct))
   def pushFront(s: String, ct: Int): Unit = chunks.insert(0, (s, ct))
+  def pushBack(h: StreamingHandler): Unit = chunks += ((h, ContentType.Html))
+  def pushFront(h: StreamingHandler): Unit = chunks.insert(0, (h, ContentType.Html))
   def clear(): Unit = chunks.clear()
   def isEmpty: Boolean = chunks.isEmpty
   def emitTo(out: ByteBuf): Unit = {
     var i = 0
     while (i < chunks.length) {
-      val (s, ct) = chunks(i)
-      if (ct == ContentType.Html) out.appendString(s) else out.appendEscaped(s)
+      chunks(i) match {
+        case (s: String, ct) =>
+          if (ct == ContentType.Html) out.appendString(s) else out.appendEscaped(s)
+        case (h: StreamingHandler, _) =>
+          h.writeAll(new StreamingSink {
+            def writeStr(content: String, contentType: Int): Unit =
+              if (contentType == ContentType.Html) out.appendString(content)
+              else out.appendEscaped(content)
+          })
+        case _ => ()
+      }
       i += 1
     }
   }
@@ -85,6 +117,19 @@ final class Mutations {
     removed = true
     replacement = new DynamicString
     replacement.pushBack(s, ct)
+  }
+  def beforeStreaming(h: StreamingHandler): Unit = {
+    if (contentBefore == null) contentBefore = new DynamicString
+    contentBefore.pushBack(h)
+  }
+  def afterStreaming(h: StreamingHandler): Unit = {
+    if (contentAfter == null) contentAfter = new DynamicString
+    contentAfter.pushFront(h)
+  }
+  def replaceStreaming(h: StreamingHandler): Unit = {
+    removed = true
+    replacement = new DynamicString
+    replacement.pushBack(h)
   }
   def remove(): Unit = removed = true
 }
@@ -162,6 +207,45 @@ final class Element private[rewrite] (
       if (startTagMutations.contentAfter == null) startTagMutations.contentAfter = new DynamicString
       startTagMutations.contentAfter.pushBack(content, ct)
     }
+
+  // ---- streaming mutations (reference Element::streaming_before/after/
+  // prepend/append/set_inner_content/replace + the streaming! macro) ----
+
+  def streamingBefore(h: StreamingHandler): Unit =
+    startTagMutations.beforeStreaming(h)
+
+  def streamingAfter(h: StreamingHandler): Unit =
+    if (canHaveContent) {
+      if (endMut.contentAfter == null) endMut.contentAfter = new DynamicString
+      endMut.contentAfter.pushFront(h)
+    } else startTagMutations.afterStreaming(h)
+
+  def streamingPrepend(h: StreamingHandler): Unit =
+    if (canHaveContent) startTagMutations.afterStreaming(h)
+
+  def streamingAppend(h: StreamingHandler): Unit =
+    if (canHaveContent) {
+      if (endMut.contentBefore == null) endMut.contentBefore = new DynamicString
+      endMut.contentBefore.pushBack(h)
+    }
+
+  def streamingSetInnerContent(h: StreamingHandler): Unit =
+    if (canHaveContent) {
+      removeContentInternal()
+      if (startTagMutations.contentAfter == null) startTagMutations.contentAfter = new DynamicString
+      startTagMutations.contentAfter.pushBack(h)
+    }
+
+  /** Replace the whole element (tags + content) with new content. */
+  def replace(content: String, ct: Int = ContentType.Html): Unit = {
+    startTagMutations.replace(content, ct)
+    if (canHaveContent) { removeContentInternal(); endMut.remove() }
+  }
+
+  def streamingReplace(h: StreamingHandler): Unit = {
+    startTagMutations.replaceStreaming(h)
+    if (canHaveContent) { removeContentInternal(); endMut.remove() }
+  }
 
   private def removeContentInternal(): Unit = {
     if (startTagMutations.contentAfter != null) startTagMutations.contentAfter.clear()
@@ -245,6 +329,9 @@ final class TextChunk private[rewrite] (
   def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
   def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
   def replace(content: String, ct: Int = ContentType.Html): Unit = mutations.replace(content, ct)
+  def streamingBefore(h: StreamingHandler): Unit = mutations.beforeStreaming(h)
+  def streamingAfter(h: StreamingHandler): Unit = mutations.afterStreaming(h)
+  def streamingReplace(h: StreamingHandler): Unit = mutations.replaceStreaming(h)
   def remove(): Unit = mutations.remove()
 }
 
@@ -254,6 +341,9 @@ final class Comment private[rewrite] (val text: String, val sourceStart: Int, va
   def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
   def after(content: String, ct: Int = ContentType.Html): Unit = mutations.after(content, ct)
   def replace(content: String, ct: Int = ContentType.Html): Unit = mutations.replace(content, ct)
+  def streamingBefore(h: StreamingHandler): Unit = mutations.beforeStreaming(h)
+  def streamingAfter(h: StreamingHandler): Unit = mutations.afterStreaming(h)
+  def streamingReplace(h: StreamingHandler): Unit = mutations.replaceStreaming(h)
   def remove(): Unit = mutations.remove()
 }
 

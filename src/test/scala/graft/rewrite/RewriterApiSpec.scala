@@ -132,3 +132,72 @@ class EncodeHtmlCompatSpec extends AnyFunSuite {
     assert(new String(out, cs) == "<p>hi&#10003;</p>")
   }
 }
+
+/** Streaming mutation handlers (reference `streaming!` macro +
+  * Element::streaming_* — settings.rs:589-620, element streaming tests):
+  * content is produced in chunks at serialization time.
+  */
+class StreamingMutationSpec extends AnyFunSuite {
+  private def h(chunks: (String, Int)*): StreamingHandler = new StreamingHandler {
+    def writeAll(sink: StreamingSink): Unit =
+      chunks.foreach { case (c, ct) => sink.writeStr(c, ct) }
+  }
+
+  private def rewrite(html: String, sel: String, f: Element => Unit): String = {
+    val rw = new Rewriter(Seq(sel -> ElementHandlers(element = f)), strict = false)
+    rw.rewrite(html)
+  }
+
+  test("streamingReplace writes chunked replacement for the whole element") {
+    val out = rewrite("<div><span>x</span></div><p>keep</p>", "div",
+      el => el.streamingReplace(h("<h1>" -> ContentType.Html, "a&b" -> ContentType.Text,
+        "</h1>" -> ContentType.Html)))
+    assert(out == "<h1>a&amp;b</h1><p>keep</p>")
+  }
+
+  test("streamingSetInnerContent keeps tags, streams content") {
+    val out = rewrite("<div>old<span>gone</span></div>", "div",
+      el => el.streamingSetInnerContent(h("new " -> ContentType.Html, "1<2" -> ContentType.Text)))
+    assert(out == "<div>new 1&lt;2</div>")
+  }
+
+  test("streamingPrepend/Append compose with literal mutations in order") {
+    val out = rewrite("<div>mid</div>", "div", el => {
+      el.prepend("[p1]")
+      el.streamingPrepend(h("[p2]" -> ContentType.Html))
+      el.append("[a1]")
+      el.streamingAppend(h("[a2]" -> ContentType.Html))
+    })
+    // prepend is push_front (later prepend outermost); append is push_back
+    assert(out == "<div>[p2][p1]mid[a1][a2]</div>")
+  }
+
+  test("streamingBefore/After around a void element") {
+    val out = rewrite("a<img src=x>b", "img", el => {
+      el.streamingBefore(h("<!--b-->" -> ContentType.Html))
+      el.streamingAfter(h("<!--a-->" -> ContentType.Html))
+    })
+    assert(out == "a<!--b--><img src=x><!--a-->b")
+  }
+
+  test("element replace (literal) removes tags and content") {
+    val out = rewrite("x<div>gone<span>too</span></div>y", "div",
+      el => el.replace("<hr>"))
+    assert(out == "x<hr>y")
+  }
+
+  test("text chunk streamingReplace with escaping") {
+    val rw = new Rewriter(Seq("p" -> ElementHandlers(text = tc =>
+      if (tc.text.nonEmpty) tc.streamingReplace(h("<" -> ContentType.Text, "chunked" -> ContentType.Text)))),
+      strict = false)
+    assert(rw.rewrite("<p>orig</p>") == "<p>&lt;chunked</p>")
+  }
+
+  test("comment streamingBefore/After") {
+    val rw = new Rewriter(Seq.empty, docHandlers = Seq(DocHandlers(comments = c => {
+      c.streamingBefore(h("B" -> ContentType.Html))
+      c.streamingAfter(h("A" -> ContentType.Html))
+    })), strict = false)
+    assert(rw.rewrite("x<!--c-->y") == "xB<!--c-->Ay")
+  }
+}
