@@ -651,6 +651,59 @@ final class Rewriter(
     // byte-level probe: unmatched attributes never materialize a name
     override def attrNameEq(i: Int, lowerName: String): Boolean =
       HtmlUtil.eqIgnoreCase(in, attrsV.nameStart(i), attrsV.nameEnd(i), lowerName)
+
+    // byte-level .class / #id evaluation: the attribute VALUE string is
+    // never materialized for the (overwhelmingly common) ASCII selector
+    // tokens — class-bearing tags otherwise alloc one String per element
+    @inline private def isWsB(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    @inline private def asciiSel(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+      true
+    }
+
+    override def hasClassToken(cls: String): Boolean = {
+      var i = 0
+      while (i < matCount) {
+        if (attrNameEq(i, "class")) {
+          if (!asciiSel(cls))
+            return graft.selectors.ElemView.containsWsToken(attrValue(i), cls, caseInsensitive = false)
+          val e = attrsV.valueEnd(i)
+          var p = attrsV.valueStart(i)
+          while (p < e) {
+            while (p < e && isWsB(in(p))) p += 1
+            val st = p
+            while (p < e && !isWsB(in(p))) p += 1
+            if (p - st == cls.length) {
+              var k = 0
+              var ok = true
+              while (ok && k < cls.length) { if ((in(st + k) & 0xff) != cls.charAt(k)) ok = false; k += 1 }
+              if (ok) return true
+            }
+          }
+          return false
+        }
+        i += 1
+      }
+      false
+    }
+
+    override def idEquals(id: String): Boolean = {
+      var i = 0
+      while (i < matCount) {
+        if (attrNameEq(i, "id")) {
+          if (!asciiSel(id)) return attrValue(i) == id
+          val s = attrsV.valueStart(i); val e = attrsV.valueEnd(i)
+          if (e - s != id.length) return false
+          var k = 0
+          while (k < id.length) { if ((in(s + k) & 0xff) != id.charAt(k)) return false; k += 1 }
+          return true
+        }
+        i += 1
+      }
+      false
+    }
   }
 
   // scratch buffer for matched ids of the current start tag (primitive —

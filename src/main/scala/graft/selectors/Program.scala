@@ -18,10 +18,58 @@ trait ElemView {
     * (the dominant cost of universal attr predicates like [href]).
     */
   def attrNameEq(i: Int, lowerName: String): Boolean = attrNameLower(i) == lowerName
+  /** `.cls` check (case-sensitive ws-token membership in the class
+    * attribute); implementations override with a byte scan so class
+    * selectors never materialize the attribute value.
+    */
+  def hasClassToken(cls: String): Boolean = {
+    var i = 0
+    val n = attrCount
+    while (i < n) {
+      if (attrNameEq(i, "class"))
+        return ElemView.containsWsToken(attrValue(i), cls, caseInsensitive = false)
+      i += 1
+    }
+    false
+  }
+  /** `#id` check (exact value equality); byte-scan overridable like
+    * [[hasClassToken]].
+    */
+  def idEquals(id: String): Boolean = {
+    var i = 0
+    val n = attrCount
+    while (i < n) {
+      if (attrNameEq(i, "id")) return attrValue(i) == id
+      i += 1
+    }
+    false
+  }
   /** 1-based index among the parent's children (nth-child). */
   def nthIndex: Int
   /** 1-based index among same-type siblings (nth-of-type). */
   def nthOfTypeIndex: Int
+}
+
+object ElemView {
+  @inline private def isAttrWs(c: Char): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f'
+
+  /** Whitespace-separated token membership (shared by the default
+    * [[ElemView.hasClassToken]] and the attribute ~= operator).
+    */
+  def containsWsToken(v: String, tok: String, caseInsensitive: Boolean): Boolean = {
+    if (tok.isEmpty) return false
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      while (i < n && isAttrWs(v.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isAttrWs(v.charAt(i))) i += 1
+      if (i - start == tok.length && v.regionMatches(caseInsensitive, start, tok, 0, tok.length))
+        return true
+    }
+    false
+  }
 }
 
 /** One node of the compiled selector automaton: a compound-selector
@@ -58,12 +106,8 @@ object Instr {
       if (hash != TagHash.Empty || e.nameHash != TagHash.Empty) e.nameHash == hash
       else e.nameLower == lower
     case UniversalSel => true
-    case IdSel(id) =>
-      val v = attrVal(e, "id")
-      v != null && v == id
-    case ClassSel(cls) =>
-      val v = attrVal(e, "class")
-      v != null && containsWsToken(v, cls, caseInsensitive = false)
+    case IdSel(id) => e.idEquals(id)
+    case ClassSel(cls) => e.hasClassToken(cls)
     case a: AttrSel => evalAttr(a, e)
     case NotSel(inner) =>
       var i = 0
@@ -86,27 +130,14 @@ object Instr {
     null
   }
 
-  @inline private def isAttrWs(c: Char): Boolean =
-    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f'
-
   private def eqCase(a: String, b: String, ci: Boolean): Boolean =
     if (ci) a.equalsIgnoreCase(b) else a == b
 
   private def regionEq(hay: String, from: Int, needle: String, ci: Boolean): Boolean =
     hay.regionMatches(ci, from, needle, 0, needle.length)
 
-  private def containsWsToken(v: String, tok: String, caseInsensitive: Boolean): Boolean = {
-    if (tok.isEmpty) return false
-    var i = 0
-    val n = v.length
-    while (i < n) {
-      while (i < n && isAttrWs(v.charAt(i))) i += 1
-      val start = i
-      while (i < n && !isAttrWs(v.charAt(i))) i += 1
-      if (i - start == tok.length && regionEq(v, start, tok, caseInsensitive)) return true
-    }
-    false
-  }
+  private def containsWsToken(v: String, tok: String, caseInsensitive: Boolean): Boolean =
+    ElemView.containsWsToken(v, tok, caseInsensitive)
 
   /** Attr operators per /root/reference/src/selectors_vm/attribute_matcher.rs:118-218. */
   private def evalAttr(a: AttrSel, e: ElemView): Boolean = {
