@@ -87,6 +87,10 @@ object SparkEntry {
     "x9_encoded_koi8r" -> ((s, dir) =>
       HtmlClean.encodedRoundtrip(s, dir, "koi8-r", " Русская проверка текста")),
 
+    // x10: streaming mutation handlers (the reference streaming! surface)
+    // + literal whole-element replace, end-to-end under the oracle
+    "x10_streamed_clean" -> ((s, dir) => HtmlClean.streamedClean(s, dir)),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -345,6 +349,11 @@ object SparkEntry {
         "FROM documents"),
     "x9_encoded_koi8r" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Русская проверка текста' AS main_text FROM documents",
+    "x10_streamed_clean" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'<html><body><hr><article data-doc=\"' || CAST(doc_id AS VARCHAR) || '\"><mark>' || " +
+        "CAST(doc_id AS VARCHAR) || ' &lt;ok&gt;</mark></article></body></html>' AS rewritten " +
+        "FROM documents"),
     "t2_token_counts" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, 17 AS n_start_tags, " +
         "16 AS n_end_tags, 1 AS n_comments, 1 AS n_doctypes FROM documents"),

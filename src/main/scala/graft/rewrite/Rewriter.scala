@@ -485,7 +485,13 @@ final class Rewriter(
     docHandlers: Seq[DocHandlers] = Nil,
     strict: Boolean = true,
     listener: RewriteListener = null,
-    produceOutput: Boolean = true
+    produceOutput: Boolean = true,
+    /** Treat `esi:include`/`esi:comment` as void elements so Edge Side
+      * Include tags can be matched (selector `esi\:include`) and replaced
+      * (reference D15, settings.rs with_enable_esi_tags; off by default
+      * there too).
+      */
+    enableEsiTags: Boolean = false
 ) {
   // ---- compile ----
   private val program: Program = Program.compile(
@@ -523,7 +529,7 @@ final class Rewriter(
   }
 
   private val lexer = new Lexer(strict)
-  private val vm = new MatchingVm(program)
+  private val vm = new MatchingVm(program, enableEsiTags)
   private val out = new ByteBuf(4096)
 
   /** Scan mode (reference O1: two-mode parsing): the lexer skips

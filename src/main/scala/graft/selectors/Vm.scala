@@ -73,7 +73,7 @@ trait PopSink {
   * — including implicitly-closed ones, mirroring
   * /root/reference/src/selectors_vm/stack.rs:284-315.
   */
-final class MatchingVm(program: Program) {
+final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
 
   private final class Frame {
     // unhashable names keep their byte range into the current document
@@ -290,7 +290,12 @@ final class MatchingVm(program: Program) {
       }
     }
 
-    val isVoid = view.isHtmlNs && graft.core.HtmlUtil.isVoidElement(view.nameHash)
+    // ESI tags are void elements when enabled (reference
+    // selectors_vm/stack.rs:13-41: esi:include / esi:comment)
+    val isVoid = view.isHtmlNs && (graft.core.HtmlUtil.isVoidElement(view.nameHash) ||
+      (enableEsiTags && view.nameHash == TagHash.Empty &&
+        (graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:include") ||
+         graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:comment"))))
     val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
 
     // fast path: name-only entry-point programs with no live continuations

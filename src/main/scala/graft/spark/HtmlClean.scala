@@ -220,6 +220,39 @@ object HtmlClean {
       .toDF("doc_id", "error", "n_spans", "main_text")
   }
 
+  /** Streaming-mutation rewrite under the driver oracle: `nav` replaced
+    * whole (literal Element.replace), `article` content replaced by a
+    * STREAMED chunk sequence (html + escaped-text + html) derived from
+    * the element's own attribute — the reference `streaming!` surface
+    * end-to-end through Spark.
+    */
+  def streamedClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.rewrite.{ContentType, StreamingHandler, StreamingSink}
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val rw = new Rewriter(Seq(
+          "nav" -> ElementHandlers(element = el => el.replace("<hr>")),
+          "article" -> ElementHandlers(element = el => {
+            val id = el.attr("data-doc")
+            el.streamingSetInnerContent(new StreamingHandler {
+              def writeAll(sink: StreamingSink): Unit = {
+                sink.writeStr("<mark>", ContentType.Html)
+                sink.writeStr(id + " <ok>", ContentType.Text) // escaped
+                sink.writeStr("</mark>", ContentType.Html)
+              }
+            })
+          })), strict = false)
+        it.map { case (id, text) =>
+          val html = s"""<html><body><nav>n-$id</nav><article data-doc="$id"><p>$text</p></article></body></html>"""
+          (id, rw.rewrite(html))
+        }
+      }
+      .toDF("doc_id", "rewritten")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -201,3 +201,30 @@ class StreamingMutationSpec extends AnyFunSuite {
     assert(rw.rewrite("x<!--c-->y") == "xB<!--c-->Ay")
   }
 }
+
+/** ESI tags (reference D15, off by default — settings.rs
+  * with_enable_esi_tags + rewriter/mod.rs write_esi_tags test):
+  * esi:include / esi:comment become void elements so they can be matched
+  * with an escaped type selector and replaced.
+  */
+class EsiTagsSpec extends AnyFunSuite {
+  test("esi:include is void and replaceable when enabled (reference test mirrored)") {
+    val rw = new Rewriter(Seq("esi\\:include" -> ElementHandlers(element = el =>
+      el.replace("?", ContentType.Text))), strict = false, enableEsiTags = true)
+    assert(rw.rewrite("<span><esi:include src=a></span>") == "<span>?</span>")
+  }
+
+  test("esi:comment is void when enabled (no dangling open element)") {
+    val rw = new Rewriter(Seq("esi\\:comment" -> ElementHandlers(element = el =>
+      el.remove())), strict = false, enableEsiTags = true)
+    assert(rw.rewrite("a<esi:comment text=x>b<p>c</p>") == "ab<p>c</p>")
+  }
+
+  test("disabled by default: esi:include is an ordinary (content) element") {
+    var canHaveContent = false
+    val rw = new Rewriter(Seq("esi\\:include" -> ElementHandlers(element = el =>
+      canHaveContent = el.canHaveContent)), strict = false)
+    rw.rewrite("<span><esi:include src=a></span>")
+    assert(canHaveContent)
+  }
+}
