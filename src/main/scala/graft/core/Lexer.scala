@@ -222,8 +222,14 @@ final class Lexer(strict: Boolean = true) extends TagView {
     * foreign-content tags never skip (tree feedback reads <font>/
     * <annotation-xml> attributes).
     */
-  def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeedTable): Unit = {
-    input = doc; len = doc.length; sink = out
+  def parse(doc: Array[Byte], out: LexemeSink, attrNeed: AttrNeedTable): Unit =
+    parse(doc, doc.length, out, attrNeed)
+
+  /** Length-aware variant: parses `doc(0 until length)` (grow-only buffer
+    * reuse across rows — positions stay absolute byte offsets).
+    */
+  def parse(doc: Array[Byte], length: Int, out: LexemeSink, attrNeed: AttrNeedTable): Unit = {
+    input = doc; len = length; sink = out
     scanAttrNeed = attrNeed
     memoNeedHash = 0L // the memo is per-(parse, attrNeed table)
     nextPos = 0; lexemeStart = 0; tokenPartStart = 0

@@ -204,22 +204,40 @@ final class Extractor(policy: ExtractPolicy) {
   private val raw = new RawSpans
   private val keptMediaIdx = new graft.core.IntBuf(8)
 
-  /** Zero-materialization extraction (the Catalyst-expression hot path). */
+  /** Zero-materialization extraction (the Catalyst-expression hot path).
+    * This overload takes primitive media offsets (no Integer boxing) and
+    * an explicit html length so callers can reuse a grow-only document
+    * buffer across rows — per-row byte[] churn was the pipeline's single
+    * largest allocation.
+    */
+  def extractRaw(html: Array[Byte], htmlLen: Int,
+                 mediaOffsets: graft.core.IntBuf): RawSpans =
+    extractRawImpl(html, htmlLen, mediaOffsets.length,
+      if (mediaOffsets.length == 0) null else mediaOffsets.raw)
+
   def extractRaw(html: Array[Byte], mediaRefs: collection.IndexedSeq[String],
                  mediaOffsets: collection.IndexedSeq[Int]): RawSpans = {
+    val offs =
+      if (mediaOffsets.isEmpty) null
+      else { val a = new Array[Int](mediaOffsets.length); var i = 0; while (i < a.length) { a(i) = mediaOffsets(i); i += 1 }; a }
+    extractRawImpl(html, html.length, mediaOffsets.length, offs)
+  }
+
+  private def extractRawImpl(html: Array[Byte], htmlLen: Int, nMedia: Int,
+                             mediaOffsets: Array[Int]): RawSpans = {
     removedFrom.clear(); removedTo.clear(); removing = false
     nodeStarts.clear(); nodeEnds.clear(); curNodeStart = -1
     raw.clear()
     detectedCharset = null
-    directToRaw = mediaOffsets.isEmpty
+    directToRaw = nMedia == 0
     curHtml = html
 
-    if (policy.maxDocBytes > 0 && html.length > policy.maxDocBytes) {
-      raw.error = s"memory_limit_exceeded:${html.length}"
+    if (policy.maxDocBytes > 0 && htmlLen > policy.maxDocBytes) {
+      raw.error = s"memory_limit_exceeded:$htmlLen"
       return raw
     }
 
-    try rewriter.rewriteToBytes(html)
+    try rewriter.rewriteToBytes(html, htmlLen)
     catch {
       case e: EngineBailoutException =>
         raw.error = e.errorCode
@@ -227,14 +245,14 @@ final class Extractor(policy: ExtractPolicy) {
       case e: Exception =>
         raw.error = s"engine_error:${e.getClass.getSimpleName}"
     }
-    if (removing) removedTo += html.length
+    if (removing) removedTo += htmlLen
     if (directToRaw) return raw // spans were emitted at node end
 
     // media survival: offset outside every removed interval
     keptMediaIdx.clear()
     var ri = 0
     var mi = 0
-    while (mi < mediaOffsets.length) {
+    while (mi < nMedia) {
       val o = mediaOffsets(mi)
       while (ri < removedFrom.length && removedTo(ri) <= o) ri += 1
       val inRemoved = ri < removedFrom.length && removedFrom(ri) <= o && o < removedTo(ri)

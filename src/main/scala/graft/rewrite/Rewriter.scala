@@ -575,7 +575,12 @@ final class Rewriter(
     else Rewriter.encodeHtmlCompat(new String(out, utf8), charset)
   }
 
-  def rewriteToBytes(doc: Array[Byte]): Array[Byte] = {
+  def rewriteToBytes(doc: Array[Byte]): Array[Byte] = rewriteToBytes(doc, doc.length)
+
+  /** Length-aware variant: parses `doc(0 until length)` so callers can
+    * reuse a grow-only document buffer across rows.
+    */
+  def rewriteToBytes(doc: Array[Byte], length: Int): Array[Byte] = {
     out.reset()
     input = doc
     pendingStart = 0
@@ -587,8 +592,8 @@ final class Rewriter(
     // selector-scoped inactive, dynamic end-tag handlers dropped)
     elementHandlers.reset(); commentHandlers.reset(); textHandlers.reset()
     doctypeHandlers.reset(); endHandlers.reset(); endTagHandlers.reset()
-    if (disableAttrSkip) lexer.parse(doc, sink)
-    else lexer.parse(doc, sink, program.scanAttrNeed)
+    if (disableAttrSkip) lexer.parse(doc, length, sink, null)
+    else lexer.parse(doc, length, sink, program.scanAttrNeed)
     input = null
     out.toArray
   }
@@ -1029,10 +1034,12 @@ final class Rewriter(
       flushPendingText(rawStart)
 
     def onEof(p: Int): Unit = {
-      flushPendingText(input.length)
-      if (produceOutput && emissionEnabled && input.length > pendingStart)
-        out.append(input, pendingStart, input.length)
-      pendingStart = input.length
+      // p is the lexer's EOF position == the parse length (which may be
+      // shorter than the reused input buffer)
+      flushPendingText(p)
+      if (produceOutput && emissionEnabled && p > pendingStart)
+        out.append(input, pendingStart, p)
+      pendingStart = p
       if (endHandlers.hasActive) {
         val de = new DocumentEnd(out)
         endHandlers.doForEachActiveAndRemoveTail(h => h(de))

@@ -110,6 +110,7 @@ case class ExtractInterleaved(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
+    val scratch = ExtractInterleaved.scratch.get()
     // pass 1: total html bytes
     var total = 0
     var i = 0
@@ -121,9 +122,15 @@ case class ExtractInterleaved(child: Expression,
       }
       i += 1
     }
+    // fresh per-row buffer: A/B-measured FASTER than a reused grow-only
+    // buffer (short-lived TLAB arrays die in young GC for ~free, while
+    // reuse pays ThreadLocal + old-gen write traffic); media offset/ref
+    // scratch is reused only to avoid Integer boxing
     val html = new Array[Byte](total)
-    val mediaRefs = new scala.collection.mutable.ArrayBuffer[String](4)
-    val mediaOffsets = new scala.collection.mutable.ArrayBuffer[Int](4)
+    val mediaRefs = scratch.mediaRefs
+    val mediaOffsets = scratch.mediaOffsets
+    mediaRefs.clear()
+    mediaOffsets.clear()
     var off = 0
     i = 0
     while (i < n) {
@@ -141,7 +148,7 @@ case class ExtractInterleaved(child: Expression,
       }
       i += 1
     }
-    val res = ExtractInterleaved.engineFor(policy).extractRaw(html, mediaRefs, mediaOffsets)
+    val res = ExtractInterleaved.engineFor(policy).extractRaw(html, total, mediaOffsets)
     // zero-copy text spans: UTF8Strings view the per-doc html buffer
     val out = new Array[Any](res.count)
     i = 0
@@ -175,6 +182,18 @@ object ExtractInterleaved {
   // shared across local-mode task threads)
   private val engines: ThreadLocal[java.util.HashMap[ExtractPolicy, Extractor]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[ExtractPolicy, Extractor]())
+
+  /** Per-thread media scratch for [[ExtractInterleaved.nullSafeEval]]:
+    * primitive offsets (an ArrayBuffer[Int] would box every element).
+    * Row/array/buffer objects stay fresh per row on purpose — pooling
+    * them A/B-measured slower than young-gen allocation.
+    */
+  private[spark] final class Scratch {
+    val mediaRefs = new scala.collection.mutable.ArrayBuffer[String](4)
+    val mediaOffsets = new graft.core.IntBuf(8)
+  }
+  private[spark] val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
   private[spark] def engineFor(policy: ExtractPolicy): Extractor = {
     val m = engines.get()
     var e = m.get(policy)
