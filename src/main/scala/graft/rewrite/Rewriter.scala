@@ -168,15 +168,30 @@ final class Element private[rewrite] (
   }
 
   def attributes: Seq[(String, String)] = attrPairs.toSeq
+  /** Byte-level probe: looking up one attribute does NOT materialize the
+    * whole pair list (handlers that read a single attribute — meta
+    * charset detection, href capture — were paying 2·attrCount Strings).
+    * Duplicate names resolve to the first occurrence, like the pairs.
+    */
   def attr(lowerName: String): String = {
     var i = 0
-    while (i < attrPairs.length) {
-      if (attrPairs(i)._1 == lowerName) return attrPairs(i)._2
+    while (i < attrs.count) {
+      if (HtmlUtil.eqIgnoreCase(input, attrs.nameStart(i), attrs.nameEnd(i), lowerName))
+        return new String(input, attrs.valueStart(i), attrs.valueEnd(i) - attrs.valueStart(i),
+          java.nio.charset.StandardCharsets.UTF_8)
       i += 1
     }
     null
   }
-  def hasAttr(lowerName: String): Boolean = attr(lowerName) != null
+  def hasAttr(lowerName: String): Boolean = {
+    var i = 0
+    while (i < attrs.count) {
+      if (HtmlUtil.eqIgnoreCase(input, attrs.nameStart(i), attrs.nameEnd(i), lowerName))
+        return true
+      i += 1
+    }
+    false
+  }
 
   private def endMut: Mutations = {
     if (endTagMutations == null) endTagMutations = new Mutations
@@ -722,6 +737,17 @@ final class Rewriter(
   private val matchedIdsBuf = new graft.core.IntBuf(8)
   private var lastMatchWithContent = false
 
+  // long-lived handler invokers: a per-dispatch lambda (`h => h(tok)`)
+  // allocates a capturing Function1 on every captured tag / text token
+  private object elementInvoker extends ((Element => Unit) => Unit) {
+    var el: Element = _
+    def apply(h: Element => Unit): Unit = h(el)
+  }
+  private object textInvoker extends ((TextChunk => Unit) => Unit) {
+    var tok: TextChunk = _
+    def apply(h: TextChunk => Unit): Unit = h(tok)
+  }
+
   // long-lived VM callbacks (a per-call lambda would allocate per tag and
   // a Function2[Int, Boolean, Unit] boxes both arguments)
   private object matchSink extends MatchSink {
@@ -887,7 +913,9 @@ final class Rewriter(
       if (rawTextMode) listener.onRawTextEnd()
       if (textHandlers.hasActive) {
         val tok = new TextChunk("", textPendingType, lastInTextNode = true, flushPos, flushPos)
-        textHandlers.forEachActive(h => h(tok))
+        textInvoker.tok = tok
+        textHandlers.forEachActive(textInvoker)
+        textInvoker.tok = null
         emitChunkBefore(flushPos)
         serializeToken(tok.mutations, flushPos, flushPos)
       }
@@ -906,7 +934,9 @@ final class Rewriter(
       if (textHandlers.hasActive) {
         val s = new String(input, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
         val tok = new TextChunk(s, textType, lastInTextNode = false, start, end)
-        textHandlers.forEachActive(h => h(tok))
+        textInvoker.tok = tok
+        textHandlers.forEachActive(textInvoker)
+        textInvoker.tok = null
         emitChunkBefore(start)
         serializeToken(tok.mutations, start, end)
         textPending = true
@@ -937,7 +967,9 @@ final class Rewriter(
         val el = new Element(input, view.nameLower, attrs,
           canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart)
         if (matchedRemoved > 0) el.startTagMutations.remove()
-        elementHandlers.doForEachActiveAndDeactivate(h => h(el))
+        elementInvoker.el = el
+        elementHandlers.doForEachActiveAndDeactivate(elementInvoker)
+        elementInvoker.el = null
 
         if (pushed) {
           if (desc == null && (el.shouldRemoveContent || el.endTagMutations != null)) {
