@@ -221,6 +221,12 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     */
   private val fastEntry: FastEntryTable = FastEntryTable.build(program)
 
+  // <=64 instructions AND <=64 match ids: instruction/match dedup runs on
+  // two Long masks (one register op per check) instead of BitSets
+  private val smallProgram: Boolean =
+    program.instrs.length <= 64 &&
+      program.instrs.forall(in => in.matchedIds.forall(_ < 64))
+
   // scratch
   private val visited = new java.util.BitSet(64)
   private val matchedIds = new java.util.BitSet(64)
@@ -318,7 +324,59 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       return withContent
     }
 
-    // evaluate candidate instructions
+    // evaluate candidate instructions; small programs (<=64 instrs and
+    // match ids — the norm) dedup via two Long masks instead of BitSets
+    // (this path runs once per start tag whenever attr/class predicates
+    // disable the fast entry table)
+    if (smallProgram) {
+      var visitedMask = 0L
+      var matchedMask = 0L
+      jumpBuf.clear()
+      heredBuf.clear()
+      val instrs = program.instrs
+      @inline def tryInstr(idx: Int): Unit = {
+        val bit = 1L << idx
+        if ((visitedMask & bit) == 0L) {
+          visitedMask |= bit
+          val in = instrs(idx)
+          if (in.eval(view)) {
+            var i = 0
+            while (i < in.matchedIds.length) { matchedMask |= 1L << in.matchedIds(i); i += 1 }
+            i = 0
+            while (i < in.jumps.length) { jumpBuf += in.jumps(i); i += 1 }
+            i = 0
+            while (i < in.hereditary.length) { heredBuf += in.hereditary(i); i += 1 }
+          }
+        }
+      }
+      var i = 0
+      val ep = program.entryPoints
+      while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+      if (top >= 0) {
+        val pj = frames(top).jumps
+        i = 0
+        while (i < pj.length) { tryInstr(pj(i)); i += 1 }
+      }
+      i = 0
+      while (i < activeHereditary.length) {
+        val arr = activeHereditary(i)._1
+        var k = 0
+        while (k < arr.length) { tryInstr(arr(k)); k += 1 }
+        i += 1
+      }
+      // fire matches in ascending id order
+      var m = matchedMask
+      while (m != 0L) {
+        sink.onMatch(java.lang.Long.numberOfTrailingZeros(m), withContent)
+        m &= m - 1
+      }
+      if (withContent)
+        pushFrame(view,
+          if (jumpBuf.isEmpty) noInts else jumpBuf.toArray,
+          if (heredBuf.isEmpty) noInts else heredBuf.toArray)
+      return withContent
+    }
+
     visited.clear()
     matchedIds.clear()
     jumpBuf.clear()
