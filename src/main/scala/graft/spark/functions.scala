@@ -210,3 +210,52 @@ object ExtractInterleaved {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_interleaved", exprs => ExtractInterleaved(exprs.head), "scala_udf")
 }
+
+/** Row-local rolling polynomial fingerprint (base 131 mod 1e9+7) as a
+  * native codegen'd expression. Replaces the per-character interpreted
+  * higher-order-function formulation (`aggregate(transform(split(text,
+  * "")))`) which materialized one single-char String per character and
+  * ran an interpreted lambda per element (~100x the work of this loop).
+  * Semantics preserved exactly: one step per UTF-16 char unit with the
+  * char's code-unit value, the same sequence Spark's split-per-char +
+  * ascii() produced for BMP text (bit-identical on the corpus; a parity
+  * test pins it).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHashFn.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.RollingHashFn.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHashFn {
+  final val Mod = 1000000007L
+
+  /** Register `rolling_hash` for SQL and the Column surface. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+
+  /** h_{i+1} = (h_i * 131 + char_i) mod 1e9+7 over UTF-16 code units. */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 131L + str.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+}

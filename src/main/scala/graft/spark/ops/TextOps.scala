@@ -105,18 +105,15 @@ object TextOps {
 
   def fingerprint(text: Column): Column = md5(encode(text, "UTF-8"))
 
-  /** Rolling polynomial fingerprint (mod 2^63) — byte-level Rabin-style
-    * hash, base 131; SQL twin uses the same recurrence via list_reduce.
+  /** The per-doc stats frame used by the qX text queries. The rolling
+    * polynomial fingerprint (base 131 mod 1e9+7) runs as the native
+    * codegen'd [[graft.spark.RollingHash]] expression — the interpreted
+    * HOF formulation it replaced (`aggregate(transform(split(text,"")))`)
+    * allocated one single-char String per character;
+    * RollingHashParitySpec pins bit-identical output.
     */
-  def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, b) => pmod(acc * lit(131L) + b, lit(1000000007L))
-    )
-
-  /** The per-doc stats frame used by the qX text queries. */
   def docStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.spark.RollingHashFn.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(
       col("doc_id"),
@@ -126,7 +123,7 @@ object TextOps {
       langId(col("text")).as("lang_pred"),
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fp_md5"),
-      rollingHash(col("text")).as("fp_roll")
+      expr("rolling_hash(text)").as("fp_roll")
     )
   }
 }

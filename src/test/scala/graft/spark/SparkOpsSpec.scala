@@ -348,3 +348,41 @@ class IvfClusteredSpec extends org.scalatest.funsuite.AnyFunSuite
       "nprobe=2/32 should reach recall >= 0.8 on blob data")
   }
 }
+
+/** The native rolling-hash expression must be bit-identical to the
+  * interpreted HOF formulation it replaced (and hence to the DuckDB
+  * oracle's list_reduce recurrence).
+  */
+class RollingHashParitySpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .appName("graft-rollhash").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def legacy(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, b) => pmod(acc * lit(131L) + b, lit(1000000007L)))
+  }
+
+  test("native expression equals the legacy HOF on corpus + edge strings") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    RollingHashFn.register(spark)
+    val edge = Seq("", " ", "a", "abc def", "x" * 2000, "tab\tnl\n", "punct.,;!?")
+      .toDF("text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    val all = docs.unionAll(edge)
+    val n = all.select(expr("rolling_hash(text)").as("a"), legacy(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(n == 0L)
+  }
+}
