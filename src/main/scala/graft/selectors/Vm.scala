@@ -75,29 +75,28 @@ trait PopSink {
   */
 final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
 
-  private final class Frame {
-    // unhashable names keep their byte range into the current document
-    // buffer (valid for the whole parse) — no string is ever interned on
-    // the push/pop path
-    var nameStart: Int = 0
-    var nameEnd: Int = 0
-    var nameHash: Long = TagHash.Empty
-    var nameFnv: Long = 0L // set only for unhashable names
-    /** Cached open-name-count slot (onc table for hashable names, fnv
-      * table otherwise) — popping decrements without re-probing; the grow
-      * paths re-point live frames' slots.
-      */
-    var cntSlot: Int = 0
-    var jumps: Array[Int] = noInts
-    var hereditary: Array[Int] = noInts
-    var desc: ElementDescriptor = _
-    var childCount: Int = 0
-    var typedCounters: mutable.HashMap[String, Int] = _
-  }
-
   private val noInts = new Array[Int](0)
 
-  private var frames = Array.fill(16)(new Frame)
+  // Open-element stack as STRUCT-OF-ARRAYS: documents with thousands of
+  // implicitly-closed elements (spec pages full of unclosed <li>/<dd>)
+  // drain huge frame ranges per end tag; walking parallel primitive
+  // arrays is cache-linear where an array of Frame objects pointer-chased
+  // one heap object per popped element.
+  // Unhashable names keep their byte range into the current document
+  // buffer (valid for the whole parse) — no string is ever interned on
+  // the push/pop path. fCntSlot caches the open-name-count slot (onc
+  // table for hashable names, fnv table otherwise) so popping decrements
+  // without re-probing; the grow paths re-point live slots.
+  private var fNameStart = new Array[Int](64)
+  private var fNameEnd = new Array[Int](64)
+  private var fNameHash = new Array[Long](64)
+  private var fNameFnv = new Array[Long](64)
+  private var fCntSlot = new Array[Int](64)
+  private var fChildCount = new Array[Int](64)
+  private var fJumps = new Array[Array[Int]](64)
+  private var fHereditary = new Array[Array[Int]](64)
+  private var fDesc = new Array[ElementDescriptor](64)
+  private var fTypedCounters = new Array[mutable.HashMap[String, Int]](64)
   private var top = -1 // index of current innermost open element
   private var rootChildCount = 0
   private var rootTypedCounters: mutable.HashMap[String, Int] = _
@@ -157,8 +156,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     // re-point live frames' cached slots at the rebuilt table
     var f = 0
     while (f <= top) {
-      if (frames(f).nameHash == TagHash.Empty)
-        frames(f).cntSlot = fnvSlot(frames(f).nameFnv)
+      if (fNameHash(f) == TagHash.Empty) fCntSlot(f) = fnvSlot(fNameFnv(f))
       f += 1
     }
   }
@@ -205,8 +203,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     // re-point live frames' cached slots at the rebuilt table
     var f = 0
     while (f <= top) {
-      if (frames(f).nameHash != TagHash.Empty)
-        frames(f).cntSlot = oncSlot(frames(f).nameHash)
+      if (fNameHash(f) != TagHash.Empty) fCntSlot(f) = oncSlot(fNameHash(f))
       f += 1
     }
   }
@@ -256,17 +253,17 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
 
   /** Descriptor of the innermost open element, or null. */
   def currentDescriptor: ElementDescriptor =
-    if (top >= 0) frames(top).desc else null
+    if (top >= 0) fDesc(top) else null
 
   /** True if the innermost open element's descriptor requests content
     * removal (used by the dispatcher's `should_stop_removing` check).
     */
   def currentRemovesContent: Boolean =
-    top >= 0 && frames(top).desc != null && frames(top).desc.removeContent
+    top >= 0 && fDesc(top) != null && fDesc(top).removeContent
 
   /** Attach a descriptor to the frame pushed by the latest start tag. */
   def setCurrentDescriptor(d: ElementDescriptor): Unit =
-    if (top >= 0) frames(top).desc = d
+    if (top >= 0) fDesc(top) = d
 
   /** Run matching for a start tag. `view.nthIdx`/`nthOfTypeIdx` are filled
     * here. Returns true if a frame was pushed (element can have content).
@@ -276,13 +273,12 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     // add_child on parent (view.nameLower is fetched lazily — it may
     // intern; only the nth-of-type counters need it here)
     if (top >= 0) {
-      val p = frames(top)
-      p.childCount += 1
-      view.nthIdx = p.childCount
+      fChildCount(top) += 1
+      view.nthIdx = fChildCount(top)
       if (program.enableNthOfType) {
-        if (p.typedCounters == null) p.typedCounters = new mutable.HashMap
-        val c = p.typedCounters.getOrElse(view.nameLower, 0) + 1
-        p.typedCounters.update(view.nameLower, c)
+        if (fTypedCounters(top) == null) fTypedCounters(top) = new mutable.HashMap
+        val c = fTypedCounters(top).getOrElse(view.nameLower, 0) + 1
+        fTypedCounters(top).update(view.nameLower, c)
         view.nthOfTypeIdx = c
       }
     } else {
@@ -307,7 +303,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     // fast path: name-only entry-point programs with no live continuations
     // (the extraction default) decide entry matches with one hash probe
     if (fastEntry != null && activeHereditary.isEmpty &&
-        (top < 0 || frames(top).jumps.length == 0)) {
+        (top < 0 || fJumps(top).length == 0)) {
       val idx = fastEntry.get(view.nameHash, view)
       if (idx < 0) {
         if (withContent) pushFrame(view, noInts, noInts)
@@ -353,7 +349,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       val ep = program.entryPoints
       while (i < ep.length) { tryInstr(ep(i)); i += 1 }
       if (top >= 0) {
-        val pj = frames(top).jumps
+        val pj = fJumps(top)
         i = 0
         while (i < pj.length) { tryInstr(pj(i)); i += 1 }
       }
@@ -402,7 +398,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     val ep = program.entryPoints
     while (i < ep.length) { tryInstr(ep(i)); i += 1 }
     if (top >= 0) {
-      val pj = frames(top).jumps
+      val pj = fJumps(top)
       i = 0
       while (i < pj.length) { tryInstr(pj(i)); i += 1 }
     }
@@ -430,42 +426,50 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
 
   private def pushFrame(view: VmElemView, jumps: Array[Int], hereditary: Array[Int]): Unit = {
     top += 1
-    if (top == frames.length) {
-      val n = new Array[Frame](frames.length * 2)
-      System.arraycopy(frames, 0, n, 0, frames.length)
-      var j = frames.length
-      while (j < n.length) { n(j) = new Frame; j += 1 }
-      frames = n
-    }
-    val f = frames(top)
+    if (top == fNameHash.length) growFrames()
     // unhashable names: keep the byte range (end-tag fallback matching
     // compares slices in the same buffer) — never intern a string here
-    f.nameHash = view.nameHash
-    if (view.nameHash != TagHash.Empty) {
-      f.nameFnv = 0L
+    val h = view.nameHash
+    fNameHash(top) = h
+    if (h != TagHash.Empty) {
+      fNameFnv(top) = 0L
+      fCntSlot(top) = oncInc(h)
     } else {
-      f.nameFnv = normFnv(view.nameFnv)
-      f.nameStart = view.nameStartV
-      f.nameEnd = view.nameEndV
+      val fnv = normFnv(view.nameFnv)
+      fNameFnv(top) = fnv
+      fNameStart(top) = view.nameStartV
+      fNameEnd(top) = view.nameEndV
+      fCntSlot(top) = fnvInc(fnv)
     }
-    f.jumps = jumps
-    f.hereditary = hereditary
-    f.desc = null
-    f.childCount = 0
-    if (f.typedCounters != null) f.typedCounters = null
+    fJumps(top) = jumps
+    fHereditary(top) = hereditary
+    fDesc(top) = null
+    fChildCount(top) = 0
+    if (fTypedCounters(top) != null) fTypedCounters(top) = null
 
-    f.cntSlot =
-      if (f.nameHash != TagHash.Empty) oncInc(f.nameHash)
-      else fnvInc(f.nameFnv)
-    if (f.hereditary.length > 0) {
+    if (hereditary.length > 0) {
       var present = false
       var k = 0
       while (k < activeHereditary.length && !present) {
-        present = java.util.Arrays.equals(activeHereditary(k)._1, f.hereditary)
+        present = java.util.Arrays.equals(activeHereditary(k)._1, hereditary)
         k += 1
       }
-      if (!present) activeHereditary += ((f.hereditary, top))
+      if (!present) activeHereditary += ((hereditary, top))
     }
+  }
+
+  private def growFrames(): Unit = {
+    val n = fNameHash.length * 2
+    fNameStart = java.util.Arrays.copyOf(fNameStart, n)
+    fNameEnd = java.util.Arrays.copyOf(fNameEnd, n)
+    fNameHash = java.util.Arrays.copyOf(fNameHash, n)
+    fNameFnv = java.util.Arrays.copyOf(fNameFnv, n)
+    fCntSlot = java.util.Arrays.copyOf(fCntSlot, n)
+    fChildCount = java.util.Arrays.copyOf(fChildCount, n)
+    fJumps = java.util.Arrays.copyOf(fJumps, n)
+    fHereditary = java.util.Arrays.copyOf(fHereditary, n)
+    fDesc = java.util.Arrays.copyOf(fDesc, n)
+    fTypedCounters = java.util.Arrays.copyOf(fTypedCounters, n)
   }
 
   /** ASCII-case-insensitive equality of two byte slices (both in the same
@@ -497,13 +501,13 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   def execEndTag(input: Array[Byte], nameStart: Int, nameEnd: Int,
                  nameHash: Long, nameFnv: Long, sink: PopSink): Unit = {
     val fnv = normFnv(nameFnv)
-    @inline def matches(f: Frame): Boolean =
-      if (nameHash != TagHash.Empty) f.nameHash == nameHash
-      else f.nameHash == TagHash.Empty && f.nameFnv == fnv &&
-        eqSliceIgnoreCase(input, f.nameStart, f.nameEnd, nameStart, nameEnd)
+    @inline def matches(j: Int): Boolean =
+      if (nameHash != TagHash.Empty) fNameHash(j) == nameHash
+      else fNameHash(j) == TagHash.Empty && fNameFnv(j) == fnv &&
+        eqSliceIgnoreCase(input, fNameStart(j), fNameEnd(j), nameStart, nameEnd)
 
     var idx = top
-    if (top >= 0 && matches(frames(top))) {
+    if (top >= 0 && matches(top)) {
       // fast path: well-formed content closes the innermost element — no
       // open-count probe needed (the cached slot decrements directly)
       ()
@@ -511,7 +515,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       // stray end tag O(1) reject via open-name counts
       if (nameHash != TagHash.Empty) { if (oncGet(nameHash) == 0) return }
       else if (fnvGet(fnv) == 0) return
-      while (idx >= 0 && !matches(frames(idx))) idx -= 1
+      while (idx >= 0 && !matches(idx)) idx -= 1
       if (idx < 0) return
     }
 
@@ -521,14 +525,15 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       if (activeHereditary(k)._2 >= idx) activeHereditary.remove(k)
       k -= 1
     }
-    // drain idx..top in stack order (outermost of the drained range first)
+    // drain idx..top in stack order (outermost of the drained range
+    // first): a cache-linear walk over the parallel arrays
     var j = idx
     while (j <= top) {
-      val f = frames(j)
-      if (f.nameHash != TagHash.Empty) oncCounts(f.cntSlot) -= 1
-      else fnvCounts(f.cntSlot) -= 1
-      sink.onPop(f.desc)
-      f.desc = null
+      if (fNameHash(j) != TagHash.Empty) oncCounts(fCntSlot(j)) -= 1
+      else fnvCounts(fCntSlot(j)) -= 1
+      val d = fDesc(j)
+      if (d != null) { sink.onPop(d); fDesc(j) = null }
+      else sink.onPop(null)
       j += 1
     }
     top = idx - 1
