@@ -163,4 +163,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("codegen id"), p)
   }
+
+  test("t1 fingerprints via the native rolling_hash (no per-char HOF)") {
+    val df = graft.SparkEntry.queries("t1_text_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("rolling_hash"), p)
+    // the old formulation exploded the text into one single-char string
+    // per character: split with the EMPTY pattern, rendered as
+    // `split(text#N, , -1)`; token-level \s+ splits legitimately remain
+    assert(!p.contains(", , -1)"), p.linesIterator.filter(_.contains("split")).mkString("\n"))
+  }
 }
