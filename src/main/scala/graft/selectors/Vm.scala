@@ -218,6 +218,323 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     */
   private val fastEntry: FastEntryTable = FastEntryTable.build(program)
 
+  // ---- frameless mode (entry-only programs) --------------------------------
+  // When the program has NO continuation edges (every selector is a single
+  // compound — the extraction default: a flat strip list), the open-element
+  // stack degenerates: frames carry no jumps, no hereditary edges, no
+  // nth counters, and a descriptor only when matched. The per-tag frame
+  // fill + drain is replaced by (a) per-NAME depth stacks (push = one
+  // memoized probe + one int append; end tag = pop the innermost live
+  // depth), and (b) a small stack of matched elements only, drained by
+  // depth on pops. Implicitly-closed elements of OTHER names are never
+  // walked at all — their stack entries go stale (depth >= current depth)
+  // and are discarded lazily on the next touch of that name.
+  private val entryOnly: Boolean = fastEntry != null && {
+    var ok = true
+    var i = 0
+    while (ok && i < program.instrs.length) {
+      val in = program.instrs(i)
+      ok = in.jumps.length == 0 && in.hereditary.length == 0
+      i += 1
+    }
+    ok
+  }
+  /** Test hook: force the framed stack even for entry-only programs. */
+  private[graft] var disableFrameless = false
+  private var frameless = false // decided per document in reset()
+
+  // Every open element gets a monotonically increasing sequence id (never
+  // reset across documents), and depthSeq(d) records the seq of the
+  // element CURRENTLY open at depth d. A stack entry (depth, seq) is live
+  // iff depth < flDepth && depthSeq(depth) == seq — implicit closes and
+  // cross-document leftovers both fail one of the two checks, because
+  // re-opening any depth overwrites depthSeq with a strictly larger seq.
+  // Staleness is suffix-closed within one name's stack (closing an element
+  // closes everything deeper), so push-time trimming keeps stacks at live
+  // size and reset() is O(1).
+  private var flSeq = 0
+  private var depthSeq = new Array[Int](64)
+  // per-depth caches for the innermost-close fast path: the open element's
+  // name hash (0 for unhashable names) and its table slot at push time
+  // (re-pointed on grow). A well-formed end tag closes the innermost
+  // element: one compare + two stack decrements, no table probe.
+  private var depthKey = new Array[Long](64)
+  private var depthSlot = new Array[Int](64)
+  // hashable names: tag-hash -> (depth, seq) stacks (ascending)
+  private var flKeys = new Array[Long](64)
+  private var flDepthsT = new Array[graft.core.IntBuf](64)
+  private var flSeqsT = new Array[graft.core.IntBuf](64)
+  private var flUsed = 0
+  private var lastFlKey = 0L
+  private var lastFlSlot = 0
+  // unhashable names: FNV -> (depth, seq, nameStart, nameEnd) stacks; the
+  // name range backs the exact slice compare that guards FNV collisions
+  private var fuKeys = new Array[Long](32)
+  private var fuDepthsT = new Array[graft.core.IntBuf](32)
+  private var fuSeqsT = new Array[graft.core.IntBuf](32)
+  private var fuStarts = new Array[graft.core.IntBuf](32)
+  private var fuEnds = new Array[graft.core.IntBuf](32)
+  private var fuUsed = 0
+  private var lastFuKey = 0L
+  private var lastFuSlot = 0
+  private var flDepth = 0
+  // matched elements only: depth + descriptor, ascending depths, drained
+  // eagerly on every pop (never holds stale entries)
+  private var mDepths = new Array[Int](16)
+  private var mDescs = new Array[ElementDescriptor](16)
+  private var mTop = -1
+
+  @inline private def entryLive(depth: Int, seq: Int): Boolean =
+    depth < flDepth && depthSeq(depth) == seq
+
+  @inline private def flSlotOf(key: Long): Int = {
+    val mask = flKeys.length - 1
+    var i = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & mask
+    while (flKeys(i) != 0L && flKeys(i) != key) i = (i + 1) & mask
+    i
+  }
+  private def flPush(key: Long): Unit = {
+    var i = 0
+    if (key == lastFlKey) i = lastFlSlot
+    else {
+      i = flSlotOf(key)
+      if (flKeys(i) == 0L) {
+        flKeys(i) = key
+        if (flDepthsT(i) == null) {
+          flDepthsT(i) = new graft.core.IntBuf(8)
+          flSeqsT(i) = new graft.core.IntBuf(8)
+        }
+        flUsed += 1
+        if (flUsed * 3 > flKeys.length) { flGrow(); i = flSlotOf(key) }
+      }
+      lastFlKey = key; lastFlSlot = i
+    }
+    val dep = flDepthsT(i); val seq = flSeqsT(i)
+    // trim the stale suffix so stacks stay at live size across documents
+    var n = dep.length
+    while (n > 0 && !entryLive(dep(n - 1), seq(n - 1))) n -= 1
+    dep.length = n; seq.length = n
+    dep += flDepth
+    seq += flSeq
+    depthKey(flDepth) = key
+    depthSlot(flDepth) = i
+  }
+  private def flGrow(): Unit = {
+    val ok = flKeys; val od = flDepthsT; val os = flSeqsT
+    flKeys = new Array[Long](ok.length * 2)
+    flDepthsT = new Array[graft.core.IntBuf](od.length * 2)
+    flSeqsT = new Array[graft.core.IntBuf](os.length * 2)
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        val i = flSlotOf(ok(j))
+        flKeys(i) = ok(j); flDepthsT(i) = od(j); flSeqsT(i) = os(j)
+      }
+      j += 1
+    }
+    lastFlKey = 0L
+    // re-point the fast-pop slot cache of live depths at the rebuilt table
+    j = 0
+    while (j < flDepth) {
+      if (depthKey(j) != 0L) depthSlot(j) = flSlotOf(depthKey(j))
+      j += 1
+    }
+  }
+  @inline private def fuSlotOf(key: Long): Int = {
+    val mask = fuKeys.length - 1
+    var i = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & mask
+    while (fuKeys(i) != 0L && fuKeys(i) != key) i = (i + 1) & mask
+    i
+  }
+  private def fuPush(key: Long, nameStart: Int, nameEnd: Int): Unit = {
+    var i = 0
+    if (key == lastFuKey) i = lastFuSlot
+    else {
+      i = fuSlotOf(key)
+      if (fuKeys(i) == 0L) {
+        fuKeys(i) = key
+        if (fuDepthsT(i) == null) {
+          fuDepthsT(i) = new graft.core.IntBuf(4)
+          fuSeqsT(i) = new graft.core.IntBuf(4)
+          fuStarts(i) = new graft.core.IntBuf(4)
+          fuEnds(i) = new graft.core.IntBuf(4)
+        }
+        fuUsed += 1
+        if (fuUsed * 3 > fuKeys.length) { fuGrow(); i = fuSlotOf(key) }
+      }
+      lastFuKey = key; lastFuSlot = i
+    }
+    val dep = fuDepthsT(i); val seq = fuSeqsT(i)
+    val sts = fuStarts(i); val ens = fuEnds(i)
+    var n = dep.length
+    while (n > 0 && !entryLive(dep(n - 1), seq(n - 1))) n -= 1
+    dep.length = n; seq.length = n; sts.length = n; ens.length = n
+    dep += flDepth
+    seq += flSeq
+    sts += nameStart
+    ens += nameEnd
+    depthKey(flDepth) = 0L // unhashable: innermost-close fast path disabled
+  }
+  private def fuGrow(): Unit = {
+    val ok = fuKeys; val od = fuDepthsT; val oq = fuSeqsT
+    val os = fuStarts; val oe = fuEnds
+    fuKeys = new Array[Long](ok.length * 2)
+    fuDepthsT = new Array[graft.core.IntBuf](od.length * 2)
+    fuSeqsT = new Array[graft.core.IntBuf](oq.length * 2)
+    fuStarts = new Array[graft.core.IntBuf](os.length * 2)
+    fuEnds = new Array[graft.core.IntBuf](oe.length * 2)
+    var j = 0
+    while (j < ok.length) {
+      if (ok(j) != 0L) {
+        val i = fuSlotOf(ok(j))
+        fuKeys(i) = ok(j); fuDepthsT(i) = od(j); fuSeqsT(i) = oq(j)
+        fuStarts(i) = os(j); fuEnds(i) = oe(j)
+      }
+      j += 1
+    }
+    lastFuKey = 0L
+  }
+  /** Rare full clear: seq headroom exhausted (2^31 minus one max-size doc);
+    * resets every stack so seq ids can restart from 0.
+    */
+  private def flHardReset(): Unit = {
+    java.util.Arrays.fill(flKeys, 0L)
+    java.util.Arrays.fill(fuKeys, 0L)
+    var j = 0
+    while (j < flDepthsT.length) {
+      if (flDepthsT(j) != null) { flDepthsT(j).length = 0; flSeqsT(j).length = 0 }
+      j += 1
+    }
+    j = 0
+    while (j < fuDepthsT.length) {
+      if (fuDepthsT(j) != null) {
+        fuDepthsT(j).length = 0; fuSeqsT(j).length = 0
+        fuStarts(j).length = 0; fuEnds(j).length = 0
+      }
+      j += 1
+    }
+    java.util.Arrays.fill(depthSeq, 0)
+    java.util.Arrays.fill(depthKey, 0L)
+    flUsed = 0; fuUsed = 0
+    lastFlKey = 0L; lastFuKey = 0L
+    flSeq = 0
+  }
+
+  /** Fire matched-element pops for every element at depth >= d, outermost
+    * first (the framed drain order), and truncate the matched stack.
+    */
+  private def drainMatched(d: Int, sink: PopSink): Unit = {
+    var lo = mTop
+    while (lo >= 0 && mDepths(lo) >= d) lo -= 1
+    var j = lo + 1
+    while (j <= mTop) {
+      val desc = mDescs(j)
+      mDescs(j) = null
+      if (desc != null) sink.onPop(desc)
+      j += 1
+    }
+    mTop = lo
+  }
+
+  /** ESI tags are void elements when enabled (reference
+    * selectors_vm/stack.rs:13-41: esi:include / esi:comment).
+    */
+  @inline private def isVoidElement(view: VmElemView): Boolean =
+    view.isHtmlNs && (graft.core.HtmlUtil.isVoidElement(view.nameHash) ||
+      (enableEsiTags && view.nameHash == TagHash.Empty &&
+        (graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:include") ||
+         graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:comment"))))
+
+  private def execStartTagFrameless(view: VmElemView, selfClosing: Boolean,
+                                    sink: MatchSink): Boolean = {
+    val isVoid = isVoidElement(view)
+    val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
+    val idx = fastEntry.get(view.nameHash, view)
+    if (idx >= 0) {
+      val in = program.instrs(idx)
+      var i = 0
+      while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
+    }
+    if (withContent) {
+      if (flDepth == depthSeq.length) {
+        depthSeq = java.util.Arrays.copyOf(depthSeq, flDepth * 2)
+        depthKey = java.util.Arrays.copyOf(depthKey, flDepth * 2)
+        depthSlot = java.util.Arrays.copyOf(depthSlot, flDepth * 2)
+      }
+      val h = view.nameHash
+      if (h != TagHash.Empty) flPush(h)
+      else fuPush(normFnv(view.nameFnv), view.nameStartV, view.nameEndV)
+      if (idx >= 0) {
+        mTop += 1
+        if (mTop == mDepths.length) {
+          mDepths = java.util.Arrays.copyOf(mDepths, mTop * 2)
+          mDescs = java.util.Arrays.copyOf(mDescs, mTop * 2)
+        }
+        mDepths(mTop) = flDepth
+        mDescs(mTop) = null
+      }
+      depthSeq(flDepth) = flSeq
+      flSeq += 1
+      flDepth += 1
+    }
+    withContent
+  }
+
+  private def execEndTagFrameless(input: Array[Byte], nameStart: Int, nameEnd: Int,
+                                  nameHash: Long, nameFnv: Long, sink: PopSink): Unit = {
+    // fast path: well-formed content closes the innermost element — one
+    // compare via the per-depth key cache, no table probe. The blind stack
+    // decrement is sound: it may remove a stale same-name entry instead of
+    // this element's own, but every entry at depth >= dTop is dead after
+    // the pop anyway (flDepth = dTop), and entries below are untouched.
+    val dTop = flDepth - 1
+    if (dTop >= 0 && nameHash != TagHash.Empty && depthKey(dTop) == nameHash) {
+      val i = depthSlot(dTop)
+      flDepthsT(i).length -= 1
+      flSeqsT(i).length -= 1
+      if (mTop >= 0 && mDepths(mTop) == dTop) {
+        val desc = mDescs(mTop)
+        mDescs(mTop) = null
+        mTop -= 1
+        if (desc != null) sink.onPop(desc)
+      }
+      flDepth = dTop
+      return
+    }
+    if (nameHash != TagHash.Empty) {
+      val i = flSlotOf(nameHash)
+      if (flKeys(i) != nameHash) return
+      val dep = flDepthsT(i); val seq = flSeqsT(i)
+      val darr = dep.raw; val qarr = seq.raw
+      var n = dep.length
+      // discard the implicitly-closed (stale) suffix
+      while (n > 0 && !entryLive(darr(n - 1), qarr(n - 1))) n -= 1
+      if (n == 0) { dep.length = 0; seq.length = 0; return } // stray end tag
+      val d = darr(n - 1)
+      dep.length = n - 1; seq.length = n - 1
+      drainMatched(d, sink)
+      flDepth = d
+    } else {
+      val fnv = normFnv(nameFnv)
+      val i = fuSlotOf(fnv)
+      if (fuKeys(i) != fnv) return
+      val dep = fuDepthsT(i); val seq = fuSeqsT(i)
+      val sts = fuStarts(i); val ens = fuEnds(i)
+      val darr = dep.raw; val qarr = seq.raw
+      var n = dep.length
+      while (n > 0 && !entryLive(darr(n - 1), qarr(n - 1))) n -= 1
+      // exact-name scan (FNV collision guard): the innermost live entry
+      // whose recorded name bytes equal this end tag's name
+      var k = n - 1
+      while (k >= 0 && !eqSliceIgnoreCase(input, sts.raw(k), ens.raw(k), nameStart, nameEnd)) k -= 1
+      if (k < 0) { dep.length = n; seq.length = n; sts.length = n; ens.length = n; return }
+      val d = darr(k)
+      dep.length = k; seq.length = k; sts.length = k; ens.length = k
+      drainMatched(d, sink)
+      flDepth = d
+    }
+  }
+
   // <=64 instructions AND <=64 match ids: instruction/match dedup runs on
   // two Long masks (one register op per check) instead of BitSets
   private val smallProgram: Boolean =
@@ -231,6 +548,18 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   private val heredBuf = new mutable.ArrayBuffer[Int](8)
 
   def reset(): Unit = {
+    frameless = entryOnly && !disableFrameless
+    if (frameless) {
+      // O(1): leftover stack entries go stale via the (depth, seq)
+      // liveness check; seq ids are never reused until a hard reset
+      flDepth = 0
+      var j = 0
+      while (j <= mTop) { mDescs(j) = null; j += 1 }
+      mTop = -1
+      // 2^27 headroom exceeds the max tags a 64 MB doc can contain
+      if (flSeq > Int.MaxValue - (1 << 27)) flHardReset()
+      return
+    }
     top = -1
     rootChildCount = 0
     rootTypedCounters = null
@@ -249,27 +578,35 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     lastFnvKey = 0L
   }
 
-  def depth: Int = top + 1
+  def depth: Int = if (frameless) flDepth else top + 1
 
   /** Descriptor of the innermost open element, or null. */
   def currentDescriptor: ElementDescriptor =
-    if (top >= 0) fDesc(top) else null
+    if (frameless) {
+      if (mTop >= 0 && mDepths(mTop) == flDepth - 1) mDescs(mTop) else null
+    } else if (top >= 0) fDesc(top)
+    else null
 
   /** True if the innermost open element's descriptor requests content
     * removal (used by the dispatcher's `should_stop_removing` check).
     */
-  def currentRemovesContent: Boolean =
-    top >= 0 && fDesc(top) != null && fDesc(top).removeContent
+  def currentRemovesContent: Boolean = {
+    val d = currentDescriptor
+    d != null && d.removeContent
+  }
 
   /** Attach a descriptor to the frame pushed by the latest start tag. */
   def setCurrentDescriptor(d: ElementDescriptor): Unit =
-    if (top >= 0) fDesc(top) = d
+    if (frameless) {
+      if (mTop >= 0 && mDepths(mTop) == flDepth - 1) mDescs(mTop) = d
+    } else if (top >= 0) fDesc(top) = d
 
   /** Run matching for a start tag. `view.nthIdx`/`nthOfTypeIdx` are filled
     * here. Returns true if a frame was pushed (element can have content).
     */
   def execStartTag(view: VmElemView, selfClosing: Boolean,
                    sink: MatchSink): Boolean = {
+    if (frameless) return execStartTagFrameless(view, selfClosing, sink)
     // add_child on parent (view.nameLower is fetched lazily — it may
     // intern; only the nth-of-type counters need it here)
     if (top >= 0) {
@@ -292,12 +629,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       }
     }
 
-    // ESI tags are void elements when enabled (reference
-    // selectors_vm/stack.rs:13-41: esi:include / esi:comment)
-    val isVoid = view.isHtmlNs && (graft.core.HtmlUtil.isVoidElement(view.nameHash) ||
-      (enableEsiTags && view.nameHash == TagHash.Empty &&
-        (graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:include") ||
-         graft.core.HtmlUtil.eqIgnoreCase(view.nameInput, view.nameStartV, view.nameEndV, "esi:comment"))))
+    val isVoid = isVoidElement(view)
     val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
 
     // fast path: name-only entry-point programs with no live continuations
@@ -500,6 +832,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     */
   def execEndTag(input: Array[Byte], nameStart: Int, nameEnd: Int,
                  nameHash: Long, nameFnv: Long, sink: PopSink): Unit = {
+    if (frameless) { execEndTagFrameless(input, nameStart, nameEnd, nameHash, nameFnv, sink); return }
     val fnv = normFnv(nameFnv)
     @inline def matches(j: Int): Boolean =
       if (nameHash != TagHash.Empty) fNameHash(j) == nameHash
@@ -544,19 +877,41 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     */
   def depthAt(name: String): Int = {
     val h = TagHash.of(name)
-    if (h != TagHash.Empty) oncGet(h)
-    else {
-      var f = 0xcbf29ce484222325L
-      val bytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        val c = if (b >= 'A' && b <= 'Z') b + 32 else b
-        f = (f ^ c) * 0x100000001b3L
-        i += 1
+    if (frameless) {
+      // count live entries in the name's stack
+      if (h != TagHash.Empty) {
+        val i = flSlotOf(h)
+        if (flKeys(i) != h) return 0
+        val dep = flDepthsT(i); val seq = flSeqsT(i)
+        var n = 0
+        var j = 0
+        while (j < dep.length) { if (entryLive(dep(j), seq(j))) n += 1; j += 1 }
+        return n
       }
-      fnvGet(normFnv(f))
+      val f = fnvOfName(name)
+      val i = fuSlotOf(f)
+      if (fuKeys(i) != f) return 0
+      val dep = fuDepthsT(i); val seq = fuSeqsT(i)
+      var n = 0
+      var j = 0
+      while (j < dep.length) { if (entryLive(dep(j), seq(j))) n += 1; j += 1 }
+      return n
     }
+    if (h != TagHash.Empty) oncGet(h)
+    else fnvGet(fnvOfName(name))
+  }
+
+  private def fnvOfName(name: String): Long = {
+    var f = 0xcbf29ce484222325L
+    val bytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+      f = (f ^ c) * 0x100000001b3L
+      i += 1
+    }
+    normFnv(f)
   }
 }
 
