@@ -127,6 +127,12 @@ object SparkEntry {
       val base = DedupOps.withVariants(s, dir)
       DedupOps.clusterIds(base, DedupOps.minhashLshPairs(base, 0.6))
     }),
+    // d9: same contract via large-star/small-star — O(log n) rounds
+    // independent of component diameter (the 100 TB deep-graph path)
+    "d9_cc_star" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
+    }),
 
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
@@ -308,6 +314,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "d8_dedup_clusters" -> ClustersSql,
+    "d9_cc_star" -> ClustersSql,
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x2_extract_media" ->

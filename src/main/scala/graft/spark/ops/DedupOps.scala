@@ -269,9 +269,16 @@ object DedupOps {
     * count of labels that changed this round (robust to negative doc_ids
     * and to Long-overflow aliasing that a label-sum test would miss;
     * O(component diameter) rounds; near-dup components are shallow — for
-    * web-graph-diameter inputs switch to large-star/small-star).
+    * web-graph-diameter inputs use [[clusterIdsStar]]).
     * Returns (doc_id, cluster_id), persisted (MEMORY_AND_DISK) — callers
     * that are done with the result should `.unpersist()` it.
+    *
+    * Each round's labels are materialized with lineage truncation
+    * (localCheckpoint): the round references the previous labels twice,
+    * so carrying the logical plan across rounds would double it per
+    * round — persist caches DATA but Catalyst still walks (and logs) the
+    * full accumulated plan, which is exponential in rounds and falls
+    * over around depth ~30 even though every round's data is tiny.
     */
   def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -279,31 +286,95 @@ object DedupOps {
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(lvl)
-    var labels = nodes.withColumn("cluster_id", col("doc_id")).persist(lvl)
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     var converged = labels.isEmpty // empty corpus: nothing to propagate
     while (!converged) {
       val viaNeighbors = sym
         .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("nlabel")), "id_b")
         .groupBy(col("id_a").as("doc_id")).agg(min(col("nlabel")).as("nlabel"))
       // keep the previous label alongside so the fixpoint test is an exact
-      // changed-row count over this round's (persisted) result — one cheap
-      // job against the cache, no extra shuffle
+      // changed-row count over this round's (materialized) result — one
+      // cheap job against the checkpoint, no extra shuffle
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev_label"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
-        .persist(lvl)
+        .localCheckpoint(true)
       val changed = next.where(col("cluster_id") =!= col("prev_label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
     }
     sym.unpersist()
     // re-persist the 2-column projection so the caller gets a directly
-    // releasable result, then drop the iteration cache it was built from
+    // releasable result
     val out = labels.select(col("doc_id"), col("cluster_id")).persist(lvl)
     out.count()
-    labels.unpersist()
     out
+  }
+
+  /** Connected components in O(log n) rounds regardless of component
+    * diameter: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014) — the scale
+    * path [[clusterIds]]'s doc points at for deep graphs. Same contract:
+    * (doc_id, cluster_id = component min), persisted; callers release
+    * with `.unpersist()`.
+    *
+    * Scale notes: both star operations are expressed as join + min-agg —
+    * no collect_set, so a giant star never materializes one row with a
+    * huge neighbor array. The min aggregate partial-combines map-side, so
+    * the root of a large component (the only high-degree group key) is
+    * reduced before the exchange. Per round: one groupBy + one join on
+    * the edge list; convergence is an exact set-equality check (count
+    * match + anti-join), not a checksum. Each round's edge list is
+    * materialized with lineage TRUNCATION (localCheckpoint) — one round
+    * references the previous edge list four times, so carrying the
+    * logical plan across rounds would grow it exponentially; on a real
+    * cluster with executor churn, set a checkpoint dir and swap in
+    * `checkpoint()` for fault-tolerant truncation.
+    */
+  def clusterIdsStar(base: DataFrame, pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nodes = base.select(col("doc_id")).distinct()
+    // canonical orientation (big, small); drop self-pairs
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    while (!converged) {
+      // large-star: for each node u over its SYMMETRIC neighborhood,
+      // connect every strictly larger neighbor to m = min(N(u) ∪ {u})
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val minsL = sym.groupBy("a").agg(min("b").as("minb"))
+        .select(col("a"), least(col("minb"), col("a")).as("m"))
+      val afterLarge = sym.join(minsL, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges are (big, small); connect every small neighbor
+      // (and u itself) to the min small neighbor
+      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val next = afterLarge.join(minsS, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      converged = !grew && next.count() == edges.count()
+      edges = next
+    }
+    // converged: stars point every member at its component root (the min)
+    val labels = nodes
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .persist(lvl)
+    labels.count()
+    labels
   }
 
   // ---- Embedding-cosine near-dup ----

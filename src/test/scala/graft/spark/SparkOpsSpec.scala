@@ -288,6 +288,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("large-star/small-star components == label propagation on adversarial graphs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // high-diameter chain (the case min-label propagation needs O(n)
+    // rounds for and the star algorithm O(log n)), a big star, disjoint
+    // pairs, and isolated nodes
+    val chain = (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val star = (101L to 130L).map(i => (100L, i))
+    val pairsSeq = chain ++ star ++ Seq((200L, 201L), (300L, 301L), (301L, 302L))
+    val nodes = (0L until 60L) ++ (100L to 130L) ++
+      Seq(200L, 201L, 300L, 301L, 302L, 400L, 401L) // 400/401 isolated
+    val base = nodes.toDF("doc_id")
+    val pairs = pairsSeq.toDF("id_a", "id_b")
+    val viaStar = DedupOps.clusterIdsStar(base, pairs)
+    val viaProp = DedupOps.clusterIds(base, pairs)
+    val a = viaStar.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = viaProp.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    // chain collapses to min 0, star to 100, isolated nodes label self
+    val m = a.toMap
+    assert((0L until 60L).forall(m(_) == 0L))
+    assert((100L to 130L).forall(m(_) == 100L))
+    assert(m(302L) == 300L && m(400L) == 400L)
+    viaStar.unpersist(); viaProp.unpersist()
+    // empty pair list: every node labels itself
+    val none = DedupOps.clusterIdsStar(base, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(none.where(col("doc_id") =!= col("cluster_id")).count() == 0)
+    none.unpersist()
+  }
 }
 
 /** Clustered-embedding IVF evidence (round-2 verdict ask): on blob-shaped
