@@ -535,6 +535,14 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     }
   }
 
+  /** Entry dispatch index (used when the single-instruction fast table
+    * doesn't apply): entry instructions bucketed by their TypeSel anchor,
+    * so a tag evaluates only the entries that could possibly match its
+    * name plus the anchor-less (universal/.class/#id/[attr]) entries —
+    * instead of every entry point. null when no entry has a name anchor.
+    */
+  private val nameEntry: NameEntryIndex = NameEntryIndex.build(program)
+
   // <=64 instructions AND <=64 match ids: instruction/match dedup runs on
   // two Long masks (one register op per check) instead of BitSets
   private val smallProgram: Boolean =
@@ -678,8 +686,15 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
         }
       }
       var i = 0
-      val ep = program.entryPoints
-      while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+      if (nameEntry != null) {
+        val u = nameEntry.universal
+        while (i < u.length) { tryInstr(u(i)); i += 1 }
+        val b = nameEntry.bucketFor(view.nameHash, view)
+        if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+      } else {
+        val ep = program.entryPoints
+        while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+      }
       if (top >= 0) {
         val pj = fJumps(top)
         i = 0
@@ -727,8 +742,15 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     }
 
     var i = 0
-    val ep = program.entryPoints
-    while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+    if (nameEntry != null) {
+      val u = nameEntry.universal
+      while (i < u.length) { tryInstr(u(i)); i += 1 }
+      val b = nameEntry.bucketFor(view.nameHash, view)
+      if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+    } else {
+      val ep = program.entryPoints
+      while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+    }
     if (top >= 0) {
       val pj = fJumps(top)
       i = 0
@@ -945,6 +967,70 @@ final class FastEntryTable private (keys: Array[Long], vals: Array[Int],
       val v = byName.get(view.nameLower)
       if (v == null) -1 else v.intValue()
     }
+  }
+}
+
+/** Entry-dispatch index for programs the single-instruction
+  * [[FastEntryTable]] can't serve (entries with predicates beyond one
+  * TypeSel, duplicate names, or active continuations): entry instructions
+  * are bucketed by the name of their TypeSel anchor — a TypeSel is a
+  * necessary condition, so a tag can only match entries in its own name
+  * bucket plus the anchor-less `universal` entries. One probe replaces
+  * the full entry-point sweep per tag.
+  */
+final class NameEntryIndex private (keys: Array[Long], buckets: Array[Array[Int]],
+                                    byName: java.util.HashMap[String, Array[Int]],
+                                    val universal: Array[Int]) {
+  private val byNameEmpty = byName.isEmpty
+
+  /** Entries whose anchor matches this tag name, or null. The name string
+    * is only fetched for unhashable tags, and only when some entry is
+    * anchored on an unhashable name.
+    */
+  def bucketFor(hash: Long, view: ElemView): Array[Int] = {
+    if (hash != graft.core.TagHash.Empty) {
+      val mask = keys.length - 1
+      var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == hash) return buckets(i)
+        if (k == 0L) return null
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    } else if (byNameEmpty) null
+    else byName.get(view.nameLower)
+  }
+}
+
+object NameEntryIndex {
+  def build(program: Program): NameEntryIndex = {
+    val byHash = mutable.LinkedHashMap[Long, mutable.ArrayBuffer[Int]]()
+    val byNameB = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Int]]()
+    val universal = mutable.ArrayBuffer[Int]()
+    for (idx <- program.entryPoints) {
+      program.instrs(idx).simples.collectFirst { case t: TypeSel => t } match {
+        case Some(TypeSel(lower, hash)) =>
+          if (hash != graft.core.TagHash.Empty)
+            byHash.getOrElseUpdate(hash, new mutable.ArrayBuffer[Int]) += idx
+          else byNameB.getOrElseUpdate(lower, new mutable.ArrayBuffer[Int]) += idx
+        case None => universal += idx
+      }
+    }
+    if (byHash.isEmpty && byNameB.isEmpty) return null // nothing to prune
+    var cap = 16
+    while (cap < byHash.size * 3) cap *= 2
+    val keys = new Array[Long](cap)
+    val buckets = new Array[Array[Int]](cap)
+    val mask = cap - 1
+    for ((h, idxs) <- byHash) {
+      var i = java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L) & mask
+      while (keys(i) != 0L) i = (i + 1) & mask
+      keys(i) = h; buckets(i) = idxs.toArray
+    }
+    val byName = new java.util.HashMap[String, Array[Int]]()
+    for ((n, idxs) <- byNameB) byName.put(n, idxs.toArray)
+    new NameEntryIndex(keys, buckets, byName, universal.toArray)
   }
 }
 

@@ -228,3 +228,43 @@ class EsiTagsSpec extends AnyFunSuite {
     assert(canHaveContent)
   }
 }
+
+/** Entry dispatch via the name-bucketed index: programs whose entries
+  * carry predicates beyond a single TypeSel (so the one-probe fast table
+  * bails) must still fire exactly the right matches — including multiple
+  * entries bucketed under ONE name, anchored unhashable names, and
+  * anchor-less entries that run for every tag.
+  */
+class NameEntryDispatchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import scala.collection.mutable
+
+  private def matches(html: String, selectors: Seq[String]): Seq[String] = {
+    val buf = new mutable.ArrayBuffer[String]()
+    val rw = new Rewriter(selectors.map(s =>
+      s -> ElementHandlers(element = el => buf += s"$s:${el.tagName}")),
+      strict = false, produceOutput = false)
+    rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    buf.toSeq
+  }
+
+  test("duplicate-name buckets: two predicate entries under one tag name") {
+    val got = matches(
+      """<div class=a>1</div><div data-x=1>2</div><div>3</div><span class=a>4</span>""",
+      Seq("div.a", "div[data-x]", ".a"))
+    assert(got == Seq("div.a:div", ".a:div", "div[data-x]:div", ".a:span"))
+  }
+
+  test("unhashable anchored entries dispatch by interned name") {
+    val got = matches(
+      "<emu-production-like name=x>a</emu-production-like><emu-other-long-name name=y>b</emu-other-long-name>",
+      Seq("emu-production-like[name]", "[name]"))
+    assert(got == Seq("emu-production-like[name]:emu-production-like",
+      "[name]:emu-production-like", "[name]:emu-other-long-name"))
+  }
+
+  test("anchored entries never fire for other names; universal always evaluated") {
+    val got = matches("<a href=u>l</a><p href=zz>t</p><b>n</b>",
+      Seq("a[href]", "[href]"))
+    assert(got == Seq("a[href]:a", "[href]:a", "[href]:p"))
+  }
+}
