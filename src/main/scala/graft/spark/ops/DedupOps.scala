@@ -341,7 +341,8 @@ object DedupOps {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     while (!converged) {
       // large-star: for each node u over its SYMMETRIC neighborhood,
       // connect every strictly larger neighbor to m = min(N(u) ∪ {u})
@@ -362,8 +363,12 @@ object DedupOps {
         .unionAll(minsS.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
+      // set equality = same size + nothing new (counts carried across
+      // rounds, so convergence costs one count + one anti-join probe)
+      val nNext = next.count()
       val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0
-      converged = !grew && next.count() == edges.count()
+      converged = !grew && nNext == nEdges
+      nEdges = nNext
       edges = next
     }
     // converged: stars point every member at its component root (the min)
