@@ -265,8 +265,12 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   private var flDepthsT = new Array[graft.core.IntBuf](64)
   private var flSeqsT = new Array[graft.core.IntBuf](64)
   private var flUsed = 0
-  private var lastFlKey = 0L
-  private var lastFlSlot = 0
+  // 8-entry direct-mapped key->slot memo: documents alternate among a
+  // handful of names (div/span/emu-*), which a 1-entry memo misses; each
+  // hit is validated against the live table so a stale entry can never
+  // alias another key's slot
+  private val flMemoK = new Array[Long](8)
+  private val flMemoS = new Array[Int](8)
   // unhashable names: FNV -> (depth, seq, nameStart, nameEnd) stacks; the
   // name range backs the exact slice compare that guards FNV collisions
   private var fuKeys = new Array[Long](32)
@@ -275,8 +279,8 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   private var fuStarts = new Array[graft.core.IntBuf](32)
   private var fuEnds = new Array[graft.core.IntBuf](32)
   private var fuUsed = 0
-  private var lastFuKey = 0L
-  private var lastFuSlot = 0
+  private val fuMemoK = new Array[Long](8)
+  private val fuMemoS = new Array[Int](8)
   private var flDepth = 0
   // matched elements only: depth + descriptor, ascending depths, drained
   // eagerly on every pop (never holds stale entries)
@@ -293,21 +297,32 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     while (flKeys(i) != 0L && flKeys(i) != key) i = (i + 1) & mask
     i
   }
-  private def flPush(key: Long): Unit = {
-    var i = 0
-    if (key == lastFlKey) i = lastFlSlot
+  /** Memoized slot lookup for PRESENT-or-to-insert keys: one direct-mapped
+    * probe validated against the table (a hit is only trusted when the
+    * slot still holds the key, so later inserts can never be aliased).
+    */
+  @inline private def flSlotMemo(key: Long): Int = {
+    val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+    val s = flMemoS(m)
+    if (flMemoK(m) == key && flKeys(s) == key) s
     else {
-      i = flSlotOf(key)
-      if (flKeys(i) == 0L) {
-        flKeys(i) = key
-        if (flDepthsT(i) == null) {
-          flDepthsT(i) = new graft.core.IntBuf(8)
-          flSeqsT(i) = new graft.core.IntBuf(8)
-        }
-        flUsed += 1
-        if (flUsed * 3 > flKeys.length) { flGrow(); i = flSlotOf(key) }
+      val i = flSlotOf(key)
+      if (flKeys(i) == key) { flMemoK(m) = key; flMemoS(m) = i }
+      i
+    }
+  }
+  private def flPush(key: Long): Unit = {
+    var i = flSlotMemo(key)
+    if (flKeys(i) == 0L) {
+      flKeys(i) = key
+      if (flDepthsT(i) == null) {
+        flDepthsT(i) = new graft.core.IntBuf(8)
+        flSeqsT(i) = new graft.core.IntBuf(8)
       }
-      lastFlKey = key; lastFlSlot = i
+      flUsed += 1
+      if (flUsed * 3 > flKeys.length) { flGrow(); i = flSlotOf(key) }
+      val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+      flMemoK(m) = key; flMemoS(m) = i
     }
     val dep = flDepthsT(i); val seq = flSeqsT(i)
     // trim the stale suffix so stacks stay at live size across documents
@@ -332,7 +347,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       }
       j += 1
     }
-    lastFlKey = 0L
+    java.util.Arrays.fill(flMemoK, 0L)
     // re-point the fast-pop slot cache of live depths at the rebuilt table
     j = 0
     while (j < flDepth) {
@@ -346,23 +361,30 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     while (fuKeys(i) != 0L && fuKeys(i) != key) i = (i + 1) & mask
     i
   }
-  private def fuPush(key: Long, nameStart: Int, nameEnd: Int): Unit = {
-    var i = 0
-    if (key == lastFuKey) i = lastFuSlot
+  @inline private def fuSlotMemo(key: Long): Int = {
+    val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+    val s = fuMemoS(m)
+    if (fuMemoK(m) == key && fuKeys(s) == key) s
     else {
-      i = fuSlotOf(key)
-      if (fuKeys(i) == 0L) {
-        fuKeys(i) = key
-        if (fuDepthsT(i) == null) {
-          fuDepthsT(i) = new graft.core.IntBuf(4)
-          fuSeqsT(i) = new graft.core.IntBuf(4)
-          fuStarts(i) = new graft.core.IntBuf(4)
-          fuEnds(i) = new graft.core.IntBuf(4)
-        }
-        fuUsed += 1
-        if (fuUsed * 3 > fuKeys.length) { fuGrow(); i = fuSlotOf(key) }
+      val i = fuSlotOf(key)
+      if (fuKeys(i) == key) { fuMemoK(m) = key; fuMemoS(m) = i }
+      i
+    }
+  }
+  private def fuPush(key: Long, nameStart: Int, nameEnd: Int): Unit = {
+    var i = fuSlotMemo(key)
+    if (fuKeys(i) == 0L) {
+      fuKeys(i) = key
+      if (fuDepthsT(i) == null) {
+        fuDepthsT(i) = new graft.core.IntBuf(4)
+        fuSeqsT(i) = new graft.core.IntBuf(4)
+        fuStarts(i) = new graft.core.IntBuf(4)
+        fuEnds(i) = new graft.core.IntBuf(4)
       }
-      lastFuKey = key; lastFuSlot = i
+      fuUsed += 1
+      if (fuUsed * 3 > fuKeys.length) { fuGrow(); i = fuSlotOf(key) }
+      val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+      fuMemoK(m) = key; fuMemoS(m) = i
     }
     val dep = fuDepthsT(i); val seq = fuSeqsT(i)
     val sts = fuStarts(i); val ens = fuEnds(i)
@@ -392,7 +414,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       }
       j += 1
     }
-    lastFuKey = 0L
+    java.util.Arrays.fill(fuMemoK, 0L)
   }
   /** Rare full clear: seq headroom exhausted (2^31 minus one max-size doc);
     * resets every stack so seq ids can restart from 0.
@@ -416,7 +438,8 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     java.util.Arrays.fill(depthSeq, 0)
     java.util.Arrays.fill(depthKey, 0L)
     flUsed = 0; fuUsed = 0
-    lastFlKey = 0L; lastFuKey = 0L
+    java.util.Arrays.fill(flMemoK, 0L)
+    java.util.Arrays.fill(fuMemoK, 0L)
     flSeq = 0
   }
 
