@@ -331,6 +331,11 @@ object DedupOps {
     * cluster with executor churn, set a checkpoint dir and swap in
     * `checkpoint()` for fault-tolerant truncation.
     */
+  /** Rounds the last [[clusterIdsStar]] call took to converge (test
+    * evidence for the O(log n) bound; not thread-safe, diagnostics only).
+    */
+  private[graft] var lastStarRounds = 0
+
   def clusterIdsStar(base: DataFrame, pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nodes = base.select(col("doc_id")).distinct()
@@ -343,6 +348,7 @@ object DedupOps {
       .localCheckpoint(true)
     var nEdges = edges.count()
     var converged = nEdges == 0L
+    var rounds = 0
     while (!converged) {
       // large-star: for each node u over its SYMMETRIC neighborhood,
       // connect every strictly larger neighbor to m = min(N(u) ∪ {u})
@@ -370,7 +376,9 @@ object DedupOps {
       converged = !grew && nNext == nEdges
       nEdges = nNext
       edges = next
+      rounds += 1
     }
+    lastStarRounds = rounds
     // converged: stars point every member at its component root (the min)
     val labels = nodes
       .join(edges.groupBy(col("u").as("doc_id")).agg(min("v").as("root")),

@@ -319,6 +319,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.where(col("doc_id") =!= col("cluster_id")).count() == 0)
     none.unpersist()
   }
+
+  test("star components converge in O(log n) rounds on a 300-deep chain") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // the case the operator exists for: diameter 300 would cost label
+    // propagation 300 rounds; the star algorithm must stay logarithmic
+    val n = 300L
+    val chain = (0L until n).sliding(2).map(w => (w(0), w(1))).toSeq
+    val out = DedupOps.clusterIdsStar(
+      (0L until n).toDF("doc_id"), chain.toDF("id_a", "id_b"))
+    assert(out.where(col("cluster_id") =!= 0L).count() == 0)
+    assert(DedupOps.lastStarRounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 4,
+      s"rounds=${DedupOps.lastStarRounds}")
+    out.unpersist()
+  }
 }
 
 /** Clustered-embedding IVF evidence (round-2 verdict ask): on blob-shaped
