@@ -587,8 +587,11 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       var j = 0
       while (j <= mTop) { mDescs(j) = null; j += 1 }
       mTop = -1
-      // 2^27 headroom exceeds the max tags a 64 MB doc can contain
-      if (flSeq > Int.MaxValue - (1 << 27)) flHardReset()
+      // 2^30 headroom: one document can never push that many elements
+      // (each start tag spans >= 3 input bytes and the input is an
+      // Array[Byte] of < 2^31 bytes), so checking only between documents
+      // can never let flSeq overflow mid-parse
+      if (flSeq > Int.MaxValue - (1 << 30)) flHardReset()
       return
     }
     top = -1

@@ -280,6 +280,19 @@ object DedupOps {
     * full accumulated plan, which is exponential in rounds and falls
     * over around depth ~30 even though every round's data is tiny.
     */
+  /** Release the storage behind a round materialized with
+    * `localCheckpoint(true)` — the checkpointed RDD's blocks otherwise
+    * live until the driver GCs the dereferenced Dataset, so an iterative
+    * algorithm would hold O(rounds) dead snapshots in executor storage.
+    * Only call on rounds nothing will read again (a localCheckpoint has
+    * no lineage to recompute from).
+    */
+  private def releaseRound(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nodes = base.select(col("doc_id")).distinct()
@@ -300,6 +313,7 @@ object DedupOps {
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
       val changed = next.where(col("cluster_id") =!= col("prev_label")).count()
+      releaseRound(labels) // next is materialized; the old round is dead
       labels = next
       converged = changed == 0L
     }
@@ -308,6 +322,7 @@ object DedupOps {
     // releasable result
     val out = labels.select(col("doc_id"), col("cluster_id")).persist(lvl)
     out.count()
+    releaseRound(labels)
     out
   }
 
@@ -375,6 +390,7 @@ object DedupOps {
       val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0
       converged = !grew && nNext == nEdges
       nEdges = nNext
+      releaseRound(edges) // the anti-join above was its last consumer
       edges = next
       rounds += 1
     }
@@ -387,6 +403,7 @@ object DedupOps {
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
       .persist(lvl)
     labels.count()
+    releaseRound(edges)
     labels
   }
 

@@ -327,12 +327,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the case the operator exists for: diameter 300 would cost label
     // propagation 300 rounds; the star algorithm must stay logarithmic
     val n = 300L
+    val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0L until n).sliding(2).map(w => (w(0), w(1))).toSeq
     val out = DedupOps.clusterIdsStar(
       (0L until n).toDF("doc_id"), chain.toDF("id_a", "id_b"))
     assert(out.where(col("cluster_id") =!= 0L).count() == 0)
     assert(DedupOps.lastStarRounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 4,
       s"rounds=${DedupOps.lastStarRounds}")
+    // dead rounds are released eagerly: storage must not grow O(rounds)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2, s"leaked checkpoints: $before -> $after")
     out.unpersist()
   }
 }
