@@ -360,6 +360,16 @@ final class Lexer(strict: Boolean = true) extends TagView {
 
   private def finishTagName(): Unit = {
     tNameStart = tokenPartStart; tNameEnd = pos
+    // hash the completed name in one tight pass: the S_TAG_NAME spin loop
+    // stays a pure delimiter scan (the rcdata/script end-tag-name states
+    // still hash incrementally — isAppropriateEndTag reads the hash
+    // mid-name there — and this recompute gives the same value)
+    var h = 0L
+    var i = tNameStart
+    while (i < tNameEnd && h != TagHash.Empty) {
+      h = TagHash.update(h, input(i)); i += 1
+    }
+    tNameHash = h
     if (tNameHash == TagHash.Empty) computeNameFnv()
     // scan mode: decide attribute recording once per tag. End tags always
     // skip (attrs dropped by spec); foreign content never skips (tree
@@ -645,7 +655,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
         case S_TAG_OPEN =>
           val c = consume()
           if (isAlpha(c)) {
-            createStartTag(); tokenPartStart = pos; updateTagNameHash()
+            createStartTag(); tokenPartStart = pos
             state = S_TAG_NAME
           } else if (c == '!') state = S_MARKUP_DECL_OPEN
           else if (c == '/') state = S_END_TAG_OPEN
@@ -657,7 +667,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
         case S_END_TAG_OPEN =>
           val c = consume()
           if (isAlpha(c)) {
-            createEndTag(); tokenPartStart = pos; updateTagNameHash()
+            createEndTag(); tokenPartStart = pos
             state = S_TAG_NAME
           } else if (c == '>') { emitRawWithoutToken(inclusive = true); state = S_DATA }
           else if (c == -1) { emitText(); emitEof(); done = true }
@@ -689,7 +699,7 @@ final class Lexer(strict: Boolean = true) extends TagView {
           var spin = true
           while (spin) {
             val c = consume()
-            if (c >= 0 && !Lexer.NameDelim(c)) updateTagNameHash()
+            if (c >= 0 && !Lexer.NameDelim(c)) () // name char: keep spinning
             else if (isWs(c)) { finishTagName(); state = S_BEFORE_ATTR_NAME; spin = false }
             else if (c == '>') { finishTagName(); state = emitTag(); spin = false }
             else if (c == '/') { finishTagName(); state = S_SELF_CLOSING_START_TAG; spin = false }
