@@ -231,7 +231,13 @@ final class Lexer(strict: Boolean = true) extends TagView {
   def parse(doc: Array[Byte], length: Int, out: LexemeSink, attrNeed: AttrNeedTable): Unit = {
     input = doc; len = length; sink = out
     scanAttrNeed = attrNeed
-    memoNeedHash = 0L // the memo is per-(parse, attrNeed table)
+    // the attr-need memo keys on the TABLE identity: same table (the
+    // common case — one Rewriter, one program) keeps its warm entries
+    // across documents; a different table invalidates them all
+    if (attrNeed ne memoNeedTable) {
+      java.util.Arrays.fill(memoNeedHash, 0L)
+      memoNeedTable = attrNeed
+    }
     nextPos = 0; lexemeStart = 0; tokenPartStart = 0
     cdataAllowed = false; state = S_DATA
     lastStartTagNameHash = TagHash.Empty
@@ -355,8 +361,9 @@ final class Lexer(strict: Boolean = true) extends TagView {
   // in runs (<td>, <li>, <emu-alg>...), so the common case is one compare
   // instead of a table probe (0 is never a real tag hash — names start
   // with a letter — and never Empty, so it doubles as "invalid")
-  private var memoNeedHash = 0L
-  private var memoNeedSkip = false
+  private val memoNeedHash = new Array[Long](32)
+  private val memoNeedSkip = new Array[Boolean](32)
+  private var memoNeedTable: AttrNeedTable = _
 
   private def finishTagName(): Unit = {
     tNameStart = tokenPartStart; tNameEnd = pos
@@ -377,10 +384,11 @@ final class Lexer(strict: Boolean = true) extends TagView {
     tSkipAttrs = scanAttrNeed != null && (
       !tagIsStart ||
         (treeSim.currentNs == Ns.Html && {
-          if (tNameHash == memoNeedHash) memoNeedSkip
+          val m = ((tNameHash * 0x9e3779b97f4a7c15L) >>> 59).toInt
+          if (memoNeedHash(m) == tNameHash) memoNeedSkip(m)
           else {
             val skip = !scanAttrNeed.needsAttrs(tNameHash, tNameStart, tNameEnd, input)
-            if (tNameHash != TagHash.Empty) { memoNeedHash = tNameHash; memoNeedSkip = skip }
+            if (tNameHash != TagHash.Empty) { memoNeedHash(m) = tNameHash; memoNeedSkip(m) = skip }
             skip
           }
         }))

@@ -269,8 +269,8 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   // handful of names (div/span/emu-*), which a 1-entry memo misses; each
   // hit is validated against the live table so a stale entry can never
   // alias another key's slot
-  private val flMemoK = new Array[Long](8)
-  private val flMemoS = new Array[Int](8)
+  private val flMemoK = new Array[Long](32)
+  private val flMemoS = new Array[Int](32)
   // unhashable names: FNV -> (depth, seq, nameStart, nameEnd) stacks; the
   // name range backs the exact slice compare that guards FNV collisions
   private var fuKeys = new Array[Long](32)
@@ -279,8 +279,8 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   private var fuStarts = new Array[graft.core.IntBuf](32)
   private var fuEnds = new Array[graft.core.IntBuf](32)
   private var fuUsed = 0
-  private val fuMemoK = new Array[Long](8)
-  private val fuMemoS = new Array[Int](8)
+  private val fuMemoK = new Array[Long](32)
+  private val fuMemoS = new Array[Int](32)
   private var flDepth = 0
   // matched elements only: depth + descriptor, ascending depths, drained
   // eagerly on every pop (never holds stale entries)
@@ -302,7 +302,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     * slot still holds the key, so later inserts can never be aliased).
     */
   @inline private def flSlotMemo(key: Long): Int = {
-    val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+    val m = ((key * 0x9e3779b97f4a7c15L) >>> 59).toInt
     val s = flMemoS(m)
     if (flMemoK(m) == key && flKeys(s) == key) s
     else {
@@ -321,7 +321,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       }
       flUsed += 1
       if (flUsed * 3 > flKeys.length) { flGrow(); i = flSlotOf(key) }
-      val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+      val m = ((key * 0x9e3779b97f4a7c15L) >>> 59).toInt
       flMemoK(m) = key; flMemoS(m) = i
     }
     val dep = flDepthsT(i); val seq = flSeqsT(i)
@@ -362,7 +362,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     i
   }
   @inline private def fuSlotMemo(key: Long): Int = {
-    val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+    val m = ((key * 0x9e3779b97f4a7c15L) >>> 59).toInt
     val s = fuMemoS(m)
     if (fuMemoK(m) == key && fuKeys(s) == key) s
     else {
@@ -383,7 +383,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       }
       fuUsed += 1
       if (fuUsed * 3 > fuKeys.length) { fuGrow(); i = fuSlotOf(key) }
-      val m = ((key * 0x9e3779b97f4a7c15L) >>> 61).toInt
+      val m = ((key * 0x9e3779b97f4a7c15L) >>> 59).toInt
       fuMemoK(m) = key; fuMemoS(m) = i
     }
     val dep = fuDepthsT(i); val seq = fuSeqsT(i)
