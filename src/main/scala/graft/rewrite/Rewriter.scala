@@ -145,8 +145,18 @@ final class Element private[rewrite] (
     private val attrs: AttrList,
     val canHaveContent: Boolean,
     val selfClosing: Boolean,
-    val sourceStart: Int
+    val sourceStart: Int,
+    private val ns: Int = Ns.Html
 ) {
+  /** WHATWG namespace URI of the element (reference
+    * `Element::namespace_uri`, src/html/namespace.rs:13-21).
+    */
+  def namespaceUri: String = ns match {
+    case Ns.Svg    => "http://www.w3.org/2000/svg"
+    case Ns.MathML => "http://www.w3.org/1998/Math/MathML"
+    case _         => "http://www.w3.org/1999/xhtml"
+  }
+
   private[rewrite] val startTagMutations = new Mutations
   private[rewrite] var endTagMutations: Mutations = _
   private[rewrite] var shouldRemoveContent = false
@@ -360,6 +370,18 @@ final class Comment private[rewrite] (val text: String, val sourceStart: Int, va
   def streamingAfter(h: StreamingHandler): Unit = mutations.afterStreaming(h)
   def streamingReplace(h: StreamingHandler): Unit = mutations.replaceStreaming(h)
   def remove(): Unit = mutations.remove()
+
+  /** Set the comment body (reference `Comment::set_text`,
+    * /root/reference/src/rewritable_units/tokens/comment.rs:85-107):
+    * rejects any text the tokenizer would parse as a comment close —
+    * `-->` or `--!>` anywhere, or a leading `>` / `->`.
+    */
+  def setText(newText: String): Unit = {
+    require(!(newText.contains("-->") || newText.contains("--!>") ||
+        newText.startsWith(">") || newText.startsWith("->")),
+      "comment text contains a comment-closing sequence")
+    mutations.replace(s"<!--$newText-->", ContentType.Html)
+  }
 }
 
 final class DoctypeTok private[rewrite] (val name: String, val publicId: String, val systemId: String) {
@@ -970,7 +992,8 @@ final class Rewriter(
       val captured = elementHandlers.hasActive
       if (captured) {
         val el = new Element(input, view.nameLower, attrs,
-          canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart)
+          canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart,
+          ns = view.nsV)
         if (matchedRemoved > 0) el.startTagMutations.remove()
         elementInvoker.el = el
         elementHandlers.doForEachActiveAndDeactivate(elementInvoker)

@@ -268,3 +268,42 @@ class NameEntryDispatchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == Seq("a[href]:a", "[href]:a", "[href]:p"))
   }
 }
+
+/** Comment.setText + Element.namespaceUri (reference Comment::set_text,
+  * comment.rs:85-107, and Element::namespace_uri, namespace.rs:13-21).
+  */
+class CommentSetTextSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("setText rewrites the comment body") {
+    val rw = new Rewriter(Nil, docHandlers = Seq(DocHandlers(
+      comments = c => if (c.text.contains("old")) c.setText("new body"))),
+      strict = false)
+    assert(rw.rewrite("a<!--old stuff-->b") == "a<!--new body-->b")
+  }
+
+  test("setText rejects every comment-closing sequence the tokenizer knows") {
+    val rw = new Rewriter(Nil, docHandlers = Seq(DocHandlers(comments = c => {
+      for (bad <- Seq("a-->b", "a--!>b", ">lead", "->lead"))
+        intercept[IllegalArgumentException](c.setText(bad))
+      // near-misses the reference accepts
+      c.setText("com--ment >ok -> fine")
+    })), strict = false)
+    assert(rw.rewrite("<!--x-->") == "<!--com--ment >ok -> fine-->")
+  }
+
+  test("namespaceUri reflects foreign-content context (post-feedback, like the reference)") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val rw = new Rewriter(Seq(
+      "circle" -> ElementHandlers(element = el => seen += el.namespaceUri),
+      "mrow" -> ElementHandlers(element = el => seen += el.namespaceUri),
+      "mi" -> ElementHandlers(element = el => seen += el.namespaceUri),
+      "p" -> ElementHandlers(element = el => seen += el.namespaceUri)),
+      strict = false, produceOutput = false)
+    rw.rewrite("<p>t</p><svg><circle r=1/></svg><math><mrow><mi>x</mi></mrow></math>")
+    // the reference assigns ns AFTER tree feedback (lexer/actions.rs:104),
+    // so a text integration point like <mi> reports the HTML namespace it
+    // switches its content into; <mrow> stays MathML
+    assert(seen.toSeq == Seq("http://www.w3.org/1999/xhtml",
+      "http://www.w3.org/2000/svg", "http://www.w3.org/1998/Math/MathML",
+      "http://www.w3.org/1999/xhtml"))
+  }
+}
