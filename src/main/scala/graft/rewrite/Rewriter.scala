@@ -296,6 +296,20 @@ final class Element private[rewrite] (
 
   private[rewrite] var newTagName: String = _
   private[rewrite] var attrMods: mutable.LinkedHashMap[String, Option[String]] = _
+  private[rewrite] var endTagUserHandlers: mutable.ArrayBuffer[EndTagTok => Unit] = _
+
+  /** Register a handler invoked with this element's end tag (the
+    * reference's `Element::end_tag_handlers().push(...)`,
+    * /root/reference/src/rewritable_units/element.rs:620-668). No-op for
+    * elements that cannot have content (they have no end tag), matching
+    * the reference's `EndTagError::NoEndTag` contract in spirit — a user
+    * can check [[canHaveContent]] first.
+    */
+  def onEndTag(h: EndTagTok => Unit): Unit =
+    if (canHaveContent) {
+      if (endTagUserHandlers == null) endTagUserHandlers = new mutable.ArrayBuffer(2)
+      endTagUserHandlers += h
+    }
 
   /** Rename the element; the end tag (if any) is renamed too. */
   def setTagName(name: String): Unit = {
@@ -1000,7 +1014,8 @@ final class Rewriter(
         elementInvoker.el = null
 
         if (pushed) {
-          if (desc == null && (el.shouldRemoveContent || el.endTagMutations != null)) {
+          if (desc == null && (el.shouldRemoveContent || el.endTagMutations != null ||
+              el.endTagUserHandlers != null)) {
             desc = new ElementDescriptor
             vm.setCurrentDescriptor(desc)
           }
@@ -1013,13 +1028,16 @@ final class Rewriter(
               desc.removeContent = true
               matchedRemoved += 1
             }
-            if (el.endTagMutations != null || el.newTagName != null) {
+            if (el.endTagMutations != null || el.newTagName != null ||
+                el.endTagUserHandlers != null) {
               val m = el.endTagMutations
               val rename = el.newTagName
+              val uh = el.endTagUserHandlers
               desc.endTagHandlerIdx =
                 endTagHandlers.push(et => {
                   if (m != null) et.mutations = m
                   if (rename != null) et.renamedTo = rename
+                  if (uh != null) { var i = 0; while (i < uh.length) { uh(i)(et); i += 1 } }
                 }, alwaysActive = false)
             }
           }

@@ -307,3 +307,40 @@ class CommentSetTextSpec extends org.scalatest.funsuite.AnyFunSuite {
       "http://www.w3.org/1999/xhtml"))
   }
 }
+
+/** User end-tag handlers (reference Element::end_tag_handlers). */
+class EndTagHandlerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("onEndTag fires with the matched element's end tag and can mutate it") {
+    val rw = new Rewriter(Seq("article" -> ElementHandlers(element = el => {
+      assert(el.canHaveContent)
+      el.onEndTag(et => { assert(et.nameLower == "article"); et.before("<!--bye-->") })
+      el.onEndTag(et => et.after("[after]"))
+    })), strict = false)
+    assert(rw.rewrite("<article>x</article>tail") ==
+      "<article>x<!--bye--></article>[after]tail")
+  }
+
+  test("onEndTag composes with append (mutations and user hooks share the end tag)") {
+    val rw = new Rewriter(Seq("div" -> ElementHandlers(element = el => {
+      el.append("+appended")
+      el.onEndTag(et => et.setName("section"))
+    })), strict = false)
+    assert(rw.rewrite("<div>x</div>") == "<div>x+appended</section>")
+  }
+
+  test("onEndTag never fires for void elements") {
+    var fired = false
+    val rw = new Rewriter(Seq("br" -> ElementHandlers(element = el =>
+      el.onEndTag(_ => fired = true))), strict = false)
+    rw.rewrite("a<br>b")
+    assert(!fired)
+  }
+
+  test("onEndTag fires on implicit closes too") {
+    val rw = new Rewriter(Seq("li" -> ElementHandlers(element = el =>
+      el.onEndTag(et => et.before("[eol]")))), strict = false)
+    // note: implicitly-closed <li> has no end tag bytes; the handler runs
+    // when the closing tag that drains it arrives
+    assert(rw.rewrite("<ul><li>a</li></ul>") == "<ul><li>a[eol]</li></ul>")
+  }
+}
