@@ -105,6 +105,10 @@ object SparkEntry {
         col("doc_id"),
         TextOps.repetitionRatio(col("text")).as("rep_ratio"),
         TextOps.topTokenShare(col("text")).as("top_share"))),
+    // t4: deterministic reproducible train/val/test split (multiplicative
+    // hash of the stable id -> bucket thresholds; map-only, rerun-stable)
+    "t4_split" -> ((s, dir) =>
+      TextOps.deterministicSplit(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, dir) =>
@@ -406,6 +410,12 @@ object SparkEntry {
         "FROM (SELECT doc_id, len(toks) AS ntok, len(list_distinct(toks)) AS ndist, " +
         "list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS maxc " +
         "FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks FROM documents))"),
+
+    "t4_split" ->
+      ("SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS split_bucket, " +
+        "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
+        "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents"),
 
     "d1_exact_dedup" ->
       (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),

@@ -112,6 +112,25 @@ object TextOps {
     * allocated one single-char String per character;
     * RollingHashParitySpec pins bit-identical output.
     */
+  /** Deterministic reproducible train/val/test assignment — the standard
+    * split primitive for training corpora: multiplicative (Knuth) hashing
+    * of the stable doc_id into 1000 buckets, thresholded by cumulative
+    * fractions. Pure integer arithmetic so the assignment is identical in
+    * any engine (the DuckDB oracle replays the same expression), stable
+    * under repartitioning/reruns, and adding documents never reassigns
+    * existing ones. Map-only: no shuffle, no RNG, no sampling drift.
+    */
+  def deterministicSplit(df: DataFrame,
+                         trainPct: Int = 900, valPct: Int = 50): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    df.select(
+      col("doc_id"),
+      bucket.cast("int").as("split_bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   def docStats(spark: SparkSession, sfDir: String): DataFrame = {
     graft.spark.RollingHashFn.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
