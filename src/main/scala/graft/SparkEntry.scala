@@ -137,6 +137,18 @@ object SparkEntry {
       val base = DedupOps.withVariants(s, dir)
       DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
     }),
+    // d10: cluster-representative dedup APPLY — the principled fix for
+    // d6's pair-drop over-deletion on chains A~B~C: survivors are the one
+    // representative (min doc_id == cluster_id) per d9 component;
+    // singletons are their own component and always survive
+    "d10_cluster_apply" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      val clusters = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
+      clusters.where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+        .join(base, "doc_id")
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+    }),
 
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
@@ -306,19 +318,29 @@ object SparkEntry {
 
   // connected components over the thresholded pair list via a recursive
   // CTE (label = min reachable id)
-  private val ClustersSql =
+  private val ClustersCte =
     "WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") +
       ", jp AS (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a " +
       "JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6), " +
       "sym AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b AS a, id_a AS b FROM jp), " +
       "r(id, lab) AS (SELECT doc_id, doc_id FROM base " +
-      "UNION SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.id) " +
-      "SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1"
+      "UNION SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.id)"
+
+  private val ClustersSql =
+    ClustersCte + " SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1"
+
+  // d10: survivors = the min-id representative of each component
+  private val ClusterApplySql =
+    ClustersCte +
+      ", cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1) " +
+      "SELECT b.doc_id, md5(b.text) AS fp FROM base b " +
+      "JOIN cl ON b.doc_id = cl.doc_id WHERE cl.cluster_id = b.doc_id"
 
   def oracleSql: Map[String, String] = Map(
     "d8_dedup_clusters" -> ClustersSql,
     "d9_cc_star" -> ClustersSql,
+    "d10_cluster_apply" -> ClusterApplySql,
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x2_extract_media" ->

@@ -146,6 +146,13 @@ final class Element private[rewrite] (
     val canHaveContent: Boolean,
     val selfClosing: Boolean,
     val sourceStart: Int,
+    /** End (exclusive) of the start tag's byte range in the source input.
+      * Mirrors the reference's `Element::source_location` — the range of
+      * the START TAG; the element's end hasn't been parsed yet when the
+      * handler runs (reference src/rewritable_units/element.rs:725-732,
+      * src/base/spanned.rs:9-32).
+      */
+    val sourceEnd: Int,
     private val ns: Int = Ns.Html
 ) {
   /** WHATWG namespace URI of the element (reference
@@ -1007,7 +1014,7 @@ final class Rewriter(
       if (captured) {
         val el = new Element(input, view.nameLower, attrs,
           canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart,
-          ns = view.nsV)
+          sourceEnd = rawEnd, ns = view.nsV)
         if (matchedRemoved > 0) el.startTagMutations.remove()
         elementInvoker.el = el
         elementHandlers.doForEachActiveAndDeactivate(elementInvoker)

@@ -153,6 +153,26 @@ object DedupOps {
     }
   }
 
+  /** [[orderedPairs]] generalized to members carrying a payload (e.g.
+    * (doc_id, simhash) structs): lazily yields every ordered pair of a
+    * bucket's members in input order, O(1) memory per bucket.
+    */
+  private[ops] def orderedPairsOf[T](items: Seq[T]): Iterator[(T, T)] = {
+    val arr = items.toIndexedSeq
+    val n = arr.length
+    new scala.collection.AbstractIterator[(T, T)] {
+      private var i = 0
+      private var j = 1
+      def hasNext: Boolean = i < n - 1
+      def next(): (T, T) = {
+        val out = (arr(i), arr(j))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        out
+      }
+    }
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct
     * shingles -> group by shingle into doc-id buckets -> expand each
@@ -224,14 +244,27 @@ object DedupOps {
     sig
   }
 
+  /** Default cap on LSH band-bucket membership for [[minhashLshPairs]]: a
+    * band bucket larger than this (a web-scale duplicate cluster — 1M
+    * docs sharing one band key would otherwise expand O(n^2) candidate
+    * pairs) is dropped instead of pair-expanded; dedup-apply wants
+    * cluster representatives, not every edge of a mega-cluster. Dropped
+    * buckets are surfaced via the observed metric "dropped_band_buckets".
+    */
+  val DefaultLshBucketCap = 2000
+
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified. Stages:
     *  1. row-local: shingle set + 64-way signature
-    *  2. banded bucket keys (32 bands x 2 rows) -> exploded, grouped
-    *  3. candidate pairs from same-bucket docs
+    *  2. banded bucket keys (32 bands x 2 rows) -> exploded, grouped into
+    *     sorted per-bucket id lists (NO self-join: a degenerate bucket of
+    *     n docs would turn a bucket join into n^2 rows inside one shuffle
+    *     partition; buckets over `bucketCap` are dropped + counted)
+    *  3. candidate pairs expanded lazily in-row (O(1) memory per bucket)
     *  4. verify with exact Jaccard on the shingle arrays (array_intersect)
     * Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     */
-  def minhashLshPairs(base: DataFrame, threshold: Double): DataFrame = {
+  def minhashLshPairs(base: DataFrame, threshold: Double,
+                      bucketCap: Int = DefaultLshBucketCap): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
 
@@ -245,9 +278,14 @@ object DedupOps {
     }.toDF("doc_id", "band_keys")
 
     val buckets = sig.select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = buckets.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .observe("lsh_band_buckets",
+        sum(when(size(col("ids")) > bucketCap, 1L).otherwise(0L)).as("dropped_band_buckets"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap(ids => orderedPairs(ids)) // lazy: O(1) memory per bucket
+      .toDF("id_a", "id_b")
       .distinct()
 
     val shSets = withSh.select(col("doc_id"), col("sh"))
@@ -532,21 +570,55 @@ object DedupOps {
       .toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup pairs: 4 x 15-bit chunk bucketing (pigeonhole for
-    * hamming distance <= 3), then exact hamming verify.
+  /** Default cap on simhash chunk-bucket membership for
+    * [[simhashPairs]] — same rationale as [[DefaultLshBucketCap]];
+    * dropped buckets surface via "dropped_chunk_buckets".
     */
-  def simhashPairs(base: DataFrame, maxHamming: Int): DataFrame = {
+  val DefaultSimhashBucketCap = 2000
+
+  /** SimHash near-dup pairs via chunk-PAIR bucketing: the 60-bit sketch
+    * splits into 6 chunks of 10 bits; hamming distance <= 4 flips bits in
+    * at most 4 chunks, leaving >= 2 intact, so at least one of the
+    * C(6,2) = 15 chunk PAIRS matches exactly (pigeonhole; this operator
+    * verifies <= `maxHamming`, which must be <= 4 for exact recall).
+    * Keys are 20-bit chunk-pair values — 15 x 2^20 ~ 15.7M possible
+    * buckets, vs 4 x 2^15 = 131k for single 15-bit chunks, whose bounded
+    * cardinality made bucket size (and the candidate pair count) grow
+    * quadratically with corpus size BY CONSTRUCTION.
+    *
+    * Plan shape: one corpus pass (sketch + 15-key explode), one groupBy
+    * shuffle into sorted (doc_id, simhash) member lists (capped, dropped
+    * buckets counted), then lazy in-row pair expansion with the exact
+    * hamming verify applied BEFORE the distinct's exchange — failed
+    * candidates never shuffle. No self-join anywhere.
+    */
+  def simhashPairs(base: DataFrame, maxHamming: Int,
+                   bucketCap: Int = DefaultSimhashBucketCap): DataFrame = {
+    require(maxHamming <= 4, "chunk-pair pigeonhole guarantees recall only for hamming <= 4")
+    val spark = base.sparkSession
+    import spark.implicits._
     val sk = simhashSketch(base)
-    val chunks = sk.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("chunk", "ck")))
-    val cand = chunks.as("a").join(chunks.as("b"), Seq("chunk", "ck"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+    val combos = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+    val keyCols = combos.zipWithIndex.map { case ((i, j), c) =>
+      lit(c.toLong << 20) +
+        shiftleft(shiftright(col("simhash"), i * 10).bitwiseAND(lit(0x3ffL)), 10) +
+        shiftright(col("simhash"), j * 10).bitwiseAND(lit(0x3ffL))
+    }
+    val hm = maxHamming
+    sk.select(col("doc_id"), col("simhash"), explode(array(keyCols: _*)).as("ck"))
+      .groupBy("ck")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .observe("simhash_chunk_buckets",
+        sum(when(size(col("members")) > bucketCap, 1L).otherwise(0L)).as("dropped_chunk_buckets"))
+      .where(size(col("members")) > 1 && size(col("members")) <= bucketCap)
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        orderedPairsOf(ms).flatMap { case ((ia, ha), (ib, hb)) =>
+          val d = java.lang.Long.bitCount(ha ^ hb)
+          if (d <= hm) Iterator.single((ia, ib, d)) else Iterator.empty
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
-    cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

@@ -343,4 +343,23 @@ class EndTagHandlerSpec extends org.scalatest.funsuite.AnyFunSuite {
     // when the closing tag that drains it arrives
     assert(rw.rewrite("<ul><li>a</li></ul>") == "<ul><li>a[eol]</li></ul>")
   }
+
+  test("element source location is the start tag's byte range") {
+    // mirrors the reference's Element::source_location (the START TAG's
+    // range; the element end isn't parsed yet when the handler runs) —
+    // element.rs:725-732, spanned.rs:9-32. Fixture has multi-line
+    // whitespace inside the tag and quoted/unquoted/spaced attributes.
+    var ranges = Vector.empty[(String, Int, Int)]
+    val capture = (el: Element) => ranges :+= ((el.tagName, el.sourceStart, el.sourceEnd))
+    val html = "<!doctype html>\n<html><body>  <div   class=\"a b\"\n  data-x = 'y' >text<img src=\"i.png\"/></div></body></html>"
+    val r = new Rewriter(Seq(
+      "div" -> ElementHandlers(element = capture),
+      "img" -> ElementHandlers(element = capture)), strict = false, produceOutput = false)
+    r.rewrite(html)
+    assert(ranges.map(_._1) == Vector("div", "img"))
+    val (_, ds, de) = ranges(0)
+    assert(html.substring(ds, de) == "<div   class=\"a b\"\n  data-x = 'y' >")
+    val (_, is0, ie0) = ranges(1)
+    assert(html.substring(is0, ie0) == "<img src=\"i.png\"/>")
+  }
 }

@@ -85,6 +85,67 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted > 100) // most variants should sketch-match their original
   }
 
+  test("d3 LSH: a giant band bucket is dropped (capped), true pairs elsewhere survive") {
+    val sp = spark; import sp.implicits._
+    // 1,000 identical docs share EVERY band key -> 32 buckets of 1,000
+    // members each; uncapped candidate generation would expand 32 x
+    // C(1000,2) ~ 16M join rows. With the cap they are dropped whole and
+    // only the planted near-dup pair (its own buckets) survives.
+    val giantText = Array.tabulate(40)(i => s"w$i").mkString(" ")
+    val near = Array.tabulate(40)(i => s"v$i").mkString(" ")
+    val nearVariant = Array.tabulate(40)(i => s"v$i").zipWithIndex
+      .collect { case (w, i) if i % 17 != 16 => w }.mkString(" ")
+    val base = ((0L until 1000L).map(id => (id, giantText)) ++
+      Seq((5000L, near), (5001L, nearVariant))).toDF("doc_id", "text")
+    DedupOps.clearShingleCache()
+    val out = DedupOps.minhashLshPairs(base, 0.6, bucketCap = 100)
+    val rows = out.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5000L, 5001L)),
+      rows.mkString(","))
+    // the dropped giant buckets are observable, not silent
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics("lsh_band_buckets").getLong(0) == 32L, metrics.toString)
+    DedupOps.clearShingleCache()
+  }
+
+  test("d5 simhash: a giant chunk bucket is dropped (capped), true pairs elsewhere survive") {
+    val sp = spark; import sp.implicits._
+    // identical texts -> identical sketches -> one giant bucket per
+    // chunk-pair key (15 of them); the planted pair has a different text
+    val giantText = Array.tabulate(30)(i => s"g$i").mkString(" ")
+    val pairText = Array.tabulate(30)(i => s"p$i").mkString(" ")
+    val base = ((0L until 1000L).map(id => (id, giantText)) ++
+      Seq((5000L, pairText), (5001L, pairText))).toDF("doc_id", "text")
+    val out = DedupOps.simhashPairs(base, 3, bucketCap = 100)
+    val rows = out.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((5000L, 5001L, 0)), rows.mkString(","))
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics("simhash_chunk_buckets").getLong(0) == 15L, metrics.toString)
+  }
+
+  test("d5 chunk-pair pigeonhole: exact recall at hamming <= 3 vs all-pairs ground truth") {
+    val sp = spark; import sp.implicits._
+    // deterministic corpus with guaranteed close sketches: 10 base texts,
+    // each with an exact copy (hamming 0) and a one-token-appended
+    // variant (small but text-dependent hamming); ground truth is the
+    // in-test all-pairs scan over the actual sketches
+    val texts = (0 until 10).flatMap { i =>
+      val t = Array.tabulate(25)(j => s"t${(i * 7 + j * 3) % 8}_$j").mkString(" ")
+      Seq((i.toLong, t), (100L + i, t), (200L + i, t + s" extra$i"))
+    }
+    val base = texts.toDF("doc_id", "text")
+    val sk = DedupOps.simhashSketch(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, ha) <- sk; (ib, hb) <- sk if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val got = DedupOps.simhashPairs(base, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("ann topk: recall vs brute force >= 0.7 on sf0.001") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = SimOps.bruteForceTopK(emb, 0L to 9L, 10).collect()
