@@ -8,6 +8,19 @@ import graft.extract.{ExtractPolicy, Extractor}
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   * plus (stderr) throughput detail: extraction docs/sec, spans/sec, MB/s,
   * and single-doc engine MB/s on the three reference bench documents.
+  * The stdout line is kept SLIM (< ~1.8 KB): the driver captures only the
+  * last 2,000 bytes of output, and round 3's line (two 39-entry query
+  * maps) overflowed that window, truncating the JSON head — cold-run
+  * detail now goes to stderr and the full JSON to /tmp/graft_bench_full.json.
+  *
+  * Scaling protocol (contention-robust, round 4): the N/4 -> N pair runs
+  * in FRESH taskset-pinned child JVMs (the only protocol CLAUDE.md's
+  * measurement notes deem trustworthy on this host), interleaved
+  * small/big for `SPARK_GRAFT_SCALING_ATTEMPTS` (default 3) attempts;
+  * the reported pair is the best (min) per side, all attempts are
+  * reported, and `contention_suspected` is set when the attempt spread
+  * exceeds 1.5x on either side — BENCH_r03.json recorded a 0.063
+  * "efficiency" purely from one contention-window big run.
   *
   * Env:
   *   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -15,6 +28,7 @@ import graft.extract.{ExtractPolicy, Extractor}
   *   SPARK_GRAFT_SCALING if "1", also measure at local[N/4] and report
   *                       N/4 -> N scaling efficiency (the two-cluster-size
   *                       evidence for the north rule)
+  *   SPARK_GRAFT_SCALING_ATTEMPTS  interleaved pair attempts (default 3)
   */
 object Bench {
 
@@ -70,6 +84,67 @@ object Bench {
     (docs, spans, times.min, times.map(t => f"$t%.2f").mkString(","))
   }
 
+  // JDK17 module opens for child JVMs (mirrors build.sbt, which only
+  // applies them to sbt-forked processes)
+  private val Jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run scaleonly mode in a FRESH child JVM pinned (taskset, if present)
+    * to `cores` cores starting at `coreOffset`. Fresh pinned JVMs are the
+    * only scaling protocol that stays stable on this host (session churn
+    * inside one JVM skews timings; an unpinned local[N] JVM runs GC/JIT
+    * on all cores, deflating the small side). Returns (docs, spans,
+    * steadySec, runsTrace) parsed from the child's one-line JSON, or None
+    * if the child could not run.
+    */
+  private def forkedScaleRun(cores: Int, coreOffset: Int, sfDir: String,
+                             factor: Int): Option[(Long, Long, Double, String)] = {
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val cp = System.getProperty("java.class.path")
+      if (cp == null || !cp.contains("classes")) return None
+      val base = Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench")
+      val taskset = Seq("/usr/bin/taskset", "/bin/taskset")
+        .find(p => new java.io.File(p).exists())
+      val cmd = taskset match {
+        case Some(t) => Seq(t, "-c", s"$coreOffset-${coreOffset + cores - 1}") ++ base
+        case None => base
+      }
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SCALEONLY", "1")
+      pb.environment().put("SPARK_GRAFT_CPUS", cores.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_FACTOR", factor.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = p.waitFor()
+      if (rc != 0) { System.err.println(s"[scaling] child rc=$rc"); return None }
+      val line = out.linesIterator.find(_.contains("\"mode\":\"scaleonly\"")).getOrElse(return None)
+      def grab(k: String): Option[String] =
+        (s""""$k":"?([^,"}]+)"?""").r.findFirstMatchIn(line).map(_.group(1))
+      for {
+        d <- grab("docs").map(_.toLong)
+        s <- grab("spans").map(_.toLong)
+        t <- grab("sec").map(_.toDouble)
+      } yield (d, s, t, grab("runs").getOrElse(""))
+    } catch {
+      case e: Exception => System.err.println(s"[scaling] fork failed: $e"); None
+    }
+  }
+
   /** Extraction throughput at a given parallelism: docs/sec, spans/sec. */
   private def extractionRun(spark: SparkSession, corpusPath: String): (Long, Long, Double) = {
     import org.apache.spark.sql.functions._
@@ -105,27 +180,64 @@ object Bench {
     engineLines.foreach(l => System.err.println(s"[engine] $l"))
 
     var scalingLine: String = null
-    var spark: SparkSession = null
+    var spark: SparkSession = session(cpus)
     var headlineBest = Double.MaxValue
     var headlineDocs = 0L
     var headlineSpans = 0L
     if (doScaling) {
-      // small size first in its own session, then the big session is KEPT
-      // for the headline + per-query section (avoids session-churn noise)
       val small = math.max(1, cpus / 4)
-      val s1 = session(small)
-      val cp = corpus(s1, sfDir, factor)
-      val (d1, _, tSmall, traceSmall) = steadyRun(s1, cp)
-      s1.stop()
-      spark = session(cpus)
-      val (d2, sp2, tBig, traceBig) = steadyRun(spark, cp)
-      System.err.println(s"[scaling-runs] small=$traceSmall big=$traceBig")
-      headlineBest = tBig; headlineDocs = d2; headlineSpans = sp2
+      val cp = corpus(spark, sfDir, factor) // children read the same path
+      val attempts = sys.env.getOrElse("SPARK_GRAFT_SCALING_ATTEMPTS", "3").toInt
+      val smalls = scala.collection.mutable.ArrayBuffer[Double]()
+      val bigs = scala.collection.mutable.ArrayBuffer[Double]()
+      var docsBig = 0L; var spansBig = 0L
+      var forked = true
+      var i = 0
+      while (i < attempts && forked) {
+        // rotate the small pin across core regions: contention on this
+        // host can be per-core-region, so one bad region must not poison
+        // every attempt
+        val offS = (i * small) % math.max(1, cpus - small + 1)
+        val rs = forkedScaleRun(small, offS, sfDir, factor)
+        val rb = if (rs.isDefined) forkedScaleRun(cpus, 0, sfDir, factor) else None
+        (rs, rb) match {
+          case (Some((_, _, ts, trS)), Some((d, sp, tb, trB))) =>
+            smalls += ts; bigs += tb; docsBig = d; spansBig = sp
+            System.err.println(
+              f"[scaling-attempt $i] small($small@$offS)=$ts%.3f [$trS] big($cpus)=$tb%.3f [$trB]")
+          case _ => forked = false
+        }
+        i += 1
+      }
+      if (smalls.isEmpty) {
+        // fork unavailable: fall back to in-process interleaved sessions
+        // (weaker: shared-JVM churn, unpinned GC) — still multi-attempt
+        System.err.println("[scaling] forked protocol unavailable; in-process fallback")
+        var j = 0
+        while (j < attempts) {
+          val s1 = session(small)
+          val (_, _, ts, _) = steadyRun(s1, cp)
+          s1.stop()
+          val s2 = session(cpus)
+          val (d, sp, tb, _) = steadyRun(s2, cp)
+          s2.stop()
+          smalls += ts; bigs += tb; docsBig = d; spansBig = sp
+          j += 1
+        }
+        spark.stop()
+        spark = session(cpus) // fresh session for the per-query block
+      }
+      val tSmall = smalls.min
+      val tBig = bigs.min
+      val spread = math.max(smalls.max / smalls.min, bigs.max / bigs.min)
+      val contention = spread > 1.5
       val eff = (tSmall / tBig) / (cpus.toDouble / small)
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       scalingLine =
-        f"""{"cores_small":$small,"cores_big":$cpus,"docs":$d2,"sec_small":$tSmall%.3f,"sec_big":$tBig%.3f,"docs_per_sec_small":${d1 / tSmall}%.1f,"docs_per_sec_big":${d2 / tBig}%.1f,"spans_per_sec_big":${sp2 / tBig}%.1f,"scaling_efficiency":$eff%.3f}"""
+        f"""{"cores_small":$small,"cores_big":$cpus,"docs":$docsBig,"sec_small":$tSmall%.3f,"sec_big":$tBig%.3f,"docs_per_sec_small":${docsBig / tSmall}%.1f,"docs_per_sec_big":${docsBig / tBig}%.1f,"spans_per_sec_big":${spansBig / tBig}%.1f,"scaling_efficiency":$eff%.3f,"attempts_small":${arr(smalls.toSeq)},"attempts_big":${arr(bigs.toSeq)},"contention_suspected":$contention,"pinned_fresh_jvms":${smalls.nonEmpty && forked}}"""
       System.err.println(s"[scaling] $scalingLine")
-    } else spark = session(cpus)
+      headlineBest = tBig; headlineDocs = docsBig; headlineSpans = spansBig
+    }
 
     // ---- headline extraction throughput ----
     val (docsN0, spansN0, warm) = extractionRun(spark, corpus(spark, sfDir, factor))
@@ -152,11 +264,11 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // both per-query maps go in the top-level JSON: "queries" is the
-    // steady (second-execution) time — what long-lived executors pay at
-    // real scale — and "queries_cold" the first execution including
-    // driver-side JIT/codegen, so the driver's capture is interpretable
-    // without side files
+    // "queries" (steady second execution — what long-lived executors pay
+    // at real scale) stays on stdout; the cold map (first execution incl.
+    // driver-side JIT/codegen) goes to stderr + the full-JSON side file:
+    // the driver captures only the last 2,000 bytes of output, and both
+    // maps together overflow that window (BENCH_r03.json parsed:null)
     val qsCold = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -164,8 +276,17 @@ object Bench {
     val extra =
       (if (scalingLine != null) s""","scaling":$scalingLine""" else "") +
         f""","extract_docs_per_sec":${docsN / bestExtract}%.1f,"extract_spans_per_sec":${spansN / bestExtract}%.1f"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs,"queries_cold":$qsCold$extra,"sf":"$sfDir"}""")
+    val slim =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs$extra,"sf":"$sfDir"}"""
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs,"queries_cold":$qsCold$extra,"sf":"$sfDir"}"""
+    System.err.println(s"[queries-cold] $qsCold")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
+    if (slim.length > 1800) System.err.println(
+      s"[warn] stdout JSON is ${slim.length} bytes; driver tail window is 2000")
+    println(slim)
     spark.stop()
   }
 
