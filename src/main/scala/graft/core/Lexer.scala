@@ -361,8 +361,8 @@ final class Lexer(strict: Boolean = true) extends TagView {
   // in runs (<td>, <li>, <emu-alg>...), so the common case is one compare
   // instead of a table probe (0 is never a real tag hash — names start
   // with a letter — and never Empty, so it doubles as "invalid")
-  private val memoNeedHash = new Array[Long](32)
-  private val memoNeedSkip = new Array[Boolean](32)
+  private val memoNeedHash = new Array[Long](256)
+  private val memoNeedSkip = new Array[Boolean](256)
   private var memoNeedTable: AttrNeedTable = _
 
   private def finishTagName(): Unit = {
@@ -384,11 +384,17 @@ final class Lexer(strict: Boolean = true) extends TagView {
     tSkipAttrs = scanAttrNeed != null && (
       !tagIsStart ||
         (treeSim.currentNs == Ns.Html && {
-          val m = ((tNameHash * 0x9e3779b97f4a7c15L) >>> 59).toInt
-          if (memoNeedHash(m) == tNameHash) memoNeedSkip(m)
+          // unhashable names (custom elements: <emu-*> etc.) memoize on
+          // their FNV-64 — already computed above — so attr-need is one
+          // compare per tag on custom-element-dense documents too; the
+          // engine already trusts FNV-64 for name identity (frame name
+          // keys, FastEntryTable by-name dispatch)
+          val key = if (tNameHash != TagHash.Empty) tNameHash else tNameFnv
+          val m = ((key * 0x9e3779b97f4a7c15L) >>> 56).toInt
+          if (memoNeedHash(m) == key) memoNeedSkip(m)
           else {
             val skip = !scanAttrNeed.needsAttrs(tNameHash, tNameStart, tNameEnd, input)
-            if (tNameHash != TagHash.Empty) { memoNeedHash(m) = tNameHash; memoNeedSkip(m) = skip }
+            memoNeedHash(m) = key; memoNeedSkip(m) = skip
             skip
           }
         }))

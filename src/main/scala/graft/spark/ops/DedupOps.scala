@@ -124,6 +124,126 @@ object DedupOps {
     shingleCache.clear()
   }
 
+  // ---- shingle staging table (resumable; the 100 TB path) ----------------
+
+  /** Stage the shingled corpus to a parquet staging table with a
+    * CheckpointedExtract-style ledger, so a killed shingling job resumes
+    * mid-corpus without re-shingling completed buckets. This is the
+    * "staging table write" the in-memory [[shingled]] view's doc points
+    * at: at 100 TB the shingle set is written ONCE and every dedup
+    * consumer (d2's inverted index, d3's signatures + verification)
+    * reads the staged parquet instead of re-deriving it per query.
+    *
+    * Layout: parquet files under `dir/bucket=i/` with columns (doc_id, sh);
+    * bucket = pmod(hash(doc_id), buckets). Ledger `_ledger.jsonl`:
+    * a header {"header":1,"buckets":N,"source":"<id>"} validated on
+    * resume (fail fast on a different bucketing or source), then one
+    * {"bucket":i,"docs":n} line per committed bucket (committed via
+    * atomic rename only after the pass's write succeeds). All pending
+    * buckets of a pass are computed in ONE scan of the corpus
+    * (partitionBy(bucket) + dynamic partition overwrite);
+    * `maxBucketsPerPass` bounds work lost to a mid-pass kill.
+    *
+    * Returns (bucket, docs) for buckets completed by THIS invocation —
+    * already-done buckets are never recomputed (resume evidence).
+    */
+  def stageShingles(base: DataFrame, dir: String, buckets: Int = 64,
+                    maxBucketsPerPass: Int = Int.MaxValue,
+                    sourceId: String = ""): Seq[(Int, Long)] = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ledger = Paths.get(dir, "_ledger.jsonl")
+    Files.createDirectories(Paths.get(dir))
+
+    def ledgerLines: Seq[String] =
+      if (!Files.exists(ledger)) Nil
+      else Files.readAllLines(ledger, StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
+    def appendLedger(lines: Seq[String]): Unit = {
+      val tmp = Paths.get(dir, "_ledger.tmp")
+      val prev = if (Files.exists(ledger))
+        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8) else ""
+      Files.write(tmp, (prev + lines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val headerRx = """"header"\s*:\s*1\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"source"\s*:\s*"([^"]*)"""".r
+    ledgerLines.iterator.flatMap(l => headerRx.findFirstMatchIn(l)).nextOption() match {
+      case Some(m) =>
+        require(m.group(1).toInt == buckets,
+          s"resume with buckets=$buckets, but the staging ledger was written with buckets=${m.group(1)}")
+        require(m.group(2) == sourceId,
+          s"resume against a different source (ledger '${m.group(2)}', requested '$sourceId')")
+      case None =>
+        require(ledgerLines.isEmpty,
+          s"staging ledger at $dir has lines but no header; re-stage from scratch")
+        appendLedger(Seq(s"""{"header":1,"buckets":$buckets,"source":"$sourceId"}"""))
+    }
+    val bucketRx = """"bucket"\s*:\s*(\d+)""".r
+    val done = ledgerLines.flatMap(l => bucketRx.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    val todo = (0 until buckets).filterNot(done)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val results = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    for (group <- todo.grouped(math.max(1, maxBucketsPerPass))) {
+      val acc = new org.apache.spark.util.CollectionAccumulator[(Int, Long)]()
+      spark.sparkContext.register(acc, "graft_shingle_stage")
+      val staged = base
+        .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .where(col("bucket").isInCollection(group))
+        .select(col("doc_id"), col("text"), col("bucket"))
+        .as[(Long, String, Int)]
+        .mapPartitions { it =>
+          val counts = new java.util.HashMap[Int, Array[Long]]()
+          var flushed = false
+          new Iterator[(Long, Array[String], Int)] {
+            def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h && !flushed) {
+                flushed = true
+                counts.forEach((b, v) => acc.add((b, v(0))))
+              }
+              h
+            }
+            def next(): (Long, Array[String], Int) = {
+              val (id, t, b) = it.next()
+              counts.computeIfAbsent(b, _ => new Array[Long](1))(0) += 1
+              (id, shingleSet(t), b)
+            }
+          }
+        }
+        .toDF("doc_id", "sh", "bucket")
+      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(dir)
+      val merged = new java.util.HashMap[Int, Long]()
+      acc.value.forEach { case (b, n) => merged.merge(b, n, java.lang.Long.sum(_, _)) }
+      val groupResults = group.map(b => (b, merged.getOrDefault(b, 0L)))
+      appendLedger(groupResults.map { case (b, n) => s"""{"bucket":$b,"docs":$n}""" })
+      results ++= groupResults
+    }
+    results.toSeq
+  }
+
+  /** Read a staged shingle table (doc_id, sh) written by [[stageShingles]].
+    * Fails if any bucket is missing from the ledger (partial staging).
+    */
+  def stagedShingles(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets
+    val ledger = java.nio.file.Paths.get(dir, "_ledger.jsonl")
+    require(java.nio.file.Files.exists(ledger), s"no staging ledger at $dir")
+    val lines = java.nio.file.Files.readAllLines(ledger, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+    val buckets = """"header"\s*:\s*1\s*,\s*"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(lines.mkString("\n")).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"staging ledger at $dir has no header"))
+    val done = lines.flatMap(l => """"bucket"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    val missing = (0 until buckets).filterNot(done)
+    require(missing.isEmpty, s"staging at $dir is incomplete (missing buckets: ${missing.take(8).mkString(",")}...)")
+    spark.read.parquet(dir).select(col("doc_id"), col("sh"))
+  }
+
   /** Default document-frequency cap on inverted-index shingle buckets: a
     * shingle shared by more than this many documents (boilerplate at web
     * scale) is dropped instead of expanding O(df^2) pairs in one row. The
@@ -183,10 +303,23 @@ object DedupOps {
     * exploded table twice. Returns (id_a, id_b, jaccard).
     */
   def ngramJaccardPairs(base: DataFrame, threshold: Double,
-                        dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    val withSh = shingled(base)
+                        dfCap: Int = DefaultShingleDfCap): DataFrame =
+    ngramJaccardPairsFromShingled(
+      shingled(base).select(col("doc_id"), col("sh")), threshold, dfCap)
+
+  /** d2 over a pre-staged shingle table (see [[stageShingles]]): the
+    * 100 TB shape — the corpus is shingled once, resumably, and the join
+    * reads the staged parquet (columnar, re-readable per consumer with no
+    * recompute or executor-storage pin).
+    */
+  def ngramJaccardPairsStaged(spark: SparkSession, dir: String, threshold: Double,
+                              dfCap: Int = DefaultShingleDfCap): DataFrame =
+    ngramJaccardPairsFromShingled(stagedShingles(spark, dir), threshold, dfCap)
+
+  private def ngramJaccardPairsFromShingled(withSh: DataFrame, threshold: Double,
+                                            dfCap: Int): DataFrame = {
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("set_size"))
-    val spark = base.sparkSession
+    val spark = withSh.sparkSession
     import spark.implicits._
     // the inverted-index shuffle keys on xxhash64 of the shingle, not the
     // string: the exchange carries 8 bytes instead of ~20-char trigrams
@@ -264,14 +397,23 @@ object DedupOps {
     * Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     */
   def minhashLshPairs(base: DataFrame, threshold: Double,
-                      bucketCap: Int = DefaultLshBucketCap): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-
+                      bucketCap: Int = DefaultLshBucketCap): DataFrame =
     // persisted + memoized: the signature path and the two verification
     // joins would otherwise re-shingle the corpus once each
-    val withSh = shingled(base)
-    val sig = withSh.as[(Long, String, Seq[String])].map { case (id, _, sh) =>
+    minhashLshPairsFromShingled(
+      shingled(base).select(col("doc_id"), col("sh")), threshold, bucketCap)
+
+  /** d3 over a pre-staged shingle table (see [[stageShingles]]). */
+  def minhashLshPairsStaged(spark: SparkSession, dir: String, threshold: Double,
+                            bucketCap: Int = DefaultLshBucketCap): DataFrame =
+    minhashLshPairsFromShingled(stagedShingles(spark, dir), threshold, bucketCap)
+
+  private def minhashLshPairsFromShingled(withSh: DataFrame, threshold: Double,
+                                          bucketCap: Int): DataFrame = {
+    val spark = withSh.sparkSession
+    import spark.implicits._
+
+    val sig = withSh.as[(Long, Seq[String])].map { case (id, sh) =>
       val s = signature(sh)
       val bandKeys = Array.tabulate(Bands)(b => mix64(s(2 * b) ^ mix64(s(2 * b + 1) ^ b.toLong)))
       (id, bandKeys)

@@ -146,6 +146,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("shingle staging: ledger resume skips done buckets; staged d2/d3 match in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shingle_stage").toString
+    val base = DedupOps.withVariants(spark, sf)
+    val first = DedupOps.stageShingles(base, dir, buckets = 8, maxBucketsPerPass = 4)
+    assert(first.map(_._1).toSet == (0 until 8).toSet)
+    assert(first.map(_._2).sum == 1000L)
+    // simulate a mid-run kill: ledger keeps header + the first pass's
+    // first 3 bucket lines; the orphaned parquet of uncommitted buckets
+    // is overwritten on resume (dynamic partition overwrite)
+    val ledger = java.nio.file.Paths.get(dir, "_ledger.jsonl")
+    val lines = java.nio.file.Files.readAllLines(ledger)
+    val kept = lines.subList(0, 4)
+    val keptBuckets = kept.toArray(Array.empty[String]).drop(1)
+      .flatMap(l => """"bucket"\s*:\s*(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    java.nio.file.Files.write(ledger, kept)
+    val resumed = DedupOps.stageShingles(base, dir, buckets = 8, maxBucketsPerPass = 4)
+    assert(resumed.size == 5, s"resume recomputed ${resumed.map(_._1)}")
+    assert(resumed.map(_._1).toSet.intersect(keptBuckets).isEmpty) // done buckets never re-shingled
+    val staged = DedupOps.stagedShingles(spark, dir)
+    assert(staged.count() == 1000L)
+    assert(staged.select("doc_id").distinct().count() == 1000L) // no dup/loss
+    // parity with the in-memory shingle view, end to end through d2 and d3
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = pairs(DedupOps.ngramJaccardPairs(base, 0.6))
+    assert(mem.nonEmpty)
+    assert(pairs(DedupOps.ngramJaccardPairsStaged(spark, dir, 0.6)) == mem)
+    assert(pairs(DedupOps.minhashLshPairsStaged(spark, dir, 0.6)) == mem)
+    // fail fast on a mismatched bucketing or source
+    intercept[IllegalArgumentException](DedupOps.stageShingles(base, dir, buckets = 16))
+    intercept[IllegalArgumentException](DedupOps.stageShingles(base, dir, buckets = 8, sourceId = "other"))
+  }
+
   test("ann topk: recall vs brute force >= 0.7 on sf0.001") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = SimOps.bruteForceTopK(emb, 0L to 9L, 10).collect()
