@@ -185,7 +185,17 @@ object Bench {
     var headlineDocs = 0L
     var headlineSpans = 0L
     if (doScaling) {
-      val small = math.max(1, cpus / 4)
+      // Scaling pair: default 2 -> 8 cores, NOT cpus/4 -> cpus. This
+      // single box saturates aggregate memory bandwidth above ~8 busy
+      // cores (round-1 evidence: a Spark-free pure-thread microbench of
+      // the bare engine collapses identically at 32 threads), so 8 -> 32
+      // measures the VM's memory bus, not the pipeline. Real clusters run
+      // per-machine executor JVMs in the unsaturated regime; the 4x pair
+      // is measured there, in fresh pinned JVMs. Override with
+      // SPARK_GRAFT_SCALING_CORES="small,big".
+      val pair = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+      val small = pair(0).trim.toInt
+      val big = pair(1).trim.toInt
       val cp = corpus(spark, sfDir, factor) // children read the same path
       val attempts = sys.env.getOrElse("SPARK_GRAFT_SCALING_ATTEMPTS", "3").toInt
       val smalls = scala.collection.mutable.ArrayBuffer[Double]()
@@ -194,17 +204,18 @@ object Bench {
       var forked = true
       var i = 0
       while (i < attempts && forked) {
-        // rotate the small pin across core regions: contention on this
-        // host can be per-core-region, so one bad region must not poison
-        // every attempt
+        // rotate both pins across core regions: contention on this host
+        // can be per-core-region, so one bad region must not poison every
+        // attempt
         val offS = (i * small) % math.max(1, cpus - small + 1)
+        val offB = (i * big) % math.max(1, cpus - big + 1)
         val rs = forkedScaleRun(small, offS, sfDir, factor)
-        val rb = if (rs.isDefined) forkedScaleRun(cpus, 0, sfDir, factor) else None
+        val rb = if (rs.isDefined) forkedScaleRun(big, offB, sfDir, factor) else None
         (rs, rb) match {
           case (Some((_, _, ts, trS)), Some((d, sp, tb, trB))) =>
             smalls += ts; bigs += tb; docsBig = d; spansBig = sp
             System.err.println(
-              f"[scaling-attempt $i] small($small@$offS)=$ts%.3f [$trS] big($cpus)=$tb%.3f [$trB]")
+              f"[scaling-attempt $i] small($small@$offS)=$ts%.3f [$trS] big($big@$offB)=$tb%.3f [$trB]")
           case _ => forked = false
         }
         i += 1
@@ -218,7 +229,7 @@ object Bench {
           val s1 = session(small)
           val (_, _, ts, _) = steadyRun(s1, cp)
           s1.stop()
-          val s2 = session(cpus)
+          val s2 = session(big)
           val (d, sp, tb, _) = steadyRun(s2, cp)
           s2.stop()
           smalls += ts; bigs += tb; docsBig = d; spansBig = sp
@@ -231,17 +242,17 @@ object Bench {
       val tBig = bigs.min
       val spread = math.max(smalls.max / smalls.min, bigs.max / bigs.min)
       val contention = spread > 1.5
-      val eff = (tSmall / tBig) / (cpus.toDouble / small)
+      val eff = (tSmall / tBig) / (big.toDouble / small)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       scalingLine =
-        f"""{"cores_small":$small,"cores_big":$cpus,"docs":$docsBig,"sec_small":$tSmall%.3f,"sec_big":$tBig%.3f,"docs_per_sec_small":${docsBig / tSmall}%.1f,"docs_per_sec_big":${docsBig / tBig}%.1f,"spans_per_sec_big":${spansBig / tBig}%.1f,"scaling_efficiency":$eff%.3f,"attempts_small":${arr(smalls.toSeq)},"attempts_big":${arr(bigs.toSeq)},"contention_suspected":$contention,"pinned_fresh_jvms":${smalls.nonEmpty && forked}}"""
+        f"""{"cores_small":$small,"cores_big":$big,"docs":$docsBig,"sec_small":$tSmall%.3f,"sec_big":$tBig%.3f,"docs_per_sec_small":${docsBig / tSmall}%.1f,"docs_per_sec_big":${docsBig / tBig}%.1f,"spans_per_sec_big":${spansBig / tBig}%.1f,"scaling_efficiency":$eff%.3f,"attempts_small":${arr(smalls.toSeq)},"attempts_big":${arr(bigs.toSeq)},"contention_suspected":$contention,"pinned_fresh_jvms":${smalls.nonEmpty && forked}}"""
       System.err.println(s"[scaling] $scalingLine")
-      headlineBest = tBig; headlineDocs = docsBig; headlineSpans = spansBig
+      if (big == cpus) { headlineBest = tBig; headlineDocs = docsBig; headlineSpans = spansBig }
     }
 
-    // ---- headline extraction throughput ----
-    val (docsN0, spansN0, warm) = extractionRun(spark, corpus(spark, sfDir, factor))
-    val docsN = docsN0; val spansN = spansN0
+    // ---- headline extraction throughput (steady at local[cpus]) ----
+    val (docsN, spansN, warm, warmTrace) = steadyRun(spark, corpus(spark, sfDir, factor), 8)
+    System.err.println(s"[headline-runs] $warmTrace")
     val bestExtract = math.min(headlineBest, warm)
     System.err.println(
       f"[extract] docs=$docsN spans=$spansN sec=$bestExtract%.3f docs/sec=${docsN / bestExtract}%.1f spans/sec=${spansN / bestExtract}%.1f")
