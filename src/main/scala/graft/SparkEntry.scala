@@ -109,6 +109,24 @@ object SparkEntry {
     // hash of the stable id -> bucket thresholds; map-only, rerun-stable)
     "t4_split" -> ((s, dir) =>
       TextOps.deterministicSplit(s.read.parquet(s"$dir/documents.parquet"))),
+    // t5: per-domain quota sampling (C4/RefinedWeb per-source cap) —
+    // deterministic hash order, skew-immune two-phase top-k (no bare
+    // per-source window)
+    "t5_domain_quota" -> ((s, dir) =>
+      TextOps.domainQuota(s.read.parquet(s"$dir/documents.parquet"), 10)),
+    // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
+    // deterministically planted PII; counts + scrubbed text under oracle
+    "t6_pii_scrub" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.piiScrub(docs.select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(7L)).cast("string"), lit(".example.com"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".0."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+        lit(" tel 555-"), (pmod(col("doc_id"), lit(900L)) + 100).cast("string"),
+        lit("-"), (pmod(col("doc_id"), lit(9000L)) + 1000).cast("string")).as("text")))
+    }),
 
     // ---- dedup ----
     "d1_exact_dedup" -> ((s, dir) =>
@@ -148,6 +166,15 @@ object SparkEntry {
         .select(col("doc_id"))
         .join(base, "doc_id")
         .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+    }),
+    // d11: benchmark decontamination — drop training docs sharing any
+    // 13-gram with an eval set (benchmark = every 50th document; planted
+    // near-variants of benchmark docs must flag too)
+    "d11_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val benchmark = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id"), col("text"))
+      DedupOps.decontaminate(DedupOps.withVariants(s, dir), benchmark)
     }),
 
     // ---- embedding similarity ----
@@ -341,6 +368,17 @@ object SparkEntry {
     "d8_dedup_clusters" -> ClustersSql,
     "d9_cc_star" -> ClustersSql,
     "d10_cluster_apply" -> ClusterApplySql,
+    "d11_decontaminate" ->
+      (BaseCte + ", bg AS (SELECT DISTINCT unnest(list_transform(" +
+        "range(1, greatest(len(string_split(text, ' ')) - 11, 1)), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))) AS g " +
+        "FROM documents WHERE doc_id % 50 = 0), " +
+        "cg AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(string_split(text, ' ')) - 11, 1)), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+12], ' ')))) AS g FROM base), " +
+        "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)) " +
+        "SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated " +
+        "FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id"),
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x2_extract_media" ->
@@ -438,6 +476,28 @@ object SparkEntry {
         "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
         "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM documents"),
+
+    "t5_domain_quota" ->
+      ("SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (" +
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 10"),
+
+    "t6_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || " +
+        "' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || " +
+        "CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed " +
+        "FROM p"),
 
     "d1_exact_dedup" ->
       (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),

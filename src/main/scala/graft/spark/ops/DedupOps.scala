@@ -61,20 +61,62 @@ object DedupOps {
     * lambdas are interpreted; shingling the whole corpus through them
     * dominated the cold path of every shingle-based operator.
     */
-  def shingleSet(text: String): Array[String] = {
+  def shingleSet(text: String): Array[String] = ngramSet(text, 3)
+
+  /** Distinct word `n`-gram set (keep-first order), the [[shingleSet]]
+    * generalization — same empty-token handling as Spark's split with
+    * limit -1; null text maps to an empty set.
+    */
+  def ngramSet(text: String, n: Int): Array[String] = {
     val toks = if (text == null) Array("") else text.split(" ", -1)
-    val n = toks.length - 2
-    if (n <= 0) return Array.empty
-    val seen = new java.util.LinkedHashSet[String](n * 2)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](count * 2)
     var i = 0
-    while (i < n) {
-      val sb = new java.lang.StringBuilder(
-        toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
-      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+    while (i < count) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += toks(i + j).length; j += 1 }
+      val sb = new java.lang.StringBuilder(len)
+      j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
       seen.add(sb.toString)
       i += 1
     }
     seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Benchmark decontamination (the GPT-3/C4 recipe): a corpus document
+    * is contaminated iff it shares at least one word `n`-gram (default
+    * 13) with any benchmark document — such documents must be dropped
+    * from training data so evals stay meaningful.
+    *
+    * Scale shape: the benchmark n-gram set is small by definition (eval
+    * sets are megabytes against a 100 TB corpus), so it is broadcast and
+    * the corpus side is ONE map-only scan (row-local n-grams + explode +
+    * broadcast-hash semi-join) — no corpus shuffle except the final
+    * per-doc distinct over the (rare) contaminated hits. Returns
+    * (doc_id, contaminated) for every corpus document.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, ngramSet(t, n)) })
+      .toDF("doc_id", "grams")
+    val bGrams = grams(benchmark).select(explode(col("grams")).as("g")).distinct()
+    val hits = grams(corpus)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(bGrams), "g")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(true))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
   }
 
   /** The shingled corpus (doc_id, text, sh), persisted and memoized by the

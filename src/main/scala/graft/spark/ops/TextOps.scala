@@ -131,6 +131,82 @@ object TextOps {
         .otherwise("test").as("split"))
   }
 
+  /** Per-domain quota sampling — the C4/RefinedWeb-style per-source cap:
+    * keep at most `k` documents per source, chosen by a deterministic
+    * hash order (multiplicative hash of the stable doc_id, ties broken by
+    * doc_id) so the sample is rerun- and repartition-stable and
+    * engine-replicable (the DuckDB oracle replays the same expression as
+    * a rank window).
+    *
+    * Scale shape: NOT a bare `Window.partitionBy(source)` — at web scale
+    * a giant domain would funnel its entire membership into one window
+    * task. Instead a map-side bounded heap keeps at most k candidates
+    * per (partition, source), so the single shuffle carries <= k x P
+    * rows per domain regardless of domain size; the final per-source
+    * reduction sorts <= k x P candidates and emits the global top k with
+    * ranks. Exactly equal to the window formulation (total order), skew-
+    * immune by construction. Returns (doc_id, source, rn), rn in 1..k.
+    */
+  def domainQuota(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col("source"),
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("okey"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+    val pruned = keyed.mapPartitions { it =>
+      // max-heap on (okey, doc_id): the root is the worst candidate kept
+      val cmp = new java.util.Comparator[(Long, Long)] {
+        def compare(a: (Long, Long), b: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      }
+      val m = new java.util.HashMap[String, java.util.PriorityQueue[(Long, Long)]]()
+      it.foreach { case (src, okey, id) =>
+        val q = m.computeIfAbsent(src, _ => new java.util.PriorityQueue(k + 1, cmp))
+        q.add((okey, id))
+        if (q.size > k) q.poll()
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      m.forEach((src, q) => q.forEach(t => out += ((src, t._1, t._2))))
+      out.iterator
+    }
+    pruned.toDF("source", "okey", "doc_id")
+      .groupBy("source")
+      .agg(slice(sort_array(collect_list(struct(col("okey"), col("doc_id")))), 1, k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("t.doc_id").as("doc_id"), col("source"),
+        (col("rank0") + 1).cast("int").as("rn"))
+  }
+
+  /** PII scrubbing patterns — deliberately in the regex dialect subset
+    * shared by Java regex and RE2, so the DuckDB oracle applies the
+    * byte-identical patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction over the text column: emails, dotted-quad IPs, and
+    * NNN-NNN-NNNN phone numbers are replaced by typed placeholders, with
+    * per-kind match counts. Replacement order (email -> ip -> phone) is
+    * part of the operator's semantics and mirrored by the oracle. Pure
+    * Catalyst regexp expressions — map-only, codegen, no shuffle.
+    */
+  def piiScrub(df: DataFrame): DataFrame = {
+    val t = col("text")
+    df.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+        lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
+  }
+
   def docStats(spark: SparkSession, sfDir: String): DataFrame = {
     graft.spark.RollingHashFn.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -179,6 +179,51 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](DedupOps.stageShingles(base, dir, buckets = 8, sourceId = "other"))
   }
 
+  test("domain quota: two-phase top-k equals the window formulation exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = TextOps.domainQuota(docs, 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // brute-force expected: per source, the 7 smallest (hash, id) pairs
+    val all = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      xs.toSeq.map { case (id, _) => (java.lang.Math.floorMod(id * 2654435761L, 1000000007L), id) }
+        .sorted.take(7).zipWithIndex
+        .map { case ((_, id), i) => (id, src, i + 1) }
+    }.toSet
+    assert(got == expected)
+    assert(got.groupBy(_._2).forall(_._2.size <= 7))
+  }
+
+  test("pii scrub: planted email/ip/phone redacted with exact counts") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org then 192.168.0.1 call 555-867-5309 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co and 10.0.0.7")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSeq.sortBy(_._1)
+    assert(out(0) == ((1L, 1, 1, 1, "mail <EMAIL> then <IP> call <PHONE> end")))
+    assert(out(1) == ((2L, 0, 0, 0, "no pii here at all")))
+    assert(out(2) == ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> and <IP>")))
+  }
+
+  test("decontaminate: benchmark docs + embedded 13-gram copies flag; clean docs don't") {
+    val sp = spark; import sp.implicits._
+    val bmText = Array.tabulate(20)(i => s"b$i").mkString(" ")
+    val benchmark = Seq((100L, bmText)).toDF("doc_id", "text")
+    val thirteen = Array.tabulate(13)(i => s"b${i + 2}").mkString(" ") // a 13-window of bmText
+    val corpus = Seq(
+      (1L, bmText),                                             // exact benchmark copy
+      (2L, s"prefix words here $thirteen and a tail"),          // embedded 13-gram
+      (3L, Array.tabulate(30)(i => s"c$i").mkString(" ")),      // clean
+      (4L, Array.tabulate(12)(i => s"b$i").mkString(" "))       // too short for any 13-gram
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, benchmark).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("ann topk: recall vs brute force >= 0.7 on sf0.001") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = SimOps.bruteForceTopK(emb, 0L to 9L, 10).collect()
