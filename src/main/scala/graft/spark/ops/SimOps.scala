@@ -32,16 +32,56 @@ object SimOps {
     * (query_id, neighbor_id, rank, sim rounded to 4dp).
     */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val queries = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    // Two-phase exact top-k instead of a per-query rank window: the old
+    // `Window.partitionBy(query_id)` funneled ALL scored corpus rows into
+    // n_queries sort tasks. A map-side bounded heap keeps the k best
+    // (sim desc, neighbor_id asc) per (partition, query), so the single
+    // shuffle carries <= k x P rows per query regardless of corpus size;
+    // the final per-query reduction sorts those candidates and emits
+    // ranks. Identical total order to the window formulation — the heap
+    // comparator mirrors Spark's float ordering (NaN greatest,
+    // -0.0 == 0.0), and the tie-break negates the id (exact for longs)
+    // so one descending struct sort gives (sim desc, id asc).
+    def simLess(a: Double, b: Double): Boolean =
+      if (java.lang.Double.isNaN(a)) false
+      else if (java.lang.Double.isNaN(b)) true
+      else a < b
+    val pruned = scored.select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // head of the queue = worst candidate kept (lowest sim, then
+        // largest id)
+        val cmp = new java.util.Comparator[(Long, Double)] {
+          def compare(a: (Long, Double), b: (Long, Double)): Int =
+            if (simLess(a._2, b._2)) -1
+            else if (simLess(b._2, a._2)) 1
+            else java.lang.Long.compare(b._1, a._1)
+        }
+        val m = new java.util.HashMap[Long, java.util.PriorityQueue[(Long, Double)]]()
+        it.foreach { case (q, id, sim) =>
+          val heap = m.computeIfAbsent(q, _ => new java.util.PriorityQueue(k + 1, cmp))
+          heap.add((id, sim))
+          if (heap.size > k) heap.poll()
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        m.forEach((q, heap) => heap.forEach(t => out += ((q, t._1, t._2))))
+        out.iterator
+      }
+    pruned.toDF("query_id", "neighbor_id", "sim")
+      .groupBy("query_id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("sim"), (-col("neighbor_id")).as("neg_id"))), asc = false), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), (-col("t.neg_id")).as("neighbor_id"),
+        (col("rank0") + 1).cast("int").as("rank"), col("t.sim").as("sim"))
   }
 
   // ---- LSH-bucketed ANN (scale path) ----
