@@ -2,7 +2,6 @@ package graft.spark.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -40,21 +39,29 @@ object SimOps {
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
-    // Two-phase exact top-k instead of a per-query rank window: the old
-    // `Window.partitionBy(query_id)` funneled ALL scored corpus rows into
-    // n_queries sort tasks. A map-side bounded heap keeps the k best
-    // (sim desc, neighbor_id asc) per (partition, query), so the single
-    // shuffle carries <= k x P rows per query regardless of corpus size;
-    // the final per-query reduction sorts those candidates and emits
-    // ranks. Identical total order to the window formulation — the heap
-    // comparator mirrors Spark's float ordering (NaN greatest,
-    // -0.0 == 0.0), and the tie-break negates the id (exact for longs)
-    // so one descending struct sort gives (sim desc, id asc).
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"), col("sim")), k)
+  }
+
+  /** Two-phase exact top-k per query instead of a per-query rank window:
+    * a `Window.partitionBy(query_id)` funnels ALL scored rows into
+    * n_queries sort tasks. Here a map-side bounded heap keeps the k best
+    * (sim desc, id asc) per (partition, query), so the single shuffle
+    * carries <= k x P rows per query regardless of scored-row count; the
+    * final per-query reduction sorts those candidates and emits ranks.
+    * Identical total order to the window formulation — the heap
+    * comparator mirrors Spark's float ordering (NaN greatest,
+    * -0.0 == 0.0), and the tie-break negates the id (exact for longs) so
+    * one descending struct sort gives (sim desc, id asc). Input columns:
+    * (query_id, <id>, sim); output (query_id, neighbor_id, rank, sim).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     def simLess(a: Double, b: Double): Boolean =
       if (java.lang.Double.isNaN(a)) false
       else if (java.lang.Double.isNaN(b)) true
       else a < b
-    val pruned = scored.select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = scored
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         // head of the queue = worst candidate kept (lowest sim, then
@@ -169,10 +176,10 @@ object SimOps {
     val scored = emb.join(broadcast(candIds), "vec_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+    // same two-phase top-k as the brute-force path: candidate volume per
+    // query grows with the corpus at fixed bucket fractions, so a bare
+    // per-query window would re-create the funnel on the pruned set
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("sim")), k)
   }
 
   /** Shared recall gate: both approximate paths assert the SAME property
