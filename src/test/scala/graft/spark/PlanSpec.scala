@@ -174,4 +174,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // `split(text#N, , -1)`; token-level \s+ splits legitimately remain
     assert(!p.contains(", , -1)"), p.linesIterator.filter(_.contains("split")).mkString("\n"))
   }
+
+  test("t5 domain quota ranks without a window operator (two-phase top-k)") {
+    val df = graft.SparkEntry.queries("t5_domain_quota")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
+  test("e1 top-k ranks without a window operator (two-phase top-k)") {
+    val df = graft.SparkEntry.queries("e1_cosine_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+  }
+
+  test("d11 decontamination joins the benchmark gram set by broadcast") {
+    val df = graft.SparkEntry.queries("d11_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the gram semi-join must be a broadcast hash join (benchmark side
+    // broadcast) — a sort-merge join here would shuffle the whole
+    // corpus's exploded n-grams
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
