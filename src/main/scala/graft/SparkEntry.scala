@@ -91,6 +91,12 @@ object SparkEntry {
     // + literal whole-element replace, end-to-end under the oracle
     "x10_streamed_clean" -> ((s, dir) => HtmlClean.streamedClean(s, dir)),
 
+    // x11: Element source-location ranges (sourceStart/sourceEnd, the
+    // reference Element::source_location) — oracle recomputes the <a>
+    // start tag's byte range by string arithmetic over the template
+    "x11_source_ranges" -> ((s, dir) =>
+      HtmlClean.sourceRanges(HtmlClean.generatedHtml(s, dir))),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -420,6 +426,17 @@ object SparkEntry {
         "FROM documents"),
     "x9_encoded_koi8r" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Русская проверка текста' AS main_text FROM documents",
+    // a_start = |seg1| + |did| + |seg2| + |did| + |seg3| + |lang| + |seg4|
+    // with the four template segment lengths 38/48/68/37 (sum 191), and
+    // the <a> tag itself is '<a href="/' + source + '/' + did + '">'
+    // (13 constant chars); the generator emits pure ASCII so chars==bytes
+    "x11_source_ranges" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "CAST(191 + 2 * length(CAST(doc_id AS VARCHAR)) + length(lang) AS INT) AS a_start, " +
+        "CAST(191 + 2 * length(CAST(doc_id AS VARCHAR)) + length(lang) + " +
+        "13 + length(source) + length(CAST(doc_id AS VARCHAR)) AS INT) AS a_end, " +
+        "'<a href=\"/' || source || '/' || CAST(doc_id AS VARCHAR) || '\">' AS a_raw " +
+        "FROM documents"),
     "x10_streamed_clean" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
         "'<html><body><hr><article data-doc=\"' || CAST(doc_id AS VARCHAR) || '\"><mark>' || " +

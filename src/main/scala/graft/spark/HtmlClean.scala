@@ -87,6 +87,35 @@ object HtmlClean {
       .toDF("doc_id", "link_idx", "href")
   }
 
+  /** x11: source-location ranges — for each document, the byte range of
+    * the single `<a>` START TAG as reported by
+    * `Element.sourceStart`/`sourceEnd` (reference `Element::source_location`
+    * parity), plus the raw slice those offsets select from the input.
+    * The oracle recomputes both offsets by pure string arithmetic over
+    * the deterministic generator template (ASCII, so char == byte), so an
+    * off-by-one anywhere in the lexer's raw-range bookkeeping mismatches.
+    */
+  def sourceRanges(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("string"), col("html"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val ranges = new scala.collection.mutable.ArrayBuffer[(Int, Int)](2)
+        val rw = new Rewriter(Seq("a" -> ElementHandlers(
+          element = el => ranges += ((el.sourceStart, el.sourceEnd)))),
+          strict = false, produceOutput = false)
+        it.map { case (id, html) =>
+          ranges.clear()
+          val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          rw.rewriteToBytes(bytes)
+          val (s, e) = ranges.head
+          (id, s, e, new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("doc_id", "a_start", "a_end", "a_raw")
+  }
+
   /** Token counts per document — the tokenizer itself at the correctness
     * gate (the generator's fixed template implies fixed tag counts,
     * including `<div>`-in-script-string cases that exercise ScriptData).
