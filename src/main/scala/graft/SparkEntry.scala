@@ -120,6 +120,11 @@ object SparkEntry {
     // per-source window)
     "t5_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(s.read.parquet(s"$dir/documents.parquet"), 10)),
+    // t7: training-sequence packing — fixed-token-budget pack assignment
+    // in deterministic doc order via a two-phase distributed prefix-sum
+    // (no global-window funnel)
+    "t7_pack" -> ((s, dir) =>
+      TextOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), 512)),
     // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
     // deterministically planted PII; counts + scrubbed text under oracle
     "t6_pii_scrub" -> ((s, dir) => {
@@ -499,6 +504,14 @@ object SparkEntry {
         "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
         "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn FROM documents) " +
         "WHERE rn <= 10"),
+
+    "t7_pack" ->
+      ("SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, " +
+        "CAST(cum - n_tok AS BIGINT) AS tok_offset, " +
+        "CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id FROM (" +
+        "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tok, " +
+        "sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) " +
+        "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
 
     "t6_pii_scrub" ->
       ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

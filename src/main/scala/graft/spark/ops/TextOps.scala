@@ -207,6 +207,65 @@ object TextOps {
         lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
   }
 
+  /** Training-sequence packing: assign documents (in deterministic doc_id
+    * order) to fixed-token-budget packs — the standard pretraining
+    * "concat and chunk" step. A document starting at cumulative token
+    * offset c lands in pack floor(c / budget) (long documents spill into
+    * following packs, as concatenated pretraining streams do). Returns
+    * (doc_id, n_tok, tok_offset, pack_id).
+    *
+    * Scale shape: the naive formulation is a GLOBAL window prefix-sum
+    * (`sum over (order by doc_id)`) — one total-sort task through which
+    * the whole corpus funnels. Here it is the classic two-phase
+    * distributed scan: range-partition by doc_id (contiguous ordered
+    * ranges), compute per-partition token sums (one pass), prefix-sum
+    * the P partial sums on the driver (P longs), broadcast the offsets,
+    * and emit per-row cumulative offsets in a second partition-local
+    * pass. The partitioned input is persisted between the passes —
+    * range partitioning SAMPLES to pick boundaries, so recomputing it
+    * between passes could shift rows across partitions and corrupt the
+    * offsets.
+    */
+  def packSequences(df: DataFrame, budget: Long, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    // the range-partition index is frozen INTO the data (spark_partition_id
+    // evaluated at cache materialization) rather than read from
+    // TaskContext at use time: a downstream coalesce/merge (e.g. a
+    // coalesce(1) write) runs several source partitions inside one task,
+    // where TaskContext would report the MERGED task's id and silently
+    // misalign every offset
+    val toks = df.select(col("doc_id"), tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Long, Int)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = toks.groupBy(col("pid")).agg(sum(col("n_tok")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = new Array[Long](p + 1)
+    var i = 0
+    while (i < p) { offsets(i + 1) = offsets(i) + partSums.getOrElse(i, 0L); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    toks
+      .mapPartitions { it =>
+        // rows of each source partition stay contiguous and ordered even
+        // when partitions are merged downstream; re-base the running
+        // offset whenever the frozen pid changes
+        var curPid = -1
+        var c = 0L
+        it.map { case (id, n, pid) =>
+          if (pid != curPid) { curPid = pid; c = bc.value(pid) }
+          val off = c
+          c += n
+          (id, n, off, off / budget)
+        }
+      }
+      .toDF("doc_id", "n_tok", "tok_offset", "pack_id")
+  }
+
   def docStats(spark: SparkSession, sfDir: String): DataFrame = {
     graft.spark.RollingHashFn.register(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -224,6 +224,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("packSequences equals the global prefix-sum, even under coalesce(1)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // ground truth: sequential scan in doc_id order
+    val toks = docs.select(col("doc_id"), TextOps.tokenCountWs(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var c = 0L
+    val expected = toks.map { case (id, n) =>
+      val off = c; c += n; (id, n, off, off / 256L)
+    }.toSet
+    val out = TextOps.packSequences(docs, 256)
+    assert(out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == expected)
+    // a downstream coalesce(1) merges source partitions into ONE task —
+    // the regression that bit the Verify writer: partition identity must
+    // come from the data, not TaskContext
+    assert(out.coalesce(1).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == expected)
+  }
+
   test("ann topk: recall vs brute force >= 0.7 on sf0.001") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = SimOps.bruteForceTopK(emb, 0L to 9L, 10).collect()
