@@ -187,6 +187,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       DedupOps.decontaminate(DedupOps.withVariants(s, dir), benchmark)
     }),
+    // p1: the composed curation pipeline a training-data user actually
+    // runs — near-dup cluster representatives (d9/d10), quality filters
+    // (length + repetition), then deterministic split assignment: every
+    // stage is individually oracle-gated; this gates their composition
+    "p1_curate" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      val clusters = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
+      val reps = clusters.where(col("doc_id") === col("cluster_id")).select("doc_id")
+      val kept = base.join(reps, "doc_id")
+        .where(length(col("text")) >= 50 &&
+          TextOps.repetitionRatio(col("text")) <= lit(0.6))
+      TextOps.deterministicSplit(kept)
+    }),
 
     // ---- embedding similarity ----
     "e1_cosine_topk" -> ((s, dir) =>
@@ -375,7 +388,25 @@ object SparkEntry {
       "SELECT b.doc_id, md5(b.text) AS fp FROM base b " +
       "JOIN cl ON b.doc_id = cl.doc_id WHERE cl.cluster_id = b.doc_id"
 
+  // p1: composed curation — representatives of each component, filtered
+  // by length + repetition, with split assignment
+  private val CurateSql =
+    ClustersCte +
+      ", cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1), " +
+      "reps AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id), " +
+      "stats AS (SELECT doc_id, len(toks) AS ntok, len(list_distinct(toks)) AS ndist " +
+      "FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks FROM base)), " +
+      "kept AS (SELECT b.doc_id FROM base b JOIN reps ON b.doc_id = reps.doc_id " +
+      "JOIN stats st ON st.doc_id = b.doc_id " +
+      "WHERE length(b.text) >= 50 AND " +
+      "(CASE WHEN st.ntok > 0 THEN round(1 - CAST(st.ndist AS DOUBLE) / st.ntok, 4) ELSE 0.0 END) <= 0.6) " +
+      "SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS split_bucket, " +
+      "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
+      "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+      "FROM kept"
+
   def oracleSql: Map[String, String] = Map(
+    "p1_curate" -> CurateSql,
     "d8_dedup_clusters" -> ClustersSql,
     "d9_cc_star" -> ClustersSql,
     "d10_cluster_apply" -> ClusterApplySql,
