@@ -132,6 +132,10 @@ final class Mutations {
     replacement.pushBack(h)
   }
   def remove(): Unit = removed = true
+  /** Reset for instance reuse (the per-tag Element is pooled). */
+  private[rewrite] def clearForReuse(): Unit = {
+    contentBefore = null; replacement = null; contentAfter = null; removed = false
+  }
 }
 
 /** Element API surface handed to element handlers — the subset of the
@@ -139,22 +143,47 @@ final class Mutations {
   * needed for extraction and the golden corpora. Valid only during the
   * handler invocation.
   */
-final class Element private[rewrite] (
-    private val input: Array[Byte],
-    private val nameLower0: String,
-    private val attrs: AttrList,
-    val canHaveContent: Boolean,
-    val selfClosing: Boolean,
-    val sourceStart: Int,
-    /** End (exclusive) of the start tag's byte range in the source input.
-      * Mirrors the reference's `Element::source_location` — the range of
-      * the START TAG; the element's end hasn't been parsed yet when the
-      * handler runs (reference src/rewritable_units/element.rs:725-732,
-      * src/base/spanned.rs:9-32).
-      */
-    val sourceEnd: Int,
-    private val ns: Int = Ns.Html
-) {
+final class Element private[rewrite] () {
+  private var input: Array[Byte] = _
+  private var nameLower0: String = _
+  private var attrs: AttrList = _
+  private var canHaveContentV = false
+  private var selfClosingV = false
+  private var sourceStartV = 0
+  private var sourceEndV = 0
+  private var ns: Int = Ns.Html
+
+  def canHaveContent: Boolean = canHaveContentV
+  def selfClosing: Boolean = selfClosingV
+  /** Start (inclusive) of the start tag's byte range in the source. */
+  def sourceStart: Int = sourceStartV
+  /** End (exclusive) of the start tag's byte range in the source input.
+    * Mirrors the reference's `Element::source_location` — the range of
+    * the START TAG; the element's end hasn't been parsed yet when the
+    * handler runs (reference src/rewritable_units/element.rs:725-732,
+    * src/base/spanned.rs:9-32).
+    */
+  def sourceEnd: Int = sourceEndV
+
+  /** Re-arm the pooled instance for the next captured tag. One Element is
+    * reused per Rewriter (the public contract has always been "valid only
+    * during the handler invocation") — matched-dense workloads otherwise
+    * allocate an Element + Mutations per match.
+    */
+  private[rewrite] def reset(input0: Array[Byte], nameLower: String, attrs0: AttrList,
+                             canHaveContent0: Boolean, selfClosing0: Boolean,
+                             sourceStart0: Int, sourceEnd0: Int, ns0: Int): Unit = {
+    input = input0; nameLower0 = nameLower; attrs = attrs0
+    canHaveContentV = canHaveContent0; selfClosingV = selfClosing0
+    sourceStartV = sourceStart0; sourceEndV = sourceEnd0; ns = ns0
+    startTagMutations.clearForReuse()
+    endTagMutations = null
+    shouldRemoveContent = false
+    newTagName = null
+    attrMods = null
+    endTagUserHandlers = null
+    attrPairsV = null
+  }
   /** WHATWG namespace URI of the element (reference
     * `Element::namespace_uri`, src/html/namespace.rs:13-21).
     */
@@ -170,18 +199,22 @@ final class Element private[rewrite] (
 
   def tagName: String = nameLower0
 
-  private lazy val attrPairs: Array[(String, String)] = {
-    val out = new Array[(String, String)](attrs.count)
-    var i = 0
-    while (i < attrs.count) {
-      val name = new String(input, attrs.nameStart(i), attrs.nameEnd(i) - attrs.nameStart(i),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val v = new String(input, attrs.valueStart(i), attrs.valueEnd(i) - attrs.valueStart(i),
-        java.nio.charset.StandardCharsets.UTF_8)
-      out(i) = (HtmlUtil.lowerAscii(name), v)
-      i += 1
+  private var attrPairsV: Array[(String, String)] = _
+  private def attrPairs: Array[(String, String)] = {
+    if (attrPairsV == null) {
+      val out = new Array[(String, String)](attrs.count)
+      var i = 0
+      while (i < attrs.count) {
+        val name = new String(input, attrs.nameStart(i), attrs.nameEnd(i) - attrs.nameStart(i),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val v = new String(input, attrs.valueStart(i), attrs.valueEnd(i) - attrs.valueStart(i),
+          java.nio.charset.StandardCharsets.UTF_8)
+        out(i) = (HtmlUtil.lowerAscii(name), v)
+        i += 1
+      }
+      attrPairsV = out
     }
-    out
+    attrPairsV
   }
 
   def attributes: Seq[(String, String)] = attrPairs.toSeq
@@ -783,6 +816,12 @@ final class Rewriter(
   // scratch buffer for matched ids of the current start tag (primitive —
   // an ArrayBuffer[Int] boxes every append)
   private val matchedIdsBuf = new graft.core.IntBuf(8)
+
+  // one pooled Element per Rewriter, re-armed per captured tag (the
+  // public contract is "valid only during the handler invocation");
+  // avoids an Element + Mutations allocation per match on matched-dense
+  // workloads
+  private val pooledElement = new Element()
   private var lastMatchWithContent = false
 
   // long-lived handler invokers: a per-dispatch lambda (`h => h(tok)`)
@@ -1012,9 +1051,10 @@ final class Rewriter(
 
       val captured = elementHandlers.hasActive
       if (captured) {
-        val el = new Element(input, view.nameLower, attrs,
-          canHaveContent = pushed, selfClosing = selfClosing, sourceStart = rawStart,
-          sourceEnd = rawEnd, ns = view.nsV)
+        val el = pooledElement
+        el.reset(input, view.nameLower, attrs, canHaveContent0 = pushed,
+          selfClosing0 = selfClosing, sourceStart0 = rawStart,
+          sourceEnd0 = rawEnd, ns0 = view.nsV)
         if (matchedRemoved > 0) el.startTagMutations.remove()
         elementInvoker.el = el
         elementHandlers.doForEachActiveAndDeactivate(elementInvoker)
