@@ -18,6 +18,20 @@ trait ElemView {
     * (the dominant cost of universal attr predicates like [href]).
     */
   def attrNameEq(i: Int, lowerName: String): Boolean = attrNameLower(i) == lowerName
+  /** Attribute-EXISTS probe: `[attr]` never needs the value, so the
+    * default goes through [[attrNameEq]] only (byte-level in the
+    * dispatcher's view) — materializing the value String per tag was the
+    * hidden cost of universal existence predicates like `[href]`.
+    */
+  def attrExists(lowerName: String): Boolean = {
+    var i = 0
+    val n = attrCount
+    while (i < n) {
+      if (attrNameEq(i, lowerName)) return true
+      i += 1
+    }
+    false
+  }
   /** `.cls` check (case-sensitive ws-token membership in the class
     * attribute); implementations override with a byte scan so class
     * selectors never materialize the attribute value.
@@ -90,7 +104,22 @@ final class Instr(
     case _                         => false
   }
 
+  // compile-time specialization of the two dominant universal compound
+  // shapes (bare `.cls` and bare `[attr]`): a direct byte-probe call
+  // instead of the per-tag sealed-trait dispatch — universal entries
+  // evaluate on EVERY tag, so the dispatch itself showed up in profiles
+  private val soloClass: String = simples match {
+    case Array(ClassSel(c)) => c
+    case _ => null
+  }
+  private val soloAttrExists: String = simples match {
+    case Array(a: AttrSel) if a.op == AttrOp.Exists => a.lowerName
+    case _ => null
+  }
+
   def eval(e: ElemView): Boolean = {
+    if (soloClass != null) return e.hasClassToken(soloClass)
+    if (soloAttrExists != null) return e.attrExists(soloAttrExists)
     var i = 0
     while (i < simples.length) {
       if (!Instr.evalSimple(simples(i), e)) return false
@@ -141,8 +170,8 @@ object Instr {
 
   /** Attr operators per /root/reference/src/selectors_vm/attribute_matcher.rs:118-218. */
   private def evalAttr(a: AttrSel, e: ElemView): Boolean = {
+    if (a.op == AttrOp.Exists) return e.attrExists(a.lowerName)
     val v = attrVal(e, a.lowerName)
-    if (a.op == AttrOp.Exists) return v != null
     if (v == null) return false
     val ci = a.caseMode == CaseMode.Insensitive
     a.op match {
