@@ -237,6 +237,14 @@ object SparkEntry {
       MultimodalOps.sampleFrames(MultimodalOps.assets(s, dir), 2)),
     "m5_multimodal_features" -> ((s, dir) =>
       MultimodalOps.extractFeatures(MultimodalOps.assets(s, dir))),
+    // m6/m7: the REAL image codec branch — JDK javax.imageio PNGs with
+    // deterministic pixels; the oracle recomputes decoded dimensions and
+    // probed pixel values, gating decode (m6) and the full decode ->
+    // nearest-neighbor resize -> re-encode -> re-decode chain (m7)
+    "m6_png_decode" -> ((s, dir) =>
+      MultimodalOps.pngDecode(MultimodalOps.pngAssets(s, dir))),
+    "m7_png_resize" -> ((s, dir) =>
+      MultimodalOps.pngResizeProbe(MultimodalOps.pngAssets(s, dir))),
 
     // ---- stock relational coverage ----
     "r1_lineitem_agg" -> ((s, dir) => {
@@ -620,6 +628,24 @@ object SparkEntry {
       ("SELECT vec_id, CAST(f AS INT) AS frame_idx, 16 AS frame_bytes, " +
         "round(CAST(embedding[CAST(f * 4 + 1 AS INT)] AS DOUBLE), 4) AS lead " +
         "FROM embeddings, unnest(range(0, CAST(len(embedding) / 4 AS BIGINT), 2)) AS t(f)"),
+    // m6/m7 pixel probes: px = r*65536 + g*256 + b with the generation
+    // formulas r=(id+x)%256, g=(label+y)%256, b=(id*7+x*3+y*5)%256;
+    // m6 probes (0,0) and (w-1,h-1); m7's resize samples source (2x,2y),
+    // so its probes are source (0,0) and (w-2,h-2)
+    "m6_png_decode" ->
+      ("SELECT vec_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST((vec_id % 256) * 65536 + (label % 256) * 256 + ((vec_id * 7) % 256) AS INT) AS px00, " +
+        "CAST(((vec_id + w - 1) % 256) * 65536 + ((label + h - 1) % 256) * 256 + " +
+        "((vec_id * 7 + (w - 1) * 3 + (h - 1) * 5) % 256) AS INT) AS pxwh " +
+        "FROM (SELECT vec_id, label, 32 + (vec_id % 7) * 16 AS w, " +
+        "24 + (label % 5) * 12 AS h FROM embeddings)"),
+    "m7_png_resize" ->
+      ("SELECT vec_id, CAST(w // 2 AS INT) AS width, CAST(h // 2 AS INT) AS height, " +
+        "CAST((vec_id % 256) * 65536 + (label % 256) * 256 + ((vec_id * 7) % 256) AS INT) AS px00, " +
+        "CAST(((vec_id + w - 2) % 256) * 65536 + ((label + h - 2) % 256) * 256 + " +
+        "((vec_id * 7 + (w - 2) * 3 + (h - 2) * 5) % 256) AS INT) AS pxwh " +
+        "FROM (SELECT vec_id, label, 32 + (vec_id % 7) * 16 AS w, " +
+        "24 + (label % 5) * 12 AS h FROM embeddings)"),
     "m5_multimodal_features" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +

@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in batches inside
   * `mapPartitions` (the Scala analog of a vectorized decode UDF).
   *
-  * The actual codec step is a STUB — this container has no image/audio
-  * libraries — but everything Spark-side is real and tested: the binary
-  * column, the header layout, batch iteration, partition-preserving
-  * decode, and the metadata schema. A production deployment swaps
-  * [[decodeStub]] for a real decoder with the same signature.
+  * Two codec branches:
+  *  - the deterministic FAKE format (m1-m5): header + float payload,
+  *    kept because its byte arithmetic is fully oracle-checkable — it
+  *    gates the Spark-side plumbing (binary column, batch iteration,
+  *    frame explode, offset math) independent of any codec;
+  *  - a REAL image codec (m6/m7): PNG via the JDK's own `javax.imageio`
+  *    (no external libraries needed) — assets are real encoded PNGs with
+  *    deterministic pixels, and the oracle probes decoded pixel values
+  *    it can recompute, so the decode -> transform -> re-encode ->
+  *    re-decode chain is end-to-end gated.
   */
 object MultimodalOps {
 
@@ -120,6 +125,106 @@ object MultimodalOps {
       // (rint = half-even) would not
       .toDF("vec_id", "frame_idx", "frame_bytes", "lead")
       .withColumn("lead", round(col("lead"), 4))
+  }
+
+  // ---- real PNG codec branch (JDK javax.imageio, headless) ----
+
+  /** Deterministic pixel value at (x, y) for asset `vecId`/`label` —
+    * shared by the encoder and both oracles. Channels are small modular
+    * formulas so DuckDB can recompute any probed pixel exactly; PNG is
+    * lossless, so encode/decode must return them bit-exactly.
+    */
+  @inline def pngPixel(vecId: Long, label: Int, x: Int, y: Int): Int = {
+    val r = ((vecId + x) % 256).toInt
+    val g = ((label + y) % 256) & 0xff
+    val b = ((vecId * 7 + x * 3 + y * 5) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode one REAL PNG (same dimension formulas as the fake format). */
+  def encodePng(vecId: Long, label: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val w = 32 + (vecId % 7).toInt * 16
+    val h = 24 + (label % 5) * 12
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pngPixel(vecId, label, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h / 4)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The real-PNG assets table: (vec_id, label, png binary). */
+  def pngAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)]
+      .map { case (id, label) => (id, label, encodePng(id, label)) }
+      .toDF("vec_id", "label", "png")
+  }
+
+  /** m6: REAL decode — ImageIO parses the PNG bytes; emit the decoded
+    * dimensions and the (0,0) and (w-1,h-1) pixels. The oracle recomputes
+    * every value from the generation formulas, so a decoder that
+    * mis-parses rows, strides, or channel order mismatches.
+    */
+  def pngDecode(pngDf: DataFrame): DataFrame = {
+    val spark = pngDf.sparkSession
+    import spark.implicits._
+    pngDf.select(col("vec_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          val p0 = img.getRGB(0, 0) & 0xffffff
+          val p1 = img.getRGB(w - 1, h - 1) & 0xffffff
+          (id, w, h, p0, p1)
+        }
+      }
+      .toDF("vec_id", "width", "height", "px00", "pxwh")
+  }
+
+  /** m7: REAL transform chain — decode, nearest-neighbor downscale 2x
+    * (target pixel (x,y) samples source (2x, 2y) — exact, so the oracle
+    * can recompute probes), RE-ENCODE to PNG, re-decode, probe. Gates
+    * decode -> transform -> encode -> decode end to end.
+    */
+  def pngResizeProbe(pngDf: DataFrame): DataFrame = {
+    val spark = pngDf.sparkSession
+    import spark.implicits._
+    pngDf.select(col("vec_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, bytes) =>
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val tw = src.getWidth / 2; val th = src.getHeight / 2
+          val dst = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) { dst.setRGB(x, y, src.getRGB(x * 2, y * 2)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(tw * th / 4)
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          (id, back.getWidth, back.getHeight,
+            back.getRGB(0, 0) & 0xffffff,
+            back.getRGB(back.getWidth - 1, back.getHeight - 1) & 0xffffff)
+        }
+      }
+      .toDF("vec_id", "width", "height", "px00", "pxwh")
   }
 
   /** Feature extraction over the decoded payload: per-asset mean and L2

@@ -254,6 +254,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("png codec: every pixel of a real ImageIO roundtrip matches the formula") {
+    val bytes = MultimodalOps.encodePng(5L, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 32 + (5 % 7) * 16 && img.getHeight == 24 + (3 % 5) * 12)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((img.getRGB(x, y) & 0xffffff) == MultimodalOps.pngPixel(5L, 3, x, y),
+        s"pixel ($x,$y)")
+    // PNG magic: these are genuinely encoded files, not a fake container
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+  }
+
   test("multimodal: encode/decode stub roundtrip with real schema") {
     val meta = MultimodalOps.decodeMeta(MultimodalOps.assets(spark, sf)).collect()
     assert(meta.length == 500)
