@@ -245,6 +245,11 @@ object SparkEntry {
       MultimodalOps.pngDecode(MultimodalOps.pngAssets(s, dir))),
     "m7_png_resize" -> ((s, dir) =>
       MultimodalOps.pngResizeProbe(MultimodalOps.pngAssets(s, dir))),
+    // m8: the REAL audio codec branch — javax.sound WAV containers with
+    // deterministic PCM16 samples; format + frame count + sample probes
+    // recomputed by the oracle
+    "m8_wav_decode" -> ((s, dir) =>
+      MultimodalOps.wavDecode(MultimodalOps.wavAssets(s, dir))),
 
     // ---- stock relational coverage ----
     "r1_lineitem_agg" -> ((s, dir) => {
@@ -646,6 +651,14 @@ object SparkEntry {
         "((vec_id * 7 + (w - 2) * 3 + (h - 2) * 5) % 256) AS INT) AS pxwh " +
         "FROM (SELECT vec_id, label, 32 + (vec_id % 7) * 16 AS w, " +
         "24 + (label % 5) * 12 AS h FROM embeddings)"),
+    // m8 sample probes: s(i) = ((vec_id*13 + i*7) % 65536) - 32768 over
+    // n = 64 + vec_id % 100 frames of mono 16 kHz PCM16
+    "m8_wav_decode" ->
+      ("SELECT vec_id, 16000 AS sample_rate, 1 AS channels, 16 AS bits, " +
+        "CAST(64 + vec_id % 100 AS INT) AS n_frames, " +
+        "CAST((vec_id * 13) % 65536 - 32768 AS INT) AS s_first, " +
+        "CAST((vec_id * 13 + (64 + vec_id % 100 - 1) * 7) % 65536 - 32768 AS INT) AS s_last " +
+        "FROM embeddings"),
     "m5_multimodal_features" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +

@@ -227,6 +227,69 @@ object MultimodalOps {
       .toDF("vec_id", "width", "height", "px00", "pxwh")
   }
 
+  // ---- real audio codec branch (JDK javax.sound.sampled, WAV) ----
+
+  /** Deterministic PCM16 sample i of asset `vecId` (shared with the
+    * oracle formulas). */
+  @inline def wavSample(vecId: Long, i: Int): Int =
+    (((vecId * 13 + i.toLong * 7) % 65536) - 32768).toInt
+
+  /** Encode one REAL mono 16 kHz PCM16 WAV via javax.sound.sampled. */
+  def encodeWav(vecId: Long): Array[Byte] = {
+    val n = 64 + (vecId % 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(vecId, i)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream(44 + pcm.length)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The real-WAV assets table: (vec_id, wav binary). */
+  def wavAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id")).as[Long]
+      .map(id => (id, encodeWav(id)))
+      .toDF("vec_id", "wav")
+  }
+
+  /** m8: REAL audio decode — javax.sound parses the WAV container; emit
+    * the decoded format (rate/channels/bits), frame count, and the first
+    * and last PCM samples. All oracle-recomputable from the generation
+    * formulas, so container mis-parsing (header offsets, sample order,
+    * endianness) mismatches.
+    */
+  def wavDecode(wavDf: DataFrame): DataFrame = {
+    val spark = wavDf.sparkSession
+    import spark.implicits._
+    wavDf.select(col("vec_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          val n = in.getFrameLength.toInt
+          def sample(k: Int): Int =
+            ((pcm(k * 2) & 0xff) | (pcm(k * 2 + 1).toInt << 8))
+          (id, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, n, sample(0), sample(n - 1))
+        }
+      }
+      .toDF("vec_id", "sample_rate", "channels", "bits", "n_frames", "s_first", "s_last")
+  }
+
   /** Feature extraction over the decoded payload: per-asset mean and L2
     * norm of the float components, accumulated sequentially in double
     * precision (bit-compatible with DuckDB's list_reduce /
