@@ -15,7 +15,8 @@ import graft.spark.ops._
   *  - t*: text analysis (token counting, language-ID, quality, fingerprints)
   *  - d*: deduplication (exact, n-gram Jaccard join, MinHash+LSH, SimHash)
   *  - e*: embedding similarity search (brute-force + LSH-bucketed ANN)
-  *  - m*: multimodal binary-column plumbing (decode stubbed)
+  *  - m*: multimodal — fake-format byte plumbing (m1-m5) + REAL
+  *    PNG/WAV codec chains via the JDK's own imageio/sound (m6-m8)
   *  - r*: stock relational coverage (agg / join / window / time-window)
   */
 object SparkEntry {
