@@ -1,0 +1,302 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-derived tokenizer edge cases: every expectation in this file was
+  * computed BY HAND from the WHATWG HTML tokenization spec (§13.2.5
+  * state machine), independently of the engine — the html5lib-tests
+  * submodule is empty in the reference checkout, so this suite stands in
+  * for the spec-corner coverage the upstream corpus would give.
+  *
+  * Conventions (the reference's LEXEME level, not html5lib's token
+  * level): text is RAW (no character-reference decoding — lol-html
+  * tokenizes without entity decoding), attributes are the raw recorded
+  * outlines (duplicates kept — dedup is a tree-construction concern),
+  * and adjacent text events of the same type are JOINED before
+  * comparison so expectations do not depend on where the engine splits
+  * its text runs.
+  */
+class SpecCornersSpec extends AnyFunSuite {
+
+  /** Tokenize and join adjacent text events of the same text type. */
+  private def joined(html: String): Seq[String] = {
+    val raw = Tokenize(html, strict = false)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val Text = """text\[([A-Za-z]+)\]\((.*)\)""".r
+    raw.foreach {
+      case t @ Text(tt, body) =>
+        out.lastOption match {
+          case Some(Text(pt, pbody)) if pt == tt =>
+            out(out.length - 1) = s"text[$tt]($pbody$body)"
+          case _ => out += t
+        }
+      case e => out += e
+    }
+    out.toSeq
+  }
+
+  private def check(html: String, expected: String*): Unit =
+    assert(joined(html) == expected, s"\ninput: $html")
+
+  // ---- tag-open edge cases (spec: data state / tag open state) ----
+
+  test("tag open followed by a non-letter is text") {
+    // '<' then '1' -> parse error, '<' emitted as character, reconsume
+    check("<1x>", "text[Data](<1x>)", "eof")
+  }
+
+  test("lone '<' at EOF is text") {
+    check("a<", "text[Data](a<)", "eof")
+  }
+
+  test("'</' at EOF is text") {
+    // end tag open state, EOF -> emit '<' '/' as characters
+    check("a</", "text[Data](a</)", "eof")
+  }
+
+  test("'</>' is dropped entirely (missing end tag name)") {
+    // spec: '>' in end tag open -> parse error, ignore both chars
+    check("a</>b", "text[Data](a)", "raw(</>)", "text[Data](b)", "eof")
+  }
+
+  test("'<' is a valid tag-name character") {
+    // tag name state consumes everything except ws, '/', '>', EOF
+    check("<a<b>x", "start(a<b||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("end tag with attributes records them at the lexeme level") {
+    // spec drops end-tag attributes at the token level (parse error);
+    // the lexeme keeps the name — attrs are not recorded for end tags
+    check("<b></b id=x>", "start(b||sc=false|ns=0)", "end(b)", "eof")
+  }
+
+  // ---- attribute edge cases ----
+
+  test("equals sign in an unquoted value is literal") {
+    check("<a a=b=c>", "start(a|a=b=c|sc=false|ns=0)", "eof")
+  }
+
+  test("leading '=' starts an attribute NAMED '='") {
+    // before attribute name + '=' -> unexpected-equals-sign parse error,
+    // start a new attribute whose name is '='; the next '=' then begins
+    // the value
+    check("<a ==x>", "start(a|==x|sc=false|ns=0)", "eof")
+  }
+
+  test("slash not followed by '>' separates attributes") {
+    check("<a/b>", "start(a|b=|sc=false|ns=0)", "eof")
+  }
+
+  test("quotes inside an attribute NAME are kept") {
+    // attribute name state treats '"' as an (error but literal) name char
+    check("""<a "x"='y'>""", "start(a|\"x\"=y|sc=false|ns=0)", "eof")
+  }
+
+  test("duplicate attributes are recorded at the lexeme level") {
+    check("<a k=1 k=2>", "start(a|k=1,k=2|sc=false|ns=0)", "eof")
+  }
+
+  test("whitespace around '=' and before '>'") {
+    check("<a href = 'x' >", "start(a|href=x|sc=false|ns=0)", "eof")
+  }
+
+  test("the '<img src=x/>' trap: the slash joins the UNQUOTED value") {
+    // unquoted value state treats '/' as an ordinary value character —
+    // the tag is NOT self-closing and the value is "x/" (the classic
+    // authoring trap; only '/' after a quoted value or whitespace
+    // reaches the self-closing state)
+    check("<img src=x/>", "start(img|src=x/|sc=false|ns=0)", "eof")
+    // ... whereas after a QUOTED value the '/' does set the flag
+    check("<img src=\"x\"/>", "start(img|src=x|sc=true|ns=0)", "eof")
+  }
+
+  test("slash inside an unquoted value is literal, tag is NOT self-closing") {
+    // unquoted value state consumes '/'; only '/>' in before-attr-name
+    // sets the flag
+    check("<a href=a/b>", "start(a|href=a/b|sc=false|ns=0)", "eof")
+  }
+
+  // ---- comments ----
+
+  test("empty and dash-only comments") {
+    check("<!---->", "comment()", "eof")
+    check("<!----->", "comment(-)", "eof")
+    check("<!------>", "comment(--)", "eof")
+  }
+
+  test("comment closed by --!>") {
+    // comment end bang state: '>' after '--!' closes the comment
+    check("<!--x--!>y", "comment(x)", "text[Data](y)", "eof")
+  }
+
+  test("'<!' inside a comment is literal") {
+    check("<!--<!-->", "comment(<!)", "eof")
+  }
+
+  test("double dashes inside a comment are literal") {
+    check("<!--x--y-->", "comment(x--y)", "eof")
+  }
+
+  test("'<!--' inside a comment does not nest") {
+    check("<!--a<!--b-->c", "comment(a<!--b)", "text[Data](c)", "eof")
+  }
+
+  test("unterminated comment at EOF is emitted") {
+    check("<!--x", "comment(x)", "eof")
+  }
+
+  test("comment whose body starts with '>' closes immediately") {
+    // comment start state: '>' -> abrupt closing, empty comment
+    check("<!-->y", "comment()", "text[Data](y)", "eof")
+  }
+
+  // ---- doctype ----
+
+  test("doctype without whitespace before the name") {
+    // missing-whitespace-before-doctype-name: reconsume into name state
+    check("<!doctypehtml>", "doctype(html|<none>|<none>|quirks=false)", "eof")
+  }
+
+  test("doctype with no name forces quirks") {
+    check("<!doctype>", "doctype(<none>|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("doctype public keyword without an id forces quirks") {
+    check("<!doctype html public>", "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("doctype with public id only") {
+    check("<!doctype html public \"p\">",
+      "doctype(html|p|<none>|quirks=false)", "eof")
+  }
+
+  test("junk after the doctype name forces quirks (bogus doctype)") {
+    check("<!doctype html x>", "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("doctype public id abruptly closed by '>'") {
+    // abrupt-doctype-public-identifier: force quirks, emit
+    check("<!doctype html public \"p>x",
+      "doctype(html|p|<none>|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  // ---- RCDATA (title / textarea) ----
+
+  test("markup inside title is RCDATA text") {
+    check("<title>a<b></title>",
+      "start(title||sc=false|ns=0)", "text[RCData](a<b>)", "end(title)", "eof")
+  }
+
+  test("non-appropriate end tag inside title is text") {
+    check("<title></div></title>",
+      "start(title||sc=false|ns=0)", "text[RCData](</div>)", "end(title)", "eof")
+  }
+
+  test("appropriate end tag matches case-insensitively") {
+    check("<textarea>x</TEXTAREA>y",
+      "start(textarea||sc=false|ns=0)", "text[RCData](x)", "end(TEXTAREA)",
+      "text[Data](y)", "eof")
+  }
+
+  test("partial end tag at EOF inside rcdata is text") {
+    check("<title></titl", "start(title||sc=false|ns=0)",
+      "text[RCData](</titl)", "eof")
+  }
+
+  // ---- RAWTEXT (style / xmp / iframe / noframes) ----
+
+  test("markup inside style is raw text") {
+    check("<style>a{x:'</div>'}</style>",
+      "start(style||sc=false|ns=0)", "text[RawText](a{x:'</div>'})",
+      "end(style)", "eof")
+  }
+
+  test("xmp is a rawtext element") {
+    check("<xmp><b>bold</b></xmp>",
+      "start(xmp||sc=false|ns=0)", "text[RawText](<b>bold</b>)",
+      "end(xmp)", "eof")
+  }
+
+  // ---- script data escape states ----
+
+  test("script escaped: '</script>' inside a comment-escape closes the element") {
+    // script data escaped state does NOT protect an appropriate end tag
+    check("<script><!--</script>-->x",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--)",
+      "end(script)", "text[Data](-->x)", "eof")
+  }
+
+  test("script DOUBLE-escaped: '</script>' inside <script> escape is text") {
+    check("<script><!--<script></script>--></script>y",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script></script>-->)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("script escape that never closes still ends at the appropriate end tag") {
+    check("<script><!-- if (a<b) --></script>",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!-- if (a<b) -->)",
+      "end(script)", "eof")
+  }
+
+  test("dashes inside script without '<!--' do not escape") {
+    check("<script>a--b</script>",
+      "start(script||sc=false|ns=0)", "text[ScriptData](a--b)",
+      "end(script)", "eof")
+  }
+
+  // ---- plaintext ----
+
+  test("plaintext never ends") {
+    check("<plaintext>a</plaintext>b",
+      "start(plaintext||sc=false|ns=0)", "text[PlainText](a</plaintext>b)", "eof")
+  }
+
+  // ---- CDATA ----
+
+  test("CDATA is only recognized in foreign content") {
+    check("<svg><![CDATA[x<y]]></svg>",
+      "start(svg||sc=false|ns=1)", "raw(<![CDATA[)",
+      "text[CDataSection](x<y)", "raw(]]>)", "end(svg)", "eof")
+  }
+
+  test("CDATA outside foreign content is a bogus comment") {
+    check("<![CDATA[x]]>", "comment([CDATA[x]])", "eof")
+  }
+
+  test("CDATA with ']]' inside stays open") {
+    check("<svg><![CDATA[a]]b]]></svg>",
+      "start(svg||sc=false|ns=1)", "raw(<![CDATA[)",
+      "text[CDataSection](a]]b)", "raw(]]>)", "end(svg)", "eof")
+  }
+
+  // ---- foreign content feedback ----
+
+  test("script inside SVG is an ordinary (content) element") {
+    // tree feedback: no ScriptData mode in foreign content — '<g>' is a
+    // real child tag, not script text (g is NOT in the breakout list)
+    check("<svg><script>a<g>b</g></script></svg>",
+      "start(svg||sc=false|ns=1)", "start(script||sc=false|ns=1)",
+      "text[Data](a)", "start(g||sc=false|ns=1)", "text[Data](b)",
+      "end(g)", "end(script)", "end(svg)", "eof")
+  }
+
+  test("'<i>' inside SVG triggers the foreign-content breakout") {
+    // i/b/font/... are in the spec's breakout list: the parser pops back
+    // to HTML content and processes the tag there (ns flips to HTML)
+    check("<svg><script>a<i>b",
+      "start(svg||sc=false|ns=1)", "start(script||sc=false|ns=1)",
+      "text[Data](a)", "start(i||sc=false|ns=0)", "text[Data](b)", "eof")
+  }
+
+  test("'a<b</script>' forms a tag NAMED 'b<' (tag-name state consumes '<')") {
+    // after 'a', '<b' opens a tag; the following '<' is a NAME character;
+    // '/' then reaches self-closing-start, 's' is not '>' so it
+    // reconsumes into before-attribute-name — yielding start tag "b<"
+    // with a valueless attribute "script"
+    check("<svg><script>a<b</script></svg>",
+      "start(svg||sc=false|ns=1)", "start(script||sc=false|ns=1)",
+      "text[Data](a)", "start(b<|script=|sc=false|ns=1)",
+      "end(svg)", "eof")
+  }
+}
