@@ -281,6 +281,84 @@ class SpecCornersSpec extends AnyFunSuite {
       "end(g)", "end(script)", "end(svg)", "eof")
   }
 
+  // ---- batch 2: more states ----
+
+  test("'<!x' is a bogus comment") {
+    check("<!x>y", "comment(x)", "text[Data](y)", "eof")
+  }
+
+  test("'-' then '>' inside a comment does not close it") {
+    // comment end dash state: anything but '-' appends the dash and
+    // reconsumes — '->' is comment data; EOF then emits
+    check("<!-- ->", "comment( ->)", "eof")
+  }
+
+  test("'--' followed by non-'>' stays inside the comment") {
+    check("<!--x-- >", "comment(x-- >)", "eof")
+  }
+
+  test("appropriate end tag with attributes still closes rcdata") {
+    // rcdata end-tag-name state switches to before-attribute-name for
+    // the appropriate tag; the end tag's attrs are dropped by spec
+    check("<title>x</title y=1>", "start(title||sc=false|ns=0)",
+      "text[RCData](x)", "end(title)", "eof")
+  }
+
+  test("self-closing appropriate end tag closes rcdata") {
+    check("<title>x</title/>", "start(title||sc=false|ns=0)",
+      "text[RCData](x)", "end(title)", "eof")
+  }
+
+  test("noscript is rawtext (scripting-enabled tokenizer)") {
+    check("<noscript><b></noscript>", "start(noscript||sc=false|ns=0)",
+      "text[RawText](<b>)", "end(noscript)", "eof")
+  }
+
+  test("noembed is rawtext") {
+    check("<noembed><b></noembed>", "start(noembed||sc=false|ns=0)",
+      "text[RawText](<b>)", "end(noembed)", "eof")
+  }
+
+  test("doctype keyword matching is case-insensitive") {
+    check("<!doctype html SyStEm 'x'>",
+      "doctype(html|<none>|x|quirks=false)", "eof")
+  }
+
+  test("junk between public and system ids forces quirks, public kept") {
+    check("<!doctype html public 'p' junk>",
+      "doctype(html|p|<none>|quirks=true)", "eof")
+  }
+
+  test("missing whitespace after the public keyword is tolerated") {
+    check("<!doctype html public'p'>",
+      "doctype(html|p|<none>|quirks=false)", "eof")
+  }
+
+  test("self-closing end tag in data is dropped to a plain end tag") {
+    check("<a>x</a/>", "start(a||sc=false|ns=0)", "text[Data](x)",
+      "end(a)", "eof")
+  }
+
+  test("valueless attribute followed by whitespace before '>'") {
+    check("<a x >", "start(a|x=|sc=false|ns=0)", "eof")
+  }
+
+  test("valueless attribute followed by '/>' sets self-closing") {
+    check("<a x/>", "start(a|x=|sc=true|ns=0)", "eof")
+  }
+
+  test("character references are NOT decoded at the lexeme level") {
+    // lol-html tokenizes without entity decoding; &amp; passes through raw
+    check("<title>&amp;</title>", "start(title||sc=false|ns=0)",
+      "text[RCData](&amp;)", "end(title)", "eof")
+    check("a&lt;b", "text[Data](a&lt;b)", "eof")
+  }
+
+  test("prefix-only end tag inside rawtext is text") {
+    check("<style></styl></style>", "start(style||sc=false|ns=0)",
+      "text[RawText](</styl>)", "end(style)", "eof")
+  }
+
   test("'<i>' inside SVG triggers the foreign-content breakout") {
     // i/b/font/... are in the spec's breakout list: the parser pops back
     // to HTML content and processes the tag there (ns flips to HTML)
