@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup family: runs d2/d3/d5/d9 on the sf0.1
+  * working set replicated `REP`x with shifted ids (each replica keeps its
+  * own planted near-dup pairs), and reports wall times. The point is the
+  * GROWTH SHAPE: after round 4's bucket capping, candidate generation is
+  * linear in corpus size — the round-3 uncapped self-joins would have
+  * grown quadratically on the replicated duplicate clusters.
+  *
+  * Usage: Test/runMain graft.DedupScaleProbe [rep] (run exclusively)
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rep = if (args.length > 0) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.spark.ops._
+
+    val base0 = DedupOps.withVariants(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(0, rep, 1, 8).toDF("rep")
+    val base = reps.join(broadcast(base0))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
+    val n = base.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[probe] $name%-16s rows=$rows%9d wall=${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    DedupOps.clearShingleCache()
+    println(s"[probe] corpus docs=$n (rep=$rep)")
+    time("d2_ngram")(DedupOps.ngramJaccardPairs(base, 0.6).count())
+    time("d3_minhash")(DedupOps.minhashLshPairs(base, 0.6).count())
+    time("d5_simhash")(DedupOps.simhashPairs(base, 3).count())
+    time("d9_cc_star") {
+      val out = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
+      val c = out.count(); out.unpersist(); c
+    }
+    DedupOps.clearShingleCache()
+    spark.stop()
+  }
+}
