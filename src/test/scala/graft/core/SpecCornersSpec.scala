@@ -272,6 +272,38 @@ class SpecCornersSpec extends AnyFunSuite {
 
   // ---- foreign content feedback ----
 
+  test("passthrough serialization is byte-identical on every corner input") {
+    // a no-handler rewriter must reproduce even the nastiest inputs
+    // byte-for-byte (raw losslessness at the edge cases, not just on the
+    // random property corpus)
+    val inputs = Seq(
+      "<1x>", "a<", "a</", "a</>b", "<a<b>x", "<b></b id=x>",
+      "<a a=b=c>", "<a ==x>", "<a/b>", "<a \"x\"='y'>", "<a k=1 k=2>",
+      "<a href = 'x' >", "<img src=x/>", "<img src=\"x\"/>", "<a href=a/b>",
+      "<!---->", "<!----->", "<!------>", "<!--x--!>y", "<!--<!-->",
+      "<!--x--y-->", "<!--a<!--b-->c", "<!--x", "<!-->y", "<!-- ->",
+      "<!--x-- >", "<!x>y",
+      "<!doctypehtml>", "<!doctype>", "<!doctype html public>",
+      "<!doctype html public \"p\">", "<!doctype html x>",
+      "<!doctype html public \"p>x", "<!doctype html SyStEm 'x'>",
+      "<!doctype html public 'p' junk>", "<!doctype html public'p'>",
+      "<title>a<b></title>", "<title></div></title>", "<textarea>x</TEXTAREA>y",
+      "<title></titl", "<title>x</title y=1>", "<title>x</title/>",
+      "<style>a{x:'</div>'}</style>", "<xmp><b>bold</b></xmp>",
+      "<noscript><b></noscript>", "<noembed><b></noembed>",
+      "<script><!--</script>-->x", "<script><!--<script></script>--></script>y",
+      "<script><!-- if (a<b) --></script>", "<script>a--b</script>",
+      "<plaintext>a</plaintext>b", "<a>x</a/>", "<a x >", "<a x/>",
+      "<title>&amp;</title>", "a&lt;b", "<style></styl></style>",
+      "<svg><![CDATA[x<y]]></svg>", "<![CDATA[x]]>",
+      "<svg><![CDATA[a]]b]]></svg>", "<svg><script>a<g>b</g></script></svg>",
+      "<svg><script>a<b</script></svg>", "<svg><script>a<i>b")
+    val rw = new graft.rewrite.Rewriter(Nil, strict = false)
+    inputs.foreach { in =>
+      assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
+    }
+  }
+
   test("script inside SVG is an ordinary (content) element") {
     // tree feedback: no ScriptData mode in foreign content — '<g>' is a
     // real child tag, not script text (g is NOT in the breakout list)
