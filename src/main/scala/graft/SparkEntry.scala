@@ -98,6 +98,12 @@ object SparkEntry {
     "x11_source_ranges" -> ((s, dir) =>
       HtmlClean.sourceRanges(HtmlClean.generatedHtml(s, dir))),
 
+    // x12: DOM-heuristic main-content extraction (the north rule's third
+    // branch) — link-density + length block scoring must recover the
+    // document text with NO boilerplate selectors configured
+    "x12_heuristic_extract" -> ((s, dir) =>
+      HtmlClean.heuristicExtract(HtmlClean.generatedHtml(s, dir))),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -436,6 +442,8 @@ object SparkEntry {
         "SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated " +
         "FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id"),
     "x1_extract_text" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
+    "x12_heuristic_extract" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x2_extract_media" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +

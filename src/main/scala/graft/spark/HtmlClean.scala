@@ -116,6 +116,23 @@ object HtmlClean {
       .toDF("doc_id", "a_start", "a_end", "a_raw")
   }
 
+  /** x12: DOM-heuristic extraction ([[graft.extract.HeuristicMain]]) —
+    * must recover the same main text as the selector-based x1 WITHOUT
+    * naming a single boilerplate selector: nav/link-farm blocks are
+    * link-dense and score out, content paragraphs score in.
+    */
+  def heuristicExtract(df: DataFrame, minTextLen: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("string"), col("html"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val hx = new graft.extract.HeuristicMain(minTextLen = minTextLen)
+        it.map { case (id, html) => (id, hx.extractString(html).mkString) }
+      }
+      .toDF("doc_id", "main_text")
+  }
+
   /** Token counts per document — the tokenizer itself at the correctness
     * gate (the generator's fixed template implies fixed tag counts,
     * including `<div>`-in-script-string cases that exercise ScriptData).
