@@ -272,6 +272,46 @@ class SpecCornersSpec extends AnyFunSuite {
 
   // ---- foreign content feedback ----
 
+  // ---- batch 3 ----
+
+  test("missing whitespace after a quoted value still starts the next attribute") {
+    // after-attribute-value-quoted: anything but ws / '/' / '>' is a
+    // parse error that reconsumes into before-attribute-name
+    check("<a a='1'b=2>", "start(a|a=1,b=2|sc=false|ns=0)", "eof")
+  }
+
+  test("'</ ' inside rcdata is literal text") {
+    // rcdata end-tag-open requires an ASCII letter; ' ' re-emits '</'
+    check("<title></ title></title>", "start(title||sc=false|ns=0)",
+      "text[RCData](</ title>)", "end(title)", "eof")
+  }
+
+  test("doctype with both public and system ids") {
+    check("<!DOCTYPE html PUBLIC \"p\" \"s\">",
+      "doctype(html|p|s|quirks=false)", "eof")
+  }
+
+  test("double-escape ended by '-->' returns to plain script data") {
+    // script-data-double-escaped-dash-dash: '>' leaves BOTH escape levels
+    check("<script><!--<script>--></script>x",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<script>-->)",
+      "end(script)", "text[Data](x)", "eof")
+  }
+
+  test("two valueless attributes") {
+    check("<a b c>", "start(a|b=,c=|sc=false|ns=0)", "eof")
+  }
+
+  test("three and four dashes before the comment close") {
+    check("<!--x--->", "comment(x-)", "eof")
+    check("<!--x---->", "comment(x--)", "eof")
+  }
+
+  test("CDATA keyword is case-sensitive even in foreign content") {
+    check("<svg><![cdata[x]]></svg>", "start(svg||sc=false|ns=1)",
+      "comment([cdata[x]])", "end(svg)", "eof")
+  }
+
   test("passthrough serialization is byte-identical on every corner input") {
     // a no-handler rewriter must reproduce even the nastiest inputs
     // byte-for-byte (raw losslessness at the edge cases, not just on the
