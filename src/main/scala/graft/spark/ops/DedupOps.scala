@@ -299,21 +299,8 @@ object DedupOps {
     * in an ArrayBuffer before the runtime consumes it (a 10k-member
     * bucket would otherwise stage ~50M tuples / ~1.6 GB in one task).
     */
-  private[ops] def orderedPairs(ids: Seq[Long]): Iterator[(Long, Long)] = {
-    val arr = ids.toArray
-    val n = arr.length
-    new scala.collection.AbstractIterator[(Long, Long)] {
-      private var i = 0
-      private var j = 1
-      def hasNext: Boolean = i < n - 1
-      def next(): (Long, Long) = {
-        val out = (arr(i), arr(j))
-        j += 1
-        if (j >= n) { i += 1; j = i + 1 }
-        out
-      }
-    }
-  }
+  private[ops] def orderedPairs(ids: Seq[Long]): Iterator[(Long, Long)] =
+    orderedPairsOf(ids)
 
   /** [[orderedPairs]] generalized to members carrying a payload (e.g.
     * (doc_id, simhash) structs): lazily yields every ordered pair of a
