@@ -22,7 +22,8 @@ import graft.core.TextType
   *
   * One instance per task, reused across rows; NOT thread-safe.
   */
-final class HeuristicMain(minTextLen: Int = 25, maxLinkDensity: Double = 0.33) {
+final class HeuristicMain(minTextLen: Int = 25, maxLinkDensity: Double = 0.33,
+                          keepShortNearGood: Boolean = false) {
 
   /** Paragraph-level block elements (the JusText block set). */
   private val BlockTags = Seq(
@@ -38,7 +39,7 @@ final class HeuristicMain(minTextLen: Int = 25, maxLinkDensity: Double = 0.33) {
   // blocks can drain outermost-first on implicit closes, so removal is
   // by identity, not LIFO
   private val open = new java.util.ArrayList[Block]()
-  private val kept = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
+  private val all = new scala.collection.mutable.ArrayBuffer[(Int, String, Int)]()
   private var seq = 0
   private var anchorDepth = 0
   private var lastTok: TextChunk = _
@@ -46,9 +47,7 @@ final class HeuristicMain(minTextLen: Int = 25, maxLinkDensity: Double = 0.33) {
   private def finalizeBlock(b: Block): Unit = {
     open.remove(b)
     val text = b.sb.toString
-    if (text.length >= minTextLen &&
-        (text.isEmpty || b.linkChars.toDouble / text.length <= maxLinkDensity))
-      kept += ((b.seq, text))
+    all += ((b.seq, text, b.linkChars))
   }
 
   private val blockHandler = ElementHandlers(
@@ -79,13 +78,27 @@ final class HeuristicMain(minTextLen: Int = 25, maxLinkDensity: Double = 0.33) {
     BlockTags.map(_ -> blockHandler) :+ ("a" -> anchorHandler),
     strict = false, produceOutput = false)
 
-  /** Kept block texts in document order. */
+  /** Kept block texts in document order. With `keepShortNearGood`
+    * (JusText's context rule), a block that passes the density test but
+    * is too short is still kept when an ADJACENT block in document order
+    * is independently good — isolated short snippets (copyright lines,
+    * timestamps) stay out, short sentences inside an article stay in.
+    */
   def extract(html: Array[Byte]): Seq[String] = {
-    open.clear(); kept.clear(); seq = 0; anchorDepth = 0; lastTok = null
+    open.clear(); all.clear(); seq = 0; anchorDepth = 0; lastTok = null
     rewriter.rewriteToBytes(html)
     // blocks left open at EOF (unclosed markup) still score
     while (!open.isEmpty) finalizeBlock(open.get(open.size - 1))
-    kept.sortBy(_._1).map(_._2).toSeq
+    val blocks = all.sortBy(_._1).toIndexedSeq
+    def lowDensity(i: Int): Boolean = {
+      val (_, t, l) = blocks(i)
+      t.isEmpty || l.toDouble / t.length <= maxLinkDensity
+    }
+    def good(i: Int): Boolean = blocks(i)._2.length >= minTextLen && lowDensity(i)
+    blocks.indices.iterator.filter { i =>
+      good(i) || (keepShortNearGood && lowDensity(i) && blocks(i)._2.nonEmpty &&
+        ((i > 0 && good(i - 1)) || (i < blocks.length - 1 && good(i + 1))))
+    }.map(blocks(_)._2).toSeq
   }
 
   def extractString(html: String): Seq[String] =

@@ -64,6 +64,21 @@ class HeuristicMainSpec extends AnyFunSuite {
       "second item with enough text to clear the bar easily"))
   }
 
+  test("context rule: a short clean block between good blocks is kept") {
+    val html = "<p>a first paragraph that is clearly long enough to be good</p>" +
+      "<p>Short one.</p>" +
+      "<p>a third paragraph that is also clearly long enough to be good</p>"
+    // default: the short middle block drops
+    assert(run(html).size == 2)
+    // with the JusText context rule it rides along with its neighbors
+    assert(new HeuristicMain(25, 0.33, keepShortNearGood = true)
+      .extractString(html).size == 3)
+    // an ISOLATED short block still drops either way
+    val iso = "<p>Short one.</p><p><a href='/x'>all link text in this one block</a></p>"
+    assert(new HeuristicMain(25, 0.33, keepShortNearGood = true)
+      .extractString(iso).isEmpty)
+  }
+
   test("instance reuse across documents resets all state") {
     val hx = new HeuristicMain(5, 0.33)
     val a = hx.extractString("<p>first document body</p>")
