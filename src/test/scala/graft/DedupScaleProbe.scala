@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * linear in corpus size — the round-3 uncapped self-joins would have
   * grown quadratically on the replicated duplicate clusters.
   *
-  * Usage: Test/runMain graft.DedupScaleProbe [rep] (run exclusively)
+  * Usage: Test/runMain graft.DedupScaleProbe [rep] [queries]
+  * (run exclusively; `queries` is a comma list from d2,d3,d5,d9 —
+  * default all. Skip d2 at rep > 10: its OUTPUT grows quadratically in
+  * cluster multiplicity, so the run time is the operator's answer size,
+  * not a plan property.)
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val rep = if (args.length > 0) args(0).toInt else 10
+    val which = (if (args.length > 1) args(1) else "d2,d3,d5,d9").split(",").toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,10 +42,10 @@ object DedupScaleProbe {
     }
     DedupOps.clearShingleCache()
     println(s"[probe] corpus docs=$n (rep=$rep)")
-    time("d2_ngram")(DedupOps.ngramJaccardPairs(base, 0.6).count())
-    time("d3_minhash")(DedupOps.minhashLshPairs(base, 0.6).count())
-    time("d5_simhash")(DedupOps.simhashPairs(base, 3).count())
-    time("d9_cc_star") {
+    if (which("d2")) time("d2_ngram")(DedupOps.ngramJaccardPairs(base, 0.6).count())
+    if (which("d3")) time("d3_minhash")(DedupOps.minhashLshPairs(base, 0.6).count())
+    if (which("d5")) time("d5_simhash")(DedupOps.simhashPairs(base, 3).count())
+    if (which("d9")) time("d9_cc_star") {
       val out = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
       val c = out.count(); out.unpersist(); c
     }
