@@ -135,11 +135,14 @@ object Bench {
       val line = out.linesIterator.find(_.contains("\"mode\":\"scaleonly\"")).getOrElse(return None)
       def grab(k: String): Option[String] =
         (s""""$k":"?([^,"}]+)"?""").r.findFirstMatchIn(line).map(_.group(1))
+      // the runs trace is a quoted comma-separated list — grab to the quote
+      def grabStr(k: String): Option[String] =
+        (s""""$k":"([^"]*)"""").r.findFirstMatchIn(line).map(_.group(1))
       for {
         d <- grab("docs").map(_.toLong)
         s <- grab("spans").map(_.toLong)
         t <- grab("sec").map(_.toDouble)
-      } yield (d, s, t, grab("runs").getOrElse(""))
+      } yield (d, s, t, grabStr("runs").getOrElse(""))
     } catch {
       case e: Exception => System.err.println(s"[scaling] fork failed: $e"); None
     }
