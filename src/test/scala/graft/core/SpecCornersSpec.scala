@@ -312,6 +312,51 @@ class SpecCornersSpec extends AnyFunSuite {
       "comment([cdata[x]])", "end(svg)", "eof")
   }
 
+  // ---- batch 4 ----
+
+  test("'<%' is text (ASP-style tags are not markup)") {
+    check("<%x%>", "text[Data](<%x%>)", "eof")
+  }
+
+  test("junk after the SYSTEM id does NOT force quirks (asymmetric with public)") {
+    // after-doctype-system-identifier: unexpected characters are a parse
+    // error and swallowed, but — unlike junk after the name or between
+    // ids — the spec does NOT set force-quirks here
+    check("<!doctype html system \"s\" x>",
+      "doctype(html|<none>|s|quirks=false)", "eof")
+  }
+
+  test("svg desc is an HTML integration point") {
+    // children of <desc> parse under HTML rules: <b> is an HTML element,
+    // no foreign-content breakout involved. Note the integration-point
+    // element ITSELF reports the entered HTML namespace — the reference
+    // stamps the lexeme ns AFTER tree feedback runs (enter_ns happens in
+    // get_feedback_for_start_tag, the ns is captured at
+    // lexer/actions.rs:104), and this engine mirrors that capture point
+    check("<svg><desc><b>x</b></desc></svg>",
+      "start(svg||sc=false|ns=1)", "start(desc||sc=false|ns=0)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "end(b)",
+      "end(desc)", "end(svg)", "eof")
+  }
+
+  test("mathml mtext is a text integration point") {
+    // same post-feedback ns capture as the desc case above
+    check("<math><mtext><b>x</b></mtext></math>",
+      "start(math||sc=false|ns=2)", "start(mtext||sc=false|ns=0)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "end(b)",
+      "end(mtext)", "end(math)", "eof")
+  }
+
+  test("markup inside a comment is comment data") {
+    check("<!--<div>-->", "comment(<div>)", "eof")
+  }
+
+  test("comment syntax inside rcdata is just text") {
+    check("<textarea><!--</textarea>-->",
+      "start(textarea||sc=false|ns=0)", "text[RCData](<!--)",
+      "end(textarea)", "text[Data](-->)", "eof")
+  }
+
   test("passthrough serialization is byte-identical on every corner input") {
     // a no-handler rewriter must reproduce even the nastiest inputs
     // byte-for-byte (raw losslessness at the edge cases, not just on the
