@@ -229,12 +229,21 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   // depth on pops. Implicitly-closed elements of OTHER names are never
   // walked at all — their stack entries go stale (depth >= current depth)
   // and are discarded lazily on the next touch of that name.
-  private val entryOnly: Boolean = fastEntry != null && {
+  /** Nth predicates read per-parent child counters that only the framed
+    * stack maintains — they disqualify frameless mode.
+    */
+  private def usesNth(s: SimpleSel): Boolean = s match {
+    case _: NthSel => true
+    case NotSel(inner) => inner.exists(usesNth)
+    case _ => false
+  }
+  private val entryOnly: Boolean = {
     var ok = true
     var i = 0
     while (ok && i < program.instrs.length) {
       val in = program.instrs(i)
-      ok = in.jumps.length == 0 && in.hereditary.length == 0
+      ok = in.jumps.length == 0 && in.hereditary.length == 0 &&
+        !in.simples.exists(usesNth)
       i += 1
     }
     ok
@@ -472,11 +481,39 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
                                     sink: MatchSink): Boolean = {
     val isVoid = isVoidElement(view)
     val withContent = if (view.isHtmlNs) !isVoid else !selfClosing
-    val idx = fastEntry.get(view.nameHash, view)
-    if (idx >= 0) {
-      val in = program.instrs(idx)
+    var matched = false
+    if (fastEntry != null) {
+      val idx = fastEntry.get(view.nameHash, view)
+      if (idx >= 0) {
+        val in = program.instrs(idx)
+        var i = 0
+        while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
+        matched = true
+      }
+    } else {
+      // entry-only with universal/attr/class predicates: evaluate the
+      // anchor-less entries plus this name's bucket. The two sets are
+      // disjoint and each instr carries its own match ids, so every
+      // instr is visited at most once — no dedup mask needed (unlike
+      // the framed path, where jump edges can revisit entries)
+      @inline def tryInstr(idx: Int): Unit = {
+        val in = program.instrs(idx)
+        if (in.eval(view)) {
+          var i = 0
+          while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
+          matched = true
+        }
+      }
       var i = 0
-      while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
+      if (nameEntry != null) {
+        val u = nameEntry.universal
+        while (i < u.length) { tryInstr(u(i)); i += 1 }
+        val b = nameEntry.bucketFor(view.nameHash, view)
+        if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+      } else {
+        val ep = program.entryPoints
+        while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+      }
     }
     if (withContent) {
       if (flDepth == depthSeq.length) {
@@ -487,7 +524,7 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       val h = view.nameHash
       if (h != TagHash.Empty) flPush(h)
       else fuPush(normFnv(view.nameFnv), view.nameStartV, view.nameEndV)
-      if (idx >= 0) {
+      if (matched) {
         mTop += 1
         if (mTop == mDepths.length) {
           mDepths = java.util.Arrays.copyOf(mDepths, mTop * 2)

@@ -173,6 +173,46 @@ class FramelessVmSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PREDICATE entry programs (class/[attr]/:not) frameless == framed") {
+    // round-4 generalization: entry-only programs with universal and
+    // attribute predicates run frameless too (no fastEntry) — same
+    // equivalence bar as the name-only property above
+    val piece = Gen.oneOf(
+      Gen.oneOf("<", ">", "</", "<!--", "-->", "'", "\"", "=", "/", "/>", " ",
+        "<div>", "</div>", "<div class='note'>", "<a href='/x'>", "</a>",
+        "<a rel=ext href=y>", "<ul>", "<li>", "</ul>", "<p class=note>",
+        "</p>", "<br>", "<script>", "</script>", "<svg>", "</svg>",
+        "<span class='note other'>", "</span>", "</li>",
+        "<emu-x href=q>", "</emu-x>", "<td>", "<tr>", "</table>", "<table>"),
+      Gen.asciiPrintableStr.map(_.take(10))
+    )
+    val htmlish = Gen.listOf(piece).map(_.mkString).map(_.take(500))
+    val selectors = Seq("div", ".note", "[href]", "a[rel=ext]", ":not(span)")
+    var i = 0
+    while (i < 400) {
+      htmlish.apply(Gen.Parameters.default, Seed(9137L + i)).foreach { doc =>
+        val (eF, oF) = run(doc, selectors, forceFramed = true, removeSel = Set("[href]"))
+        val (eL, oL) = run(doc, selectors, forceFramed = false, removeSel = Set("[href]"))
+        assert(eL == eF, s"event divergence on: $doc")
+        assert(oL == oF, s"output divergence on: $doc")
+      }
+      i += 1
+    }
+  }
+
+  test("nth predicates force the framed stack (frameless has no child counters)") {
+    // :nth-child needs per-parent counters — the program must NOT go
+    // frameless, and both calls must agree (i.e. the eligibility check
+    // keeps it framed rather than silently mis-matching)
+    val html = "<ul><li>a</li><li>b</li><li>c</li></ul>"
+    val hits = new mutable.ArrayBuffer[String]()
+    val rw = new Rewriter(Seq("li:nth-child(2)" -> ElementHandlers(
+      element = el => hits += el.tagName)), strict = false, produceOutput = false)
+    rw.rewrite(html)
+    rw.rewrite(html)
+    assert(hits.toSeq == Seq("li", "li"))
+  }
+
   test("engine reuse across documents: stale depth entries never leak") {
     val rw = new Rewriter(Seq("div" -> ElementHandlers(element = el => el.remove())),
       strict = false)
