@@ -276,32 +276,51 @@ object Bench {
       val steady = if (cold < 0) -1.0 else once()
       (name, steady, cold)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     // "queries" (steady second execution — what long-lived executors pay
-    // at real scale) stays on stdout; the cold map (first execution incl.
-    // driver-side JIT/codegen) goes to stderr + the full-JSON side file:
-    // the driver captures only the last 2,000 bytes of output, and both
-    // maps together overflow that window (BENCH_r03.json parsed:null)
-    val qsCold = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
-      .mkString("{", ",", "}")
+    // at real scale) stays on stdout under a HARD byte budget; the cold map
+    // (first execution incl. driver-side JIT/codegen) and the full-precision
+    // map go only to the full-JSON side file. BENCH_r03 AND r04 both parsed
+    // null because the driver's 2,000-byte combined-output tail window held
+    // more than one brace-bearing line (r03: two 39-entry maps; r04: a
+    // truncated stderr fragment ahead of the JSON).
+    def qmapOf(entries: Seq[(String, Double, Double)], fmt: Double => String) =
+      entries.sortBy(_._1).map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
     val extra =
       (if (scalingLine != null) s""","scaling":$scalingLine""" else "") +
         f""","extract_docs_per_sec":${docsN / bestExtract}%.1f,"extract_spans_per_sec":${spansN / bestExtract}%.1f"""
-    val slim =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs$extra,"sf":"$sfDir"}"""
+    // budgeted slim map: drop the FASTEST queries first (their total is
+    // still reported) until the whole stdout line fits in 1,400 bytes —
+    // leaves ~600 bytes of tail-window slack for sbt prefixes/suffixes
+    def slimOf(keep: Seq[(String, Double, Double)], omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":${qmapOf(keep, v => f"$v%.2f")}$om$extra,"sf":"$sfDir"}"""
+    }
+    var keep = results.sortBy(-_._2)
+    var slim = slimOf(keep, results.length - keep.length)
+    while (slim.length > 1400 && keep.length > 8) {
+      keep = keep.dropRight(1)
+      slim = slimOf(keep, results.length - keep.length)
+    }
+    val qsFull = qmapOf(results, v => f"$v%.3f")
+    val qsCold = qmapOf(results.map { case (k, _, c) => (k, c, 0.0) }, v => f"$v%.3f")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qs,"queries_cold":$qsCold$extra,"sf":"$sfDir"}"""
-    System.err.println(s"[queries-cold] $qsCold")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"queries":$qsFull,"queries_cold":$qsCold$extra,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Exception => () }
-    if (slim.length > 1800) System.err.println(
-      s"[warn] stdout JSON is ${slim.length} bytes; driver tail window is 2000")
-    println(slim)
     spark.stop()
+    // Tail-window guarantee: stop Spark FIRST (its shutdown lines land
+    // before this), flush stderr, then emit a brace-free padding line wider
+    // than the driver's 2,000-byte tail followed by the ONE JSON line — so
+    // the captured tail can only ever contain padding + the headline JSON.
+    System.err.flush()
+    try Thread.sleep(500) catch { case _: InterruptedException => () }
+    println("=" * 2100)
+    println(slim)
+    System.out.flush()
   }
 
   /** Per-tier single-doc throughput on the reference's three bench

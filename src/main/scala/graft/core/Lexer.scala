@@ -388,8 +388,12 @@ final class Lexer(strict: Boolean = true) extends TagView {
           // their FNV-64 — already computed above — so attr-need is one
           // compare per tag on custom-element-dense documents too; the
           // engine already trusts FNV-64 for name identity (frame name
-          // keys, FastEntryTable by-name dispatch)
-          val key = if (tNameHash != TagHash.Empty) tNameHash else tNameFnv
+          // keys, FastEntryTable by-name dispatch). Bit 63 tags the FNV
+          // key space: a packed TagHash is < 2^60 (at most 12 chars x 5
+          // bits, guarded by the (h >>> 59) == 0 overflow check), so the
+          // two key spaces can never collide in one memo slot
+          val key = if (tNameHash != TagHash.Empty) tNameHash
+                    else tNameFnv | Long.MinValue
           val m = ((key * 0x9e3779b97f4a7c15L) >>> 56).toInt
           if (memoNeedHash(m) == key) memoNeedSkip(m)
           else {

@@ -493,26 +493,61 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     } else {
       // entry-only with universal/attr/class predicates: evaluate the
       // anchor-less entries plus this name's bucket. The two sets are
-      // disjoint and each instr carries its own match ids, so every
-      // instr is visited at most once — no dedup mask needed (unlike
-      // the framed path, where jump edges can revisit entries)
-      @inline def tryInstr(idx: Int): Unit = {
-        val in = program.instrs(idx)
-        if (in.eval(view)) {
-          var i = 0
-          while (i < in.matchedIds.length) { sink.onMatch(in.matchedIds(i), withContent); i += 1 }
-          matched = true
+      // disjoint so every INSTR is visited at most once, but one match ID
+      // can sit on several entry instrs (a comma list "div, .note" puts
+      // the same handler id on two compounds) — dedup ids and fire in
+      // ascending order exactly like the framed path, or a <div
+      // class=note> would fire its handler id twice
+      if (smallProgram) {
+        var matchedMask = 0L
+        @inline def tryInstr(idx: Int): Unit = {
+          val in = program.instrs(idx)
+          if (in.eval(view)) {
+            var i = 0
+            while (i < in.matchedIds.length) { matchedMask |= 1L << in.matchedIds(i); i += 1 }
+          }
         }
-      }
-      var i = 0
-      if (nameEntry != null) {
-        val u = nameEntry.universal
-        while (i < u.length) { tryInstr(u(i)); i += 1 }
-        val b = nameEntry.bucketFor(view.nameHash, view)
-        if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+        var i = 0
+        if (nameEntry != null) {
+          val u = nameEntry.universal
+          while (i < u.length) { tryInstr(u(i)); i += 1 }
+          val b = nameEntry.bucketFor(view.nameHash, view)
+          if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+        } else {
+          val ep = program.entryPoints
+          while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+        }
+        matched = matchedMask != 0L
+        var m = matchedMask
+        while (m != 0L) {
+          sink.onMatch(java.lang.Long.numberOfTrailingZeros(m), withContent)
+          m &= m - 1
+        }
       } else {
-        val ep = program.entryPoints
-        while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+        matchedIds.clear()
+        @inline def tryInstr(idx: Int): Unit = {
+          val in = program.instrs(idx)
+          if (in.eval(view)) {
+            var i = 0
+            while (i < in.matchedIds.length) { matchedIds.set(in.matchedIds(i)); i += 1 }
+          }
+        }
+        var i = 0
+        if (nameEntry != null) {
+          val u = nameEntry.universal
+          while (i < u.length) { tryInstr(u(i)); i += 1 }
+          val b = nameEntry.bucketFor(view.nameHash, view)
+          if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+        } else {
+          val ep = program.entryPoints
+          while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+        }
+        var id = matchedIds.nextSetBit(0)
+        while (id >= 0) {
+          matched = true
+          sink.onMatch(id, withContent)
+          id = matchedIds.nextSetBit(id + 1)
+        }
       }
     }
     if (withContent) {

@@ -188,12 +188,23 @@ object DedupOps {
     *
     * Returns (bucket, docs) for buckets completed by THIS invocation —
     * already-done buckets are never recomputed (resume evidence).
+    *
+    * The per-bucket `docs` counts come from a task-side accumulator and
+    * are INFORMATIONAL ONLY: under task retries or speculative execution
+    * Spark may over-count accumulator updates. Resume correctness never
+    * reads them — it keys solely on bucket PRESENCE in the ledger, and
+    * the bucket data itself is committed by the write, not the count.
     */
   def stageShingles(base: DataFrame, dir: String, buckets: Int = 64,
                     maxBucketsPerPass: Int = Int.MaxValue,
                     sourceId: String = ""): Seq[(Int, Long)] = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // sourceId is embedded verbatim in the ledger's JSON header line — a
+    // quote/backslash would break the header regex on resume, so restrict
+    // it to a filename-ish alphabet up front
+    require(sourceId.isEmpty || sourceId.matches("[A-Za-z0-9._/-]+"),
+      s"sourceId must match [A-Za-z0-9._/-]+ (embedded in the ledger header); got '$sourceId'")
     val ledger = Paths.get(dir, "_ledger.jsonl")
     Files.createDirectories(Paths.get(dir))
 
@@ -424,6 +435,14 @@ object DedupOps {
     *  3. candidate pairs expanded lazily in-row (O(1) memory per bucket)
     *  4. verify with exact Jaccard on the shingle arrays (array_intersect)
     * Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    *
+    * RECALL NOTE (round 4 behavior change): `bucketCap` is ON BY DEFAULT
+    * — any band bucket with more than `bucketCap` members is dropped
+    * WHOLE, so pairs that the uncapped (round-3 self-join) formulation
+    * emitted can be missing on data with mega-duplicate-clusters. Monitor
+    * the observed metric `dropped_band_buckets` (0 means the result is
+    * exact); pass `bucketCap = Int.MaxValue` to restore exact recall at
+    * the cost of O(n^2) expansion inside giant buckets.
     */
   def minhashLshPairs(base: DataFrame, threshold: Double,
                       bucketCap: Int = DefaultLshBucketCap): DataFrame =
@@ -762,6 +781,14 @@ object DedupOps {
     * buckets counted), then lazy in-row pair expansion with the exact
     * hamming verify applied BEFORE the distinct's exchange — failed
     * candidates never shuffle. No self-join anywhere.
+    *
+    * RECALL NOTE (round 4 behavior change): `bucketCap` is ON BY DEFAULT
+    * — a chunk-pair bucket with more than `bucketCap` members is dropped
+    * WHOLE, so some pairs the uncapped formulation emitted can be missing
+    * on mega-duplicate-cluster data. Monitor the observed metric
+    * `dropped_chunk_buckets` (0 means exact recall for hamming <=
+    * `maxHamming`); pass `bucketCap = Int.MaxValue` to restore exact
+    * recall at O(n^2) cost inside giant buckets.
     */
   def simhashPairs(base: DataFrame, maxHamming: Int,
                    bucketCap: Int = DefaultSimhashBucketCap): DataFrame = {

@@ -200,6 +200,53 @@ class FramelessVmSpec extends AnyFunSuite {
     }
   }
 
+  test("comma list: one match id on two satisfied compounds fires ONCE (VM level)") {
+    // "div, .note" compiles ONE match id onto TWO entry instrs; a
+    // <div class=note> satisfies both. The framed path dedups ids via its
+    // match mask — the frameless path must too (round-5 fix), or any
+    // per-match consumer (span/metric counting) double-counts. Duplicates
+    // are invisible at the Rewriter level (refcounts are symmetric), so
+    // this asserts on the raw VM onMatch callbacks.
+    import graft.selectors._
+    import graft.core.TagHash
+    def viewOf(name: String, classes: String): VmElemView = new VmElemView {
+      private val bytes = name.getBytes("UTF-8")
+      nameFnvV = 0L; nameStartV = 0; nameEndV = bytes.length
+      def nameInput: Array[Byte] = bytes
+      def nameLower: String = name
+      def nameHash: Long = TagHash.of(name)
+      def isHtmlNs: Boolean = true
+      def attrCount: Int = if (classes == null) 0 else 1
+      def attrNameLower(i: Int): String = "class"
+      def attrValue(i: Int): String = classes
+    }
+    def idsOf(forceFramed: Boolean, name: String, classes: String): Seq[Int] = {
+      val program = Program.compile(Seq(
+        (SelectorParser.parse("div, .note"), 0), (SelectorParser.parse("span"), 1)))
+      val vm = new MatchingVm(program)
+      vm.disableFrameless = forceFramed
+      vm.reset()
+      val got = new mutable.ArrayBuffer[Int]()
+      vm.execStartTag(viewOf(name, classes), selfClosing = false,
+        (id: Int, _: Boolean) => got += id)
+      got.toSeq
+    }
+    for (framed <- Seq(true, false)) {
+      assert(idsOf(framed, "div", "note") == Seq(0), s"framed=$framed") // both compounds, one fire
+      assert(idsOf(framed, "div", null) == Seq(0), s"framed=$framed")
+      assert(idsOf(framed, "p", "note") == Seq(0), s"framed=$framed")
+      assert(idsOf(framed, "span", null) == Seq(1), s"framed=$framed")
+      assert(idsOf(framed, "p", null) == Seq(), s"framed=$framed")
+    }
+  }
+
+  test("comma list: Rewriter events identical across modes") {
+    val (events, _) = bothModes(
+      "<div class=note>x</div><div>y</div><p class=note>z</p><span>w</span>",
+      Seq("div, .note"))
+    assert(events.count(_.startsWith("el:div, .note:")) == 3)
+  }
+
   test("nth predicates force the framed stack (frameless has no child counters)") {
     // :nth-child needs per-parent counters — the program must NOT go
     // frameless, and both calls must agree (i.e. the eligibility check
