@@ -98,6 +98,11 @@ object SparkEntry {
     "x11_source_ranges" -> ((s, dir) =>
       HtmlClean.sourceRanges(HtmlClean.generatedHtml(s, dir))),
 
+    // x13: EndTag/Doctype source-location ranges (round 5) — the oracle
+    // recomputes both byte ranges via template string arithmetic
+    "x13_endtag_ranges" -> ((s, dir) =>
+      HtmlClean.endTagRanges(HtmlClean.generatedHtml(s, dir))),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -151,6 +156,11 @@ object SparkEntry {
       DedupOps.exactDedup(DedupOps.withVariants(s, dir))),
     "d2_ngram_pairs" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(DedupOps.withVariants(s, dir), 0.6)),
+    // d2b: bounded-output pair variant — per-bucket pair expansion capped
+    // to the first DefaultPairMemberCap sorted members (the oracle encodes
+    // the identical capped semantics via a rank window)
+    "d2b_ngram_pairs_capped" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairsCapped(DedupOps.withVariants(s, dir), 0.6)),
     "d3_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashLshPairs(DedupOps.withVariants(s, dir), 0.6)),
     "d4_simhash" -> ((s, dir) =>
@@ -372,6 +382,23 @@ object SparkEntry {
       "FROM pairsc JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"
 
+  /** d2b's oracle: d2's df-capped pairs PLUS the per-bucket member cap —
+    * co-occurrence counts only among each shingle's first
+    * DefaultPairMemberCap members by ascending doc_id (a rank window,
+    * mirroring Spark's sort_array + slice exactly).
+    */
+  private val JaccardPairsMemberCappedSql =
+    ShinglesCte +
+      s", shok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND ${DedupOps.DefaultShingleDfCap}), " +
+      "shr AS (SELECT sh, doc_id, row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn " +
+      "FROM sh JOIN shok USING (sh)), " +
+      s"pairsb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      s"FROM shr a JOIN shr b USING (sh) WHERE a.doc_id < b.doc_id " +
+      s"AND a.rn <= ${DedupOps.DefaultPairMemberCap} AND b.rn <= ${DedupOps.DefaultPairMemberCap} GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard " +
+      "FROM pairsb JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"
+
   /** d3's oracle: exact uncapped Jaccard ground truth. */
   private val JaccardPairsSql =
     ShinglesCte +
@@ -495,6 +522,16 @@ object SparkEntry {
         "13 + length(source) + length(CAST(doc_id AS VARCHAR)) AS INT) AS a_end, " +
         "'<a href=\"/' || source || '/' || CAST(doc_id AS VARCHAR) || '\">' AS a_raw " +
         "FROM documents"),
+    // dt = '<!doctype html>' (constant [0,15)); nav_start = a_end (see
+    // x11: 204 + 3*len(did) + len(lang) + len(source)) + len('nav-') +
+    // len(did) + len('</a></li></ul>') = 222 + 4*len(did) + len(lang) +
+    // len(source); '</nav>' is 6 bytes
+    "x13_endtag_ranges" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS dt_start, " +
+        "CAST(15 AS INT) AS dt_end, " +
+        "CAST(222 + 4 * length(CAST(doc_id AS VARCHAR)) + length(lang) + length(source) AS INT) AS nav_start, " +
+        "CAST(228 + 4 * length(CAST(doc_id AS VARCHAR)) + length(lang) + length(source) AS INT) AS nav_end, " +
+        "'</nav>' AS nav_raw FROM documents"),
     "x10_streamed_clean" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
         "'<html><body><hr><article data-doc=\"' || CAST(doc_id AS VARCHAR) || '\"><mark>' || " +
@@ -585,6 +622,7 @@ object SparkEntry {
     "d1_exact_dedup" ->
       (BaseCte + " SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies FROM base GROUP BY 1"),
     "d2_ngram_pairs" -> JaccardPairsCappedSql,
+    "d2b_ngram_pairs_capped" -> JaccardPairsMemberCappedSql,
     // d3 (MinHash+LSH with exact-Jaccard verify) must equal the exact
     // ground truth at this threshold; recall is deterministic and checked
     // locally (banding: 32 bands x 2 rows)

@@ -438,12 +438,27 @@ final class Comment private[rewrite] (val text: String, val sourceStart: Int, va
   }
 }
 
-final class DoctypeTok private[rewrite] (val name: String, val publicId: String, val systemId: String) {
+/** Doctype API. `sourceStart`/`sourceEnd` are the byte range of the
+  * doctype token in the source (reference `Doctype::source_location`,
+  * /root/reference/src/rewritable_units/tokens/doctype.rs:112).
+  */
+final class DoctypeTok private[rewrite] (val name: String, val publicId: String,
+                                         val systemId: String,
+                                         val sourceStart: Int, val sourceEnd: Int) {
   private[rewrite] val mutations = new Mutations
   def remove(): Unit = mutations.remove()
 }
 
-final class EndTagTok private[rewrite] (val nameLower: String) {
+/** End-tag API. `sourceStart`/`sourceEnd` are the byte range of the END
+  * TAG that fired this handler (reference `EndTag::source_location`,
+  * /root/reference/src/rewritable_units/tokens/end_tag.rs:183). For an
+  * element closed IMPLICITLY by an ancestor's end tag, the handler fires
+  * with that ancestor's end tag, so the range is the ancestor's —
+  * matching the reference, where the end-tag token an element handler
+  * receives is always the tag that actually closed it.
+  */
+final class EndTagTok private[rewrite] (val nameLower: String,
+                                        val sourceStart: Int, val sourceEnd: Int) {
   private[rewrite] var mutations = new Mutations
   private[rewrite] var renamedTo: String = _
   def before(content: String, ct: Int = ContentType.Html): Unit = mutations.before(content, ct)
@@ -1117,7 +1132,7 @@ final class Rewriter(
       }
 
       if (endTagHandlers.hasActive || forced) {
-        val tok = new EndTagTok(internTagName(nameStart, nameEnd, nameHash))
+        val tok = new EndTagTok(internTagName(nameStart, nameEnd, nameHash), rawStart, rawEnd)
         endTagHandlers.doForEachActiveAndRemoveTail(h => h(tok))
         if (tok.renamedTo != null && !tok.mutations.removed)
           tok.mutations.replace(s"</${tok.renamedTo}>", ContentType.Html)
@@ -1148,7 +1163,7 @@ final class Rewriter(
           if (has) new String(input, s, e - s, java.nio.charset.StandardCharsets.UTF_8) else null
         val tok = new DoctypeTok(str(nameStart, nameEnd, hasName),
           str(publicIdStart, publicIdEnd, hasPublicId),
-          str(systemIdStart, systemIdEnd, hasSystemId))
+          str(systemIdStart, systemIdEnd, hasSystemId), rawStart, rawEnd)
         doctypeHandlers.forEachActive(h => h(tok))
         emitChunkBefore(rawStart)
         serializeToken(tok.mutations, rawStart, rawEnd)

@@ -173,7 +173,10 @@ object Instr {
     if (a.op == AttrOp.Exists) return e.attrExists(a.lowerName)
     val v = attrVal(e, a.lowerName)
     if (v == null) return false
-    val ci = a.caseMode == CaseMode.Insensitive
+    // HtmlLegacy resolves per element, like the reference's
+    // to_unconditional(.., is_html_element) (attribute_matcher.rs:18-36)
+    val ci = a.caseMode == CaseMode.Insensitive ||
+      (a.caseMode == CaseMode.HtmlLegacy && e.isHtmlNs)
     a.op match {
       case AttrOp.Eq => eqCase(v, a.value, ci)
       case AttrOp.Includes => containsWsToken(v, a.value, ci)

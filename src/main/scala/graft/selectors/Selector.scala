@@ -19,9 +19,24 @@ object AttrOp {
 }
 
 object CaseMode {
-  final val Default = 0 // case-sensitive (per-attribute HTML rules not modeled, as in reference)
+  /** No flag, attribute NOT in the HTML legacy list: case-sensitive. */
+  final val Default = 0
   final val Insensitive = 1 // `i` flag
   final val ExplicitSensitive = 2 // `s` flag
+  /** No flag, attribute IS in [[SelectorParser.LegacyCaseInsensitiveAttrs]]:
+    * value comparison is ASCII-case-insensitive iff the element under
+    * test is an HTML-namespace element. This mirrors the reference
+    * end-to-end (round-5 adjudication): the selectors crate's parser
+    * (selectors 0.37, `AttributeFlags::CaseSensitivityDependsOnName`)
+    * emits `AsciiCaseInsensitiveIfInHtmlElementInHtmlDocument` for
+    * unflagged attribute selectors whose lowercased name is in the HTML
+    * spec's legacy case-insensitive set, and lol-html resolves it per
+    * element via `to_unconditional(.., is_html_element)`
+    * (/root/reference/src/selectors_vm/attribute_matcher.rs:18-36,56) —
+    * so `[type=text]` DOES match `<input type=TEXT>` there, but not
+    * `<svg><x type=TEXT>`.
+    */
+  final val HtmlLegacy = 3
 }
 
 sealed trait SimpleSel
@@ -61,6 +76,21 @@ case class SelectorList(selectors: Vector[ComplexSel])
   * rejected with the reference's error taxonomy.
   */
 object SelectorParser {
+  /** The HTML spec's legacy case-insensitive attribute set ("case-
+    * sensitivity of selectors" — the list the selectors crate bakes into
+    * `ascii_case_insensitive_html_attributes.rs`): unflagged attribute
+    * VALUE comparisons against these names are ASCII-case-insensitive on
+    * HTML-namespace elements (see [[CaseMode.HtmlLegacy]]).
+    */
+  val LegacyCaseInsensitiveAttrs: Set[String] = Set(
+    "accept", "accept-charset", "align", "alink", "axis", "bgcolor",
+    "charset", "checked", "clear", "codetype", "color", "compact",
+    "declare", "defer", "dir", "direction", "disabled", "enctype", "face",
+    "frame", "hreflang", "http-equiv", "lang", "language", "link", "media",
+    "method", "multiple", "nohref", "noresize", "noshade", "nowrap",
+    "readonly", "rel", "rev", "rules", "scope", "scrolling", "selected",
+    "shape", "target", "text", "type", "valign", "valuetype", "vlink")
+
   def parse(s: String): SelectorList = new P(s).parseList()
 
   private final class P(s: String) {
@@ -223,7 +253,9 @@ object SelectorParser {
         if (!eof && (peek == '"' || peek == '\'')) parseString()
         else parseIdent()
       skipWs()
-      var caseMode = CaseMode.Default
+      var caseMode =
+        if (SelectorParser.LegacyCaseInsensitiveAttrs(lower)) CaseMode.HtmlLegacy
+        else CaseMode.Default
       if (!eof && (peek == 'i' || peek == 'I')) { caseMode = CaseMode.Insensitive; i += 1; skipWs() }
       else if (!eof && (peek == 's' || peek == 'S')) { caseMode = CaseMode.ExplicitSensitive; i += 1; skipWs() }
       if (eof || peek != ']') err("UnexpectedToken", "expected ]")

@@ -2,7 +2,7 @@ package graft.spark
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.rewrite.{ElementHandlers, Rewriter}
+import graft.rewrite.{DocHandlers, ElementHandlers, Rewriter}
 import graft.extract.ExtractPolicy
 
 /** Rewrite-mode pipeline: boilerplate subtrees removed, the REMAINING
@@ -114,6 +114,35 @@ object HtmlClean {
         }
       }
       .toDF("doc_id", "a_start", "a_end", "a_raw")
+  }
+
+  /** x13: EndTag + Doctype source-location ranges (round 5): the doctype
+    * token's byte range and the `</nav>` end tag's byte range per
+    * document, both recomputable by the oracle via template arithmetic —
+    * pins `EndTagTok.sourceStart/End` and `DoctypeTok.sourceStart/End`
+    * (reference `end_tag.rs:183`, `doctype.rs:112`).
+    */
+  def endTagRanges(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("string"), col("html"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        var dtS = 0; var dtE = 0; var navS = 0; var navE = 0
+        val rw = new Rewriter(
+          Seq("nav" -> ElementHandlers(element = el =>
+            el.onEndTag(et => { navS = et.sourceStart; navE = et.sourceEnd }))),
+          Seq(DocHandlers(doctype = dt => { dtS = dt.sourceStart; dtE = dt.sourceEnd })),
+          strict = false, produceOutput = false)
+        it.map { case (id, html) =>
+          dtS = -1; dtE = -1; navS = -1; navE = -1
+          val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          rw.rewriteToBytes(bytes)
+          (id, dtS, dtE, navS, navE,
+            new String(bytes, navS, navE - navS, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("doc_id", "dt_start", "dt_end", "nav_start", "nav_end", "nav_raw")
   }
 
   /** x12: DOM-heuristic extraction ([[graft.extract.HeuristicMain]]) —

@@ -386,6 +386,68 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Default per-bucket member cap for [[ngramJaccardPairsCapped]]: each
+    * shingle bucket expands pairs only among its first this-many members
+    * (ascending doc_id), bounding per-bucket pair output to C(cap, 2)
+    * regardless of duplicate-cluster multiplicity.
+    */
+  val DefaultPairMemberCap = 64
+
+  /** d2b: bounded-output variant of [[ngramJaccardPairs]]. Identical
+    * inverted-index plan and `dfCap` whole-bucket drop, but pair
+    * expansion inside each kept bucket is limited to the bucket's first
+    * `memberCap` members (ascending doc_id — deterministic). Co-occurrence
+    * counts (`inter`) can therefore only shrink vs d2, so the emitted
+    * jaccard is a LOWER BOUND and pairs whose overlap lives beyond the
+    * cap are missing — by definition: a web-scale duplicate cluster of n
+    * docs appears in ~every shared shingle bucket, and exact enumeration
+    * (d2) emits O(n^2) rows per cluster where this emits at most
+    * C(memberCap, 2). Buckets that were member-capped are surfaced via
+    * the observed metric "capped_shingle_buckets" (0 means the result
+    * equals d2 exactly). Use d2 for verification-scale exactness, d3+d10
+    * for web-scale dedup, and d2b when bounded exact-Jaccard evidence on
+    * cluster HEADS (lowest-id members) is wanted at scale.
+    */
+  def ngramJaccardPairsCapped(base: DataFrame, threshold: Double,
+                              memberCap: Int = DefaultPairMemberCap,
+                              dfCap: Int = DefaultShingleDfCap): DataFrame =
+    ngramJaccardPairsCappedFromShingled(
+      shingled(base).select(col("doc_id"), col("sh")), threshold, memberCap, dfCap)
+
+  /** d2b over a pre-staged shingle table (see [[stageShingles]]). */
+  def ngramJaccardPairsCappedStaged(spark: SparkSession, dir: String, threshold: Double,
+                                    memberCap: Int = DefaultPairMemberCap,
+                                    dfCap: Int = DefaultShingleDfCap): DataFrame =
+    ngramJaccardPairsCappedFromShingled(stagedShingles(spark, dir), threshold, memberCap, dfCap)
+
+  private def ngramJaccardPairsCappedFromShingled(withSh: DataFrame, threshold: Double,
+                                                  memberCap: Int, dfCap: Int): DataFrame = {
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("set_size"))
+    val spark = withSh.sparkSession
+    import spark.implicits._
+    val inverted = withSh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .observe("ngram_capped_buckets",
+        sum(when(size(col("ids")) > dfCap, 1L).otherwise(0L)).as("dropped_shingles_capped"),
+        sum(when(size(col("ids")).between(memberCap + 1, dfCap), 1L).otherwise(0L))
+          .as("capped_shingle_buckets"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+      // the member cap: first `memberCap` ids of the (already sorted) list
+      .select(slice(col("ids"), 1, memberCap).as("ids"))
+    val pairs = inverted.select(col("ids")).as[Seq[Long]]
+      .flatMap(ids => orderedPairs(ids)) // lazy: O(1) memory per bucket
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- MinHash ----
 
   /** Deterministic 64-bit mix (splitmix64 finalizer). */
@@ -612,10 +674,17 @@ object DedupOps {
         .unionAll(minsS.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // set equality = same size + nothing new (counts carried across
-      // rounds, so convergence costs one count + one anti-join probe)
-      val nNext = next.count()
-      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      // set equality = same size + nothing new. ONE aggregation job
+      // returns (count, matched-against-previous) together — round 4 ran
+      // a count job PLUS an anti-join probe job per round, doubling the
+      // driver round-trips a contended driver multiplies (p1 read 42 s
+      // driver vs 4 s quiet purely from per-round latency)
+      val stats = next
+        .join(edges.select(col("u"), col("v"), lit(1).as("old")), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("old")).as("matched"))
+        .collect()(0)
+      val nNext = stats.getLong(0)
+      val grew = stats.getLong(1) < nNext
       converged = !grew && nNext == nEdges
       nEdges = nNext
       releaseRound(edges) // the anti-join above was its last consumer

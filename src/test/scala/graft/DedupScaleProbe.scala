@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * grown quadratically on the replicated duplicate clusters.
   *
   * Usage: Test/runMain graft.DedupScaleProbe [rep] [queries]
-  * (run exclusively; `queries` is a comma list from d2,d3,d5,d9 —
-  * default all. Skip d2 at rep > 10: its OUTPUT grows quadratically in
-  * cluster multiplicity, so the run time is the operator's answer size,
-  * not a plan property.)
+  * (run exclusively; `queries` is a comma list from d2,d2b,d3,d5,d9 —
+  * default d2,d3,d5,d9. Skip d2 at rep > 10: its OUTPUT grows
+  * quadratically in cluster multiplicity, so the run time is the
+  * operator's answer size, not a plan property. d2b is the bounded
+  * variant whose growth must stay ~linear at any rep.)
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -43,6 +44,7 @@ object DedupScaleProbe {
     DedupOps.clearShingleCache()
     println(s"[probe] corpus docs=$n (rep=$rep)")
     if (which("d2")) time("d2_ngram")(DedupOps.ngramJaccardPairs(base, 0.6).count())
+    if (which("d2b")) time("d2b_capped")(DedupOps.ngramJaccardPairsCapped(base, 0.6).count())
     if (which("d3")) time("d3_minhash")(DedupOps.minhashLshPairs(base, 0.6).count())
     if (which("d5")) time("d5_simhash")(DedupOps.simhashPairs(base, 3).count())
     if (which("d9")) time("d9_cc_star") {

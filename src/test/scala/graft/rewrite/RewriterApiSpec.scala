@@ -344,6 +344,39 @@ class EndTagHandlerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rw.rewrite("<ul><li>a</li></ul>") == "<ul><li>a[eol]</li></ul>")
   }
 
+  test("end-tag and doctype source locations, incl. implicit closes") {
+    // reference EndTag::source_location (end_tag.rs:183) and
+    // Doctype::source_location (doctype.rs:112): byte range of the token
+    // itself. An element implicitly closed by an ancestor's end tag fires
+    // its end-tag handler with THAT tag, so the range is the ancestor's.
+    var dt = (-1, -1)
+    var ranges = Vector.empty[(String, Int, Int)]
+    val html = "<!DOCTYPE  html>\n<section><ul><li>a<li>b</ul ></section><p>c</p>"
+    val capture = (el: Element) => {
+      // snapshot the name NOW: the pooled Element is only valid during
+      // the element-handler invocation, not inside the deferred end-tag
+      // callback
+      val name = el.tagName
+      el.onEndTag(et => ranges :+= ((name, et.sourceStart, et.sourceEnd)))
+    }
+    val rw = new Rewriter(
+      Seq("li" -> ElementHandlers(element = capture),
+        "ul" -> ElementHandlers(element = capture),
+        "p" -> ElementHandlers(element = capture)),
+      Seq(DocHandlers(doctype = d => dt = (d.sourceStart, d.sourceEnd))),
+      strict = false, produceOutput = false)
+    rw.rewrite(html)
+    assert(html.substring(dt._1, dt._2) == "<!DOCTYPE  html>")
+    // both <li>s are implicitly closed: the first by its sibling... no —
+    // lol-html's stack pops only on end tags, so BOTH lis drain at </ul >
+    // (whitespace inside the close tag included in the range), the ul at
+    // its own tag, the p at </p>
+    assert(ranges.map(_._1) == Vector("li", "li", "ul", "p"))
+    for ((_, s, e) <- ranges.take(3)) assert(html.substring(s, e) == "</ul >")
+    val (_, ps, pe) = ranges(3)
+    assert(html.substring(ps, pe) == "</p>")
+  }
+
   test("element source location is the start tag's byte range") {
     // mirrors the reference's Element::source_location (the START TAG's
     // range; the element end isn't parsed yet when the handler runs) —
@@ -361,5 +394,51 @@ class EndTagHandlerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(html.substring(ds, de) == "<div   class=\"a b\"\n  data-x = 'y' >")
     val (_, is0, ie0) = ranges(1)
     assert(html.substring(is0, ie0) == "<img src=\"i.png\"/>")
+  }
+}
+
+/** Round-5 adjudication of the legacy attribute case-sensitivity corner:
+  * the selectors crate (0.37) emits
+  * `AsciiCaseInsensitiveIfInHtmlElementInHtmlDocument` for UNFLAGGED
+  * attribute selectors whose name is in the HTML spec's legacy
+  * case-insensitive list, and the reference resolves it per element
+  * (/root/reference/src/selectors_vm/attribute_matcher.rs:18-36) — so the
+  * variant IS reachable through lol-html's accepted grammar and graft now
+  * models it (CaseMode.HtmlLegacy).
+  */
+class AttrCaseSensitivitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def matches(selector: String, html: String): Int = {
+    var n = 0
+    val rw = new Rewriter(Seq(selector -> ElementHandlers(element = _ => n += 1)),
+      strict = false, produceOutput = false)
+    rw.rewrite(html)
+    n
+  }
+
+  test("legacy attrs compare case-insensitively on HTML elements") {
+    assert(matches("[type=text]", "<input type=TEXT>") == 1)
+    assert(matches("input[type=\"TeXt\"]", "<input type=text>") == 1)
+    assert(matches("[rel~=NOFOLLOW]", "<a rel='x nofollow'>") == 1)
+    assert(matches("[hreflang|=EN]", "<a hreflang=en-GB>x</a>") == 1)
+    assert(matches("[target^=_BL]", "<a target=_blank>x</a>") == 1)
+    assert(matches("[media$=EEN]", "<style media=screen></style>") == 1)
+    assert(matches("[dir*=T]", "<bdo dir=rtl>x</bdo>") == 1)
+  }
+
+  test("foreign-content elements stay case-sensitive for legacy attrs") {
+    assert(matches("[type=text]", "<svg><x type=TEXT></x></svg>") == 0)
+    assert(matches("[type=text]", "<svg><x type=text></x></svg>") == 1)
+  }
+
+  test("non-legacy attrs stay case-sensitive without a flag") {
+    assert(matches("[data-x=a]", "<div data-x=A>") == 0)
+    assert(matches("[data-x=a]", "<div data-x=a>") == 1)
+    assert(matches("[id=Foo]", "<div id=foo>") == 0)
+  }
+
+  test("explicit flags override the legacy default") {
+    assert(matches("[type=text s]", "<input type=TEXT>") == 0)
+    assert(matches("[type=TEXT s]", "<input type=TEXT>") == 1)
+    assert(matches("[data-x=a i]", "<div data-x=A>") == 1)
   }
 }

@@ -108,6 +108,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupOps.clearShingleCache()
   }
 
+  test("d2b: pair output bounded by the member cap on a giant duplicate cluster") {
+    val sp = spark; import sp.implicits._
+    // 1,000 identical docs share every shingle bucket; exact d2 emits
+    // C(1000,2) = 499,500 pairs — d2b must emit exactly C(cap,2) pairs,
+    // all among the cap lowest ids, and surface the capping
+    val giantText = Array.tabulate(40)(i => s"w$i").mkString(" ")
+    val near = Array.tabulate(40)(i => s"v$i").mkString(" ")
+    val nearVariant = Array.tabulate(40)(i => s"v$i").zipWithIndex
+      .collect { case (w, i) if i % 17 != 16 => w }.mkString(" ")
+    val base = ((0L until 1000L).map(id => (id, giantText)) ++
+      Seq((5000L, near), (5001L, nearVariant))).toDF("doc_id", "text")
+    DedupOps.clearShingleCache()
+    val out = DedupOps.ngramJaccardPairsCapped(base, 0.6, memberCap = 16)
+    val rows = out.collect()
+    val clusterPairs = rows.filter(_.getLong(0) < 1000L)
+    assert(clusterPairs.length == 16 * 15 / 2, s"got ${clusterPairs.length}")
+    assert(clusterPairs.forall(r => r.getLong(0) < 16L && r.getLong(1) < 16L))
+    assert(rows.exists(r => r.getLong(0) == 5000L && r.getLong(1) == 5001L))
+    val metrics = out.queryExecution.observedMetrics("ngram_capped_buckets")
+    assert(metrics.getAs[Long]("capped_shingle_buckets") > 0L, metrics.toString)
+    assert(metrics.getAs[Long]("dropped_shingles_capped") == 0L, metrics.toString)
+    // below the cap, d2b degenerates to exact d2 (cluster removed)
+    DedupOps.clearShingleCache()
+    val small = Seq((5000L, near), (5001L, nearVariant)).toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(small, 0.6).collect().toSet
+    DedupOps.clearShingleCache()
+    val capped = DedupOps.ngramJaccardPairsCapped(small, 0.6, memberCap = 16).collect().toSet
+    assert(capped == exact)
+    DedupOps.clearShingleCache()
+  }
+
   test("d5 simhash: a giant chunk bucket is dropped (capped), true pairs elsewhere survive") {
     val sp = spark; import sp.implicits._
     // identical texts -> identical sketches -> one giant bucket per
