@@ -741,6 +741,7 @@ final class Rewriter(
       if (epoch == Int.MaxValue) { // stamp wrap: clear once per 2^31 tags
         java.util.Arrays.fill(nameStamp, 0)
         java.util.Arrays.fill(valueStamp, 0)
+        bloomEpoch = -1
         epoch = 1
       }
     }
@@ -773,6 +774,36 @@ final class Rewriter(
     // byte-level probe: unmatched attributes never materialize a name
     override def attrNameEq(i: Int, lowerName: String): Boolean =
       HtmlUtil.eqIgnoreCase(in, attrsV.nameStart(i), attrsV.nameEnd(i), lowerName)
+
+    // per-tag attr-name presence bloom (see ElemView.attrNameBloom):
+    // built lazily on the FIRST attr predicate of a tag, shared by every
+    // predicate on that tag — a clear bit answers `.class`/`#id`/`[attr]`
+    // in one AND instead of an attr-list scan. Fold matches
+    // ElemView.attrNameBit byte-for-byte (A-Z +32, FNV-64, bit fnv&63).
+    private var bloomV = 0L
+    private var bloomEpoch = -1
+    override def attrNameBloom: Long = {
+      if (bloomEpoch != epoch) {
+        var m = 0L
+        var i = 0
+        while (i < matCount) {
+          var f = 0xcbf29ce484222325L
+          var p = attrsV.nameStart(i)
+          val en = attrsV.nameEnd(i)
+          while (p < en) {
+            val b = in(p) & 0xff
+            val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+            f = (f ^ c) * 0x100000001b3L
+            p += 1
+          }
+          m |= 1L << (f & 63L).toInt
+          i += 1
+        }
+        bloomV = m
+        bloomEpoch = epoch
+      }
+      bloomV
+    }
 
     // byte-level .class / #id evaluation: the attribute VALUE string is
     // never materialized for the (overwhelmingly common) ASCII selector

@@ -10,6 +10,14 @@ trait ElemView {
   def nameLower: String
   def nameHash: Long
   def isHtmlNs: Boolean
+  /** 64-bit presence bloom over case-folded FNV-64 of the element's
+    * attribute NAMES (bit `fnv & 63`), or -1 ("unknown — treat every
+    * name as possibly present") when the implementation doesn't compute
+    * one. A CLEAR bit proves the attribute absent, letting `.class`,
+    * `#id` and `[attr]` predicates skip the attr-list scan entirely; a
+    * set bit still requires the exact scan (blooms only filter).
+    */
+  def attrNameBloom: Long = -1L
   def attrCount: Int
   def attrNameLower(i: Int): String
   def attrValue(i: Int): String
@@ -67,6 +75,31 @@ trait ElemView {
 object ElemView {
   @inline private def isAttrWs(c: Char): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f'
+
+  /** Bloom bit (`1L << (fnv64(lowered bytes) & 63)`) for a selector-side
+    * attribute name, matching the view-side per-byte fold over the raw
+    * input name exactly for ASCII names. Non-ASCII names return -1 ("all
+    * bits" — never filter): their raw-byte identity depends on the input
+    * encoding, so the bloom can't prove absence for them.
+    */
+  def attrNameBit(lowerName: String): Long = {
+    var f = 0xcbf29ce484222325L
+    var i = 0
+    while (i < lowerName.length) {
+      val ch = lowerName.charAt(i)
+      if (ch >= 0x80) return -1L
+      val c = if (ch >= 'A' && ch <= 'Z') ch + 32 else ch.toInt
+      f = (f ^ c) * 0x100000001b3L
+      i += 1
+    }
+    1L << (f & 63L).toInt
+  }
+
+  /** Precomputed bloom bits for the two attribute names the `.class` and
+    * `#id` shorthands read.
+    */
+  val ClassBit: Long = attrNameBit("class")
+  val IdBit: Long = attrNameBit("id")
 
   /** Whitespace-separated token membership (shared by the default
     * [[ElemView.hasClassToken]] and the attribute ~= operator).
@@ -130,14 +163,30 @@ final class Instr(
 }
 
 object Instr {
+  /** A/B switch for the attr-name bloom guards (-Dgraft.attrBloom=off, or
+    * toggled directly by the AbBloomRatio harness so both variants run
+    * interleaved in ONE JVM — the only protocol that survives this
+    * host's contention windows). Production never toggles it, so the
+    * branch is fully predicted.
+    */
+  private[graft] var BloomGate: Boolean =
+    !"off".equals(System.getProperty("graft.attrBloom"))
+
   def evalSimple(s: SimpleSel, e: ElemView): Boolean = s match {
     case TypeSel(lower, hash) =>
       if (hash != TagHash.Empty || e.nameHash != TagHash.Empty) e.nameHash == hash
       else e.nameLower == lower
     case UniversalSel => true
-    case IdSel(id) => e.idEquals(id)
-    case ClassSel(cls) => e.hasClassToken(cls)
-    case a: AttrSel => evalAttr(a, e)
+    // attr-name bloom guards: one bit test proves class/id/[attr] absent
+    // without scanning the attribute list (the view computes the bloom
+    // once per tag and shares it across every predicate). BloomGate is a
+    // JVM-constant A/B switch (-Dgraft.attrBloom=off); the JIT folds it.
+    case IdSel(id) =>
+      (!BloomGate || (e.attrNameBloom & ElemView.IdBit) != 0L) && e.idEquals(id)
+    case ClassSel(cls) =>
+      (!BloomGate || (e.attrNameBloom & ElemView.ClassBit) != 0L) && e.hasClassToken(cls)
+    case a: AttrSel =>
+      (!BloomGate || (e.attrNameBloom & a.nameBit) != 0L) && evalAttr(a, e)
     case NotSel(inner) =>
       var i = 0
       while (i < inner.length) {
