@@ -1051,6 +1051,29 @@ object Lexer {
     java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
       classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
+  /** Range-bounded SWAR memchr (same zero-byte trick as the lexer's
+    * internal [[Lexer.indexOf]]): first index of `b` in
+    * `input[from, until)`, or -1. Shared with the dispatcher's
+    * class-token probe, where an early-exit byte loop defeats
+    * auto-vectorization just like in the lexer hot path.
+    */
+  private[graft] def memchrRange(input: Array[Byte], b: Int, from: Int, until: Int): Int = {
+    var i = from
+    val limit = until - 8
+    if (i <= limit) {
+      val pattern = 0x0101010101010101L * (b & 0xffL)
+      while (i <= limit) {
+        val w = (LongView.get(input, i): Long) ^ pattern
+        val found = (w - 0x0101010101010101L) & ~w & 0x8080808080808080L
+        if (found != 0L)
+          return i + (java.lang.Long.numberOfTrailingZeros(found) >> 3)
+        i += 8
+      }
+    }
+    while (i < until) { if (input(i) == b) return i; i += 1 }
+    -1
+  }
+
   /** Tag-name delimiters (whitespace, '/', '>'): one load classifies the
     * common "another name char" case in the S_TAG_NAME spin loop.
     */

@@ -775,11 +775,13 @@ final class Rewriter(
     override def attrNameEq(i: Int, lowerName: String): Boolean =
       HtmlUtil.eqIgnoreCase(in, attrsV.nameStart(i), attrsV.nameEnd(i), lowerName)
 
-    // per-tag attr-name presence bloom (see ElemView.attrNameBloom):
+    // per-tag attr-name first-letter mask (see ElemView.attrNameBloom):
     // built lazily on the FIRST attr predicate of a tag, shared by every
     // predicate on that tag — a clear bit answers `.class`/`#id`/`[attr]`
-    // in one AND instead of an attr-list scan. Fold matches
-    // ElemView.attrNameBit byte-for-byte (A-Z +32, FNV-64, bit fnv&63).
+    // in one AND instead of an attr-list scan. One byte load + OR per
+    // attribute; bit mapping matches ElemView.attrNameBit (letters →
+    // c-'a', anything else — incl. non-ASCII bytes — → bit 26, which is
+    // conservative because non-ASCII selector names never filter).
     private var bloomV = 0L
     private var bloomEpoch = -1
     override def attrNameBloom: Long = {
@@ -787,16 +789,12 @@ final class Rewriter(
         var m = 0L
         var i = 0
         while (i < matCount) {
-          var f = 0xcbf29ce484222325L
-          var p = attrsV.nameStart(i)
-          val en = attrsV.nameEnd(i)
-          while (p < en) {
-            val b = in(p) & 0xff
+          val ns = attrsV.nameStart(i)
+          if (ns < attrsV.nameEnd(i)) {
+            val b = in(ns) & 0xff
             val c = if (b >= 'A' && b <= 'Z') b + 32 else b
-            f = (f ^ c) * 0x100000001b3L
-            p += 1
-          }
-          m |= 1L << (f & 63L).toInt
+            m |= (if (c >= 'a' && c <= 'z') 1L << (c - 'a') else 1L << 26)
+          } else m |= 1L << 26
           i += 1
         }
         bloomV = m
@@ -808,31 +806,75 @@ final class Rewriter(
     // byte-level .class / #id evaluation: the attribute VALUE string is
     // never materialized for the (overwhelmingly common) ASCII selector
     // tokens — class-bearing tags otherwise alloc one String per element
-    @inline private def isWsB(b: Byte): Boolean =
-      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    // one shift+test instead of five compares: all five HTML whitespace
+    // code points are < 64, so a single Long bitmask classifies them
+    @inline private def isWsB(b: Byte): Boolean = {
+      val c = b & 0xff
+      c < 64 && ((Rewriter.WsMask >>> c) & 1L) != 0L
+    }
     @inline private def asciiSel(s: String): Boolean = {
       var i = 0
       while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
       true
+    }
+    // selector-token classifier for the class fast path: 0 = ascii w/o
+    // whitespace (candidate scan applies), 1 = contains whitespace (a
+    // ws-separated list can NEVER contain such a token — e.g. the
+    // css3-modsel-155b escaped-space selector `.two\ words` — so the
+    // answer is false without touching the value), 2 = non-ascii
+    @inline private def clsKind(s: String): Int = {
+      var i = 0
+      var r = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 0x80) return 2
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f') r = 1
+        i += 1
+      }
+      r
     }
 
     override def hasClassToken(cls: String): Boolean = {
       var i = 0
       while (i < matCount) {
         if (attrNameEq(i, "class")) {
-          if (!asciiSel(cls))
+          val kind = clsKind(cls)
+          if (kind == 1) return false
+          if (kind == 2)
             return graft.selectors.ElemView.containsWsToken(attrValue(i), cls, caseInsensitive = false)
+          // candidate scan on the FIRST selector byte instead of full
+          // tokenization: a ws-boundary-checked match at p is exactly a
+          // token match (tokens are maximal ws-separated runs), and the
+          // common no-match case costs one byte compare per position
+          // instead of the per-byte whitespace classification
           val e = attrsV.valueEnd(i)
-          var p = attrsV.valueStart(i)
-          while (p < e) {
-            while (p < e && isWsB(in(p))) p += 1
-            val st = p
-            while (p < e && !isWsB(in(p))) p += 1
-            if (p - st == cls.length) {
-              var k = 0
-              var ok = true
-              while (ok && k < cls.length) { if ((in(st + k) & 0xff) != cls.charAt(k)) ok = false; k += 1 }
-              if (ok) return true
+          val s0 = attrsV.valueStart(i)
+          val len = cls.length
+          if (len == 0 || e - s0 < len) return false
+          val c0 = cls.charAt(0).toInt
+          val last = e - len
+          var p = s0
+          if (Rewriter.ClsProbeMemchr) {
+            while (p <= last) {
+              p = graft.core.Lexer.memchrRange(in, c0, p, last + 1)
+              if (p < 0) return false
+              if (p == s0 || isWsB(in(p - 1))) {
+                var k = 1
+                var ok = true
+                while (ok && k < len) { if ((in(p + k) & 0xff) != cls.charAt(k)) ok = false; k += 1 }
+                if (ok && (p + len == e || isWsB(in(p + len)))) return true
+              }
+              p += 1
+            }
+          } else {
+            while (p <= last) {
+              if ((in(p) & 0xff) == c0 && (p == s0 || isWsB(in(p - 1)))) {
+                var k = 1
+                var ok = true
+                while (ok && k < len) { if ((in(p + k) & 0xff) != cls.charAt(k)) ok = false; k += 1 }
+                if (ok && (p + len == e || isWsB(in(p + len)))) return true
+              }
+              p += 1
             }
           }
           return false
@@ -1220,6 +1262,20 @@ final class Rewriter(
 }
 
 object Rewriter {
+
+  /** Bitmask over code points < 64 marking the five HTML whitespace
+    * characters (\t \n \f \r space) — see the view's `isWsB`.
+    */
+  private[rewrite] final val WsMask: Long =
+    (1L << '\t') | (1L << '\n') | (1L << '\f') | (1L << '\r') | (1L << ' ')
+
+  /** A/B switch for the class-token candidate scan (SWAR memchr vs plain
+    * first-byte loop); toggled by the AbClsRatio harness so both
+    * variants run interleaved in one JVM. -Dgraft.clsProbe=loop selects
+    * the byte loop.
+    */
+  private[graft] var ClsProbeMemchr: Boolean =
+    !"loop".equals(System.getProperty("graft.clsProbe"))
 
   /** HTML-compatible encode (reference D13 output behavior —
     * encoding_rs's `encode_from_utf8` in

@@ -497,28 +497,24 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
       // can sit on several entry instrs (a comma list "div, .note" puts
       // the same handler id on two compounds) — dedup ids and fire in
       // ascending order exactly like the framed path, or a <div
-      // class=note> would fire its handler id twice
+      // class=note> would fire its handler id twice.
+      // entryMask is a FIELD, not a captured local: a nested def mutating
+      // a local var makes scalac box it into a per-call LongRef (no
+      // -opt inliner in this build), and this path runs once per tag
       if (smallProgram) {
-        var matchedMask = 0L
-        @inline def tryInstr(idx: Int): Unit = {
-          val in = program.instrs(idx)
-          if (in.eval(view)) {
-            var i = 0
-            while (i < in.matchedIds.length) { matchedMask |= 1L << in.matchedIds(i); i += 1 }
-          }
-        }
+        entryMask = 0L
         var i = 0
         if (nameEntry != null) {
           val u = nameEntry.universal
-          while (i < u.length) { tryInstr(u(i)); i += 1 }
+          while (i < u.length) { tryEntryInstr(u(i), view); i += 1 }
           val b = nameEntry.bucketFor(view.nameHash, view)
-          if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+          if (b != null) { i = 0; while (i < b.length) { tryEntryInstr(b(i), view); i += 1 } }
         } else {
           val ep = program.entryPoints
-          while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+          while (i < ep.length) { tryEntryInstr(ep(i), view); i += 1 }
         }
-        matched = matchedMask != 0L
-        var m = matchedMask
+        matched = entryMask != 0L
+        var m = entryMask
         while (m != 0L) {
           sink.onMatch(java.lang.Long.numberOfTrailingZeros(m), withContent)
           m &= m - 1
@@ -650,6 +646,46 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
   private val jumpBuf = new mutable.ArrayBuffer[Int](8)
   private val heredBuf = new mutable.ArrayBuffer[Int](8)
 
+  // per-tag scratch masks as FIELDS: the frameless/framed small-program
+  // entry sweeps would otherwise capture mutable locals in their helper,
+  // which scalac (without the -opt inliner) boxes into a fresh
+  // LongRef allocation per start tag
+  private var entryMask = 0L
+  private var visitedMaskF = 0L
+  private var matchedMaskF = 0L
+
+  /** Evaluate one entry instruction and fold its match ids into
+    * [[entryMask]] (frameless small-program path; no jumps/hereditary —
+    * entry-only programs have none).
+    */
+  private def tryEntryInstr(idx: Int, view: VmElemView): Unit = {
+    val in = program.instrs(idx)
+    if (in.eval(view)) {
+      var i = 0
+      while (i < in.matchedIds.length) { entryMask |= 1L << in.matchedIds(i); i += 1 }
+    }
+  }
+
+  /** Evaluate one instruction for the framed small-program path: dedup
+    * via [[visitedMaskF]], fold match ids into [[matchedMaskF]], queue
+    * jumps/hereditary continuations.
+    */
+  private def tryInstrSmall(idx: Int, view: VmElemView): Unit = {
+    val bit = 1L << idx
+    if ((visitedMaskF & bit) == 0L) {
+      visitedMaskF |= bit
+      val in = program.instrs(idx)
+      if (in.eval(view)) {
+        var i = 0
+        while (i < in.matchedIds.length) { matchedMaskF |= 1L << in.matchedIds(i); i += 1 }
+        i = 0
+        while (i < in.jumps.length) { jumpBuf += in.jumps(i); i += 1 }
+        i = 0
+        while (i < in.hereditary.length) { heredBuf += in.hereditary(i); i += 1 }
+      }
+    }
+  }
+
   def reset(): Unit = {
     frameless = entryOnly && !disableFrameless
     if (frameless) {
@@ -763,50 +799,34 @@ final class MatchingVm(program: Program, enableEsiTags: Boolean = false) {
     // (this path runs once per start tag whenever attr/class predicates
     // disable the fast entry table)
     if (smallProgram) {
-      var visitedMask = 0L
-      var matchedMask = 0L
+      visitedMaskF = 0L
+      matchedMaskF = 0L
       jumpBuf.clear()
       heredBuf.clear()
-      val instrs = program.instrs
-      @inline def tryInstr(idx: Int): Unit = {
-        val bit = 1L << idx
-        if ((visitedMask & bit) == 0L) {
-          visitedMask |= bit
-          val in = instrs(idx)
-          if (in.eval(view)) {
-            var i = 0
-            while (i < in.matchedIds.length) { matchedMask |= 1L << in.matchedIds(i); i += 1 }
-            i = 0
-            while (i < in.jumps.length) { jumpBuf += in.jumps(i); i += 1 }
-            i = 0
-            while (i < in.hereditary.length) { heredBuf += in.hereditary(i); i += 1 }
-          }
-        }
-      }
       var i = 0
       if (nameEntry != null) {
         val u = nameEntry.universal
-        while (i < u.length) { tryInstr(u(i)); i += 1 }
+        while (i < u.length) { tryInstrSmall(u(i), view); i += 1 }
         val b = nameEntry.bucketFor(view.nameHash, view)
-        if (b != null) { i = 0; while (i < b.length) { tryInstr(b(i)); i += 1 } }
+        if (b != null) { i = 0; while (i < b.length) { tryInstrSmall(b(i), view); i += 1 } }
       } else {
         val ep = program.entryPoints
-        while (i < ep.length) { tryInstr(ep(i)); i += 1 }
+        while (i < ep.length) { tryInstrSmall(ep(i), view); i += 1 }
       }
       if (top >= 0) {
         val pj = fJumps(top)
         i = 0
-        while (i < pj.length) { tryInstr(pj(i)); i += 1 }
+        while (i < pj.length) { tryInstrSmall(pj(i), view); i += 1 }
       }
       i = 0
       while (i < activeHereditary.length) {
         val arr = activeHereditary(i)._1
         var k = 0
-        while (k < arr.length) { tryInstr(arr(k)); k += 1 }
+        while (k < arr.length) { tryInstrSmall(arr(k), view); k += 1 }
         i += 1
       }
       // fire matches in ascending id order
-      var m = matchedMask
+      var m = matchedMaskF
       while (m != 0L) {
         sink.onMatch(java.lang.Long.numberOfTrailingZeros(m), withContent)
         m &= m - 1
@@ -1080,13 +1100,26 @@ final class NameEntryIndex private (keys: Array[Long], buckets: Array[Array[Int]
                                     byName: java.util.HashMap[String, Array[Int]],
                                     val universal: Array[Int]) {
   private val byNameEmpty = byName.isEmpty
+  // single-anchor specialization (e.g. the div/.note/[href] mix has one
+  // name bucket): one register compare per tag instead of a table probe
+  private var soloKey = 0L
+  private var soloBucket: Array[Int] = null
+  if (byNameEmpty) {
+    var i = 0
+    var n = 0
+    var ki = -1
+    while (i < keys.length) { if (keys(i) != 0L) { n += 1; ki = i }; i += 1 }
+    if (n == 1) { soloKey = keys(ki); soloBucket = buckets(ki) }
+  }
 
   /** Entries whose anchor matches this tag name, or null. The name string
     * is only fetched for unhashable tags, and only when some entry is
     * anchored on an unhashable name.
     */
   def bucketFor(hash: Long, view: ElemView): Array[Int] = {
-    if (hash != graft.core.TagHash.Empty) {
+    if (soloKey != 0L) {
+      if (hash == soloKey) soloBucket else null
+    } else if (hash != graft.core.TagHash.Empty) {
       val mask = keys.length - 1
       var i = java.lang.Long.hashCode(hash * 0x9e3779b97f4a7c15L) & mask
       while (true) {

@@ -49,15 +49,23 @@ object AbMixRatio {
     }
     var bestLex = Double.MaxValue
     var bestMix = Double.MaxValue
+    val perPass = new Array[Double](passes)
     var p = 0
     while (p < passes) {
       val tl = timed(lexer.parse(bytes, nullSink))
       val tm = timed(rwMix.rewriteToBytes(bytes))
       if (tl < bestLex) bestLex = tl
       if (tm < bestMix) bestMix = tm
+      perPass(p) = tl / tm
       p += 1
     }
     val mb = bytes.length.toDouble * reps / 1e6
-    println(f"$doc lex=${mb / bestLex}%.1f MB/s sel_mix=${mb / bestMix}%.1f MB/s ratio=${bestLex / bestMix}%.3f")
+    // the best-of-each-side ratio pairs times from DIFFERENT noise
+    // moments; the median of per-pass ratios (lex and mix timed
+    // back-to-back within one pass) is the contention-robust readout
+    java.util.Arrays.sort(perPass)
+    val med = perPass(passes / 2)
+    println(f"$doc lex=${mb / bestLex}%.1f MB/s sel_mix=${mb / bestMix}%.1f MB/s " +
+      f"ratio=${bestLex / bestMix}%.3f median_pass_ratio=$med%.3f")
   }
 }
