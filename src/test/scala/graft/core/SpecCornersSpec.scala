@@ -382,7 +382,20 @@ class SpecCornersSpec extends AnyFunSuite {
       "<title>&amp;</title>", "a&lt;b", "<style></styl></style>",
       "<svg><![CDATA[x<y]]></svg>", "<![CDATA[x]]>",
       "<svg><![CDATA[a]]b]]></svg>", "<svg><script>a<g>b</g></script></svg>",
-      "<svg><script>a<b</script></svg>", "<svg><script>a<i>b")
+      "<svg><script>a<b</script></svg>", "<svg><script>a<i>b",
+      // batch 5
+      "a<!", "a<!-", "<!-x>y", "<?>y",
+      "<!doctype", "<!doctype html", "<!doctype html ", "<!DOCTYPE HTML>",
+      "<!doctype html system>", "<!doctype html system \"s>x",
+      "<!doctype html publi \"p\">",
+      "<a\rhref=x>", "<a\fhref=x>", "<a href\r=\nx>", "<a href=\"x\ry\">",
+      "a\r\nb", "<textarea>a\r\nb</textarea>", "<b></b\n>",
+      "<title>x</title", "<script><!--x",
+      "<svg><title>a</title></svg>b",
+      "<math><annotation-xml encoding=\"text/html\"><b>x</b></annotation-xml></math>",
+      "<math><annotation-xml><b>x", "<math><mn><b>x</b></mn></math>",
+      "<svg><font>x", "<svg><font color=red>x", "<svg><circle/><rect/></svg>",
+      "<a href='x'/ b>", "<DIV CLASS=Foo>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -493,5 +506,183 @@ class SpecCornersSpec extends AnyFunSuite {
       "start(svg||sc=false|ns=1)", "start(script||sc=false|ns=1)",
       "text[Data](a)", "start(b<|script=|sc=false|ns=1)",
       "end(svg)", "eof")
+  }
+
+  // ---- batch 5: bogus-comment states ----
+
+  test("'<!' at EOF is an empty bogus comment") {
+    // markup declaration open: no '--'/DOCTYPE/[CDATA match ->
+    // incorrectly-opened-comment, bogus comment state; EOF emits
+    check("a<!", "text[Data](a)", "comment()", "eof")
+  }
+
+  test("'<!-' at EOF is a bogus comment containing the dash") {
+    // a single '-' fails the '--' sequence match; the dash is
+    // reconsumed as bogus-comment data
+    check("a<!-", "text[Data](a)", "comment(-)", "eof")
+  }
+
+  test("'<!-x>' is a bogus comment, not a comment") {
+    check("<!-x>y", "comment(-x)", "text[Data](y)", "eof")
+  }
+
+  test("'<?>' is a bogus comment containing '?'") {
+    // unexpected-question-mark-instead-of-tag-name: '?' reconsumed
+    // into bogus comment
+    check("<?>y", "comment(?)", "text[Data](y)", "eof")
+  }
+
+  // ---- batch 5: doctype EOF / quirks corners ----
+
+  test("EOF in doctype state forces quirks, no name") {
+    check("<!doctype", "doctype(<none>|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("EOF during the doctype name keeps the name and forces quirks") {
+    check("<!doctype html", "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("EOF after the doctype name forces quirks") {
+    check("<!doctype html ", "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("doctype name case is preserved at the lexeme level") {
+    // the spec lowercases the NAME in the token; the lexeme keeps the
+    // raw outline (same raw convention as attributes/entities)
+    check("<!DOCTYPE HTML>", "doctype(HTML|<none>|<none>|quirks=false)", "eof")
+  }
+
+  test("system keyword without an id forces quirks") {
+    check("<!doctype html system>",
+      "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  test("doctype system id abruptly closed by '>'") {
+    // abrupt-doctype-system-identifier: quirks on, collected id kept
+    check("<!doctype html system \"s>x",
+      "doctype(html|<none>|s|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  test("misspelled public/system keyword is a bogus doctype") {
+    // 'publi' matches neither keyword -> invalid-character-sequence-
+    // after-doctype-name, bogus doctype, quirks on, ids dropped
+    check("<!doctype html publi \"p\">",
+      "doctype(html|<none>|<none>|quirks=true)", "eof")
+  }
+
+  // ---- batch 5: CR / form-feed whitespace in tag states ----
+
+  test("CR is tag whitespace before an attribute name") {
+    check("<a\rhref=x>", "start(a|href=x|sc=false|ns=0)", "eof")
+  }
+
+  test("form feed is tag whitespace before an attribute name") {
+    check("<a\fhref=x>", "start(a|href=x|sc=false|ns=0)", "eof")
+  }
+
+  test("CR before '=' and LF before the value are whitespace") {
+    // attr name ends at \r (after-attribute-name), '=' then \n is
+    // skipped in before-attribute-value
+    check("<a href\r=\nx>", "start(a|href=x|sc=false|ns=0)", "eof")
+  }
+
+  test("CR inside a quoted attribute value is kept raw") {
+    // no input preprocessing (the reference rewrites raw bytes; CRLF
+    // normalization is a DOM concern) — the outline keeps the CR
+    check("<a href=\"x\ry\">", "start(a|href=x\ry|sc=false|ns=0)", "eof")
+  }
+
+  test("CRLF in text is kept raw") {
+    check("a\r\nb", "text[Data](a\r\nb)", "eof")
+    check("<textarea>a\r\nb</textarea>", "start(textarea||sc=false|ns=0)",
+      "text[RCData](a\r\nb)", "end(textarea)", "eof")
+  }
+
+  test("LF inside an end tag reaches before-attribute-name and closes") {
+    check("<b></b\n>", "start(b||sc=false|ns=0)", "end(b)", "eof")
+  }
+
+  // ---- batch 5: EOF in content modes ----
+
+  test("complete-looking end tag name at EOF inside rcdata is text") {
+    // '</title' with no '>' never leaves the end-tag-name state
+    check("<title>x</title", "start(title||sc=false|ns=0)",
+      "text[RCData](x</title)", "eof")
+  }
+
+  test("EOF inside script escape is script text") {
+    check("<script><!--x", "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--x)", "eof")
+  }
+
+  // ---- batch 5: foreign-content integration points ----
+
+  test("svg title is an HTML integration point (no rcdata inside svg)") {
+    // SPEC TRAP (first-guess expectation was wrong): <title> in the SVG
+    // namespace is one of the spec's HTML integration points
+    // (desc/title/foreignObject — reference tree_builder_simulator
+    // mod.rs:98-100), so its children parse under HTML rules AND the
+    // rcdata mode switch for HTML <title> does NOT apply; the element
+    // itself reports the entered HTML ns (post-feedback capture, as
+    // with desc in batch 4)
+    check("<svg><title>a</title></svg>b",
+      "start(svg||sc=false|ns=1)", "start(title||sc=false|ns=0)",
+      "text[Data](a)", "end(title)", "end(svg)", "text[Data](b)", "eof")
+  }
+
+  test("annotation-xml with encoding=text/html is an HTML integration point") {
+    // the integration-point decision inspects the encoding ATTRIBUTE
+    // (text/html or application/xhtml+xml)
+    check("<math><annotation-xml encoding=\"text/html\"><b>x</b></annotation-xml></math>",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=text/html|sc=false|ns=0)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "end(b)",
+      "end(annotation-xml)", "end(math)", "eof")
+  }
+
+  test("annotation-xml without encoding stays MathML; <b> breaks out anyway") {
+    // no integration point without the encoding attr — but 'b' is in
+    // the foreign-content breakout list, so it pops to HTML regardless
+    check("<math><annotation-xml><b>x",
+      "start(math||sc=false|ns=2)", "start(annotation-xml||sc=false|ns=2)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("mathml mn is a text integration point") {
+    check("<math><mn><b>x</b></mn></math>",
+      "start(math||sc=false|ns=2)", "start(mn||sc=false|ns=0)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "end(b)",
+      "end(mn)", "end(math)", "eof")
+  }
+
+  test("svg font WITHOUT color/face/size is NOT a breakout tag") {
+    // the font breakout is conditional on those attributes
+    check("<svg><font>x", "start(svg||sc=false|ns=1)",
+      "start(font||sc=false|ns=1)", "text[Data](x)", "eof")
+  }
+
+  test("svg font WITH a color attribute breaks out to HTML") {
+    check("<svg><font color=red>x", "start(svg||sc=false|ns=1)",
+      "start(font|color=red|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("self-closing foreign elements produce no content scope") {
+    // in foreign content the self-closing flag is honored: circle/rect
+    // never open, so </svg> closes svg directly
+    check("<svg><circle/><rect/></svg>",
+      "start(svg||sc=false|ns=1)", "start(circle||sc=true|ns=1)",
+      "start(rect||sc=true|ns=1)", "end(svg)", "eof")
+  }
+
+  // ---- batch 5: more attribute-state corners ----
+
+  test("'/' after a quoted value followed by a non-'>' starts a new attribute") {
+    // self-closing-start-tag state: 'b' is not '>', reconsume into
+    // before-attribute-name — the slash is swallowed, no self-closing
+    check("<a href='x'/ b>", "start(a|href=x,b=|sc=false|ns=0)", "eof")
+  }
+
+  test("tag and attribute name case is preserved at the lexeme level") {
+    check("<DIV CLASS=Foo>", "start(DIV|CLASS=Foo|sc=false|ns=0)", "eof")
   }
 }
