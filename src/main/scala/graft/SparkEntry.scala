@@ -109,6 +109,12 @@ object SparkEntry {
     "x12_heuristic_extract" -> ((s, dir) =>
       HtmlClean.heuristicExtract(HtmlClean.generatedHtml(s, dir))),
 
+    // x14: the JusText context rule (keepShortNearGood) — planted
+    // short-near-good / isolated-short / link-dense blocks; only the
+    // good block and its short neighbor must survive
+    "x14_heuristic_context" -> ((s, dir) =>
+      HtmlClean.contextHeuristicExtract(s, dir)),
+
     // t2: tokenizer counts over the generated corpus (fixed template =>
     // fixed counts; the script body contains markup-in-string, so the
     // ScriptData states are under the oracle too)
@@ -204,6 +210,11 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       DedupOps.decontaminate(DedupOps.withVariants(s, dir), benchmark)
     }),
+    // d12: substring-level span dedup (duplicated 13-gram runs merged
+    // into maximal per-doc spans) — the boilerplate-paragraph case
+    // doc-level dedup can't see
+    "d12_span_dedup" -> ((s, dir) =>
+      DedupOps.spanDedup(s.read.parquet(s"$dir/documents.parquet"))),
     // p1: the composed curation pipeline a training-data user actually
     // runs — near-dup cluster representatives (d9/d10), quality filters
     // (length + repetition), then deterministic split assignment: every
@@ -468,10 +479,28 @@ object SparkEntry {
         "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)) " +
         "SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated " +
         "FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id"),
+    "d12_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 11, 1)), " +
+        "i -> struct_pack(pos := i, gram := array_to_string(tk[i:i+12], ' ')))) AS pg FROM t), " +
+        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), " +
+        "dupg AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1), " +
+        "hit AS (SELECT doc_id, pos FROM g2 JOIN dupg USING (gram)), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) <= 13 THEN 0 ELSE 1 END AS brk FROM hit), " +
+        "s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM b), " +
+        "sp AS (SELECT doc_id, sid, min(pos) AS st, max(pos) + 13 AS en FROM s GROUP BY doc_id, sid), " +
+        "agg AS (SELECT doc_id, count(*) AS ns, sum(en - st) AS nt FROM sp GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(a.ns, 0) AS INT) AS dup_spans, " +
+        "CAST(coalesce(a.nt, 0) AS INT) AS dup_tokens " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x12_heuristic_extract" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
+    "x14_heuristic_context" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "text || 's' || CAST(doc_id % 7 AS VARCHAR) AS main_text FROM documents"),
     "x2_extract_media" ->
       ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
         "CAST(doc_id % 5 AS INT) AS n_media, " +

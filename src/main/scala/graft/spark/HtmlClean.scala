@@ -162,6 +162,38 @@ object HtmlClean {
       .toDF("doc_id", "main_text")
   }
 
+  /** x14: the JusText CONTEXT rule (`keepShortNearGood`) under the
+    * oracle — a short low-link-density block ADJACENT to an
+    * independently good block is kept, while an isolated short block and
+    * link-dense blocks still drop. The planted template surrounds the
+    * document text with one block of each kind, so the expected output
+    * is exactly `text || 's' || (doc_id % 7)`:
+    *
+    *   li  "nav-id x"  link-dense            -> dropped (density)
+    *   p   doc text    long, no links        -> good
+    *   p   "sN"        short, adjacent good  -> KEPT by the context rule
+    *   h2  "x"         all link text         -> dropped (density)
+    *   p   "eM"        short, neighbors bad  -> dropped (no good neighbor)
+    */
+  def contextHeuristicExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val hx = new graft.extract.HeuristicMain(minTextLen = 10,
+          keepShortNearGood = true)
+        it.map { case (id, text) =>
+          val html =
+            s"""<html><body><ul><li><a href="/s/$id">nav-$id</a> x</li></ul>""" +
+              s"""<p>$text</p><p>s${id.toLong % 7}</p>""" +
+              s"""<h2><a href="/t/$id">x</a></h2><p>e${id.toLong % 9}</p></body></html>"""
+          (id, hx.extractString(html).mkString)
+        }
+      }
+      .toDF("doc_id", "main_text")
+  }
+
   /** Token counts per document — the tokenizer itself at the correctness
     * gate (the generator's fixed template implies fixed tag counts,
     * including `<div>`-in-script-string cases that exercise ScriptData).

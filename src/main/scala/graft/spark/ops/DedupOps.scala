@@ -333,6 +333,72 @@ object DedupOps {
     }
   }
 
+  /** d12: SUBSTRING-level span dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): find every token
+    * position whose `k`-gram occurs more than once ANYWHERE in the
+    * corpus (other documents or elsewhere in the same one), and merge
+    * the hit positions into maximal duplicated spans per document —
+    * the operator that doc-level dedup (d1/d2/d3) cannot express:
+    * boilerplate paragraphs inside otherwise-unique pages.
+    *
+    * Plan shape (one corpus scan, two shuffles, no self-join, no cache):
+    * positional k-grams are generated row-locally in `mapPartitions`
+    * (Catalyst higher-order lambdas are interpreted — the same reason
+    * [[ngramSet]] exists) and exchanged as xxhash64 keys (8 bytes, not
+    * ~80-byte gram strings; a 64-bit collision marks a false duplicate
+    * span — negligible below ~2^30 distinct grams, same trust level as
+    * the d2/d3 shingle keys); duplication is decided by a count window
+    * PARTITIONED BY GRAM (high cardinality — one shuffle and no second
+    * scan of the gram generation, where a join-back against a
+    * `HAVING count>1` aggregate would recompute or cache the lineage);
+    * per-doc sorted positions then fold into merged `[p, p+k)` intervals
+    * with a single `aggregate` expression (adjacent duplicated runs
+    * merge: gap <= k). Returns (doc_id, dup_spans, dup_tokens) for
+    * EVERY corpus document, zeros for clean ones.
+    */
+  def spanDedup(base: DataFrame, k: Int = 13): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val grams = base.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = if (t == null) Array("") else t.split(" ", -1)
+        val cnt = toks.length - (k - 1)
+        if (cnt <= 0) Iterator.empty
+        else Iterator.range(1, cnt + 1).map { i =>
+          val sb = new java.lang.StringBuilder
+          var j = i - 1
+          val e = i - 1 + k
+          while (j < e) { if (j > i - 1) sb.append(' '); sb.append(toks(j)); j += 1 }
+          (id, i, sb.toString)
+        }
+      })
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+    val hits = grams
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("pos"))
+    val merged = hits.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+              named_struct('ns', 0, 'nt', 0, 'st', -1, 'en', -1),
+              (a, p) -> CASE
+                WHEN a.st < 0 THEN named_struct('ns', a.ns, 'nt', a.nt, 'st', p, 'en', p + $k)
+                WHEN p <= a.en THEN named_struct('ns', a.ns, 'nt', a.nt, 'st', a.st, 'en', p + $k)
+                ELSE named_struct('ns', a.ns + 1, 'nt', a.nt + (a.en - a.st), 'st', p, 'en', p + $k)
+              END,
+              a -> CASE WHEN a.st < 0 THEN named_struct('ns', a.ns, 'nt', a.nt)
+                        ELSE named_struct('ns', a.ns + 1, 'nt', a.nt + (a.en - a.st)) END
+            )""").as("m"))
+    base.select(col("doc_id"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m.ns"), lit(0)).as("dup_spans"),
+        coalesce(col("m.nt"), lit(0)).as("dup_tokens"))
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct
     * shingles -> group by shingle into doc-id buckets -> expand each

@@ -255,6 +255,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("span dedup: shared run recovered exactly; contiguous copies merge; clean doc zero") {
+    val sp = spark; import sp.implicits._
+    // S = a 20-token run shared by docs 1 and 2 at different offsets
+    val s20 = Array.tabulate(20)(i => s"s$i")
+    val docA = (Array.tabulate(10)(i => s"a$i") ++ s20 ++ Array.tabulate(10)(i => s"z$i")).mkString(" ")
+    val docB = (Array.tabulate(5)(i => s"w$i") ++ s20 ++ Array.tabulate(7)(i => s"x$i")).mkString(" ")
+    // doc 3: S twice back-to-back — straddling grams are unique, but the
+    // two duplicated regions are contiguous and must merge into ONE span
+    // covering all 40 tokens
+    val docC = (s20 ++ s20).mkString(" ")
+    val docD = Array.tabulate(40)(i => s"u$i").mkString(" ") // clean
+    val df = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(df).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    // shared-run hand check (k=13): in docA the duplicated grams are the 8
+    // fully-inside positions 11..18 -> one merged span [11, 31) = exactly
+    // the 20 shared tokens; same for docB at its offset
+    assert(got(1L) == ((1, 20)), s"docA: ${got(1L)}")
+    assert(got(2L) == ((1, 20)), s"docB: ${got(2L)}")
+    assert(got(3L) == ((1, 40)), s"docC: ${got(3L)}")
+    assert(got(4L) == ((0, 0)), s"docD: ${got(4L)}")
+  }
+
   test("packSequences equals the global prefix-sum, even under coalesce(1)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
