@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * grown quadratically on the replicated duplicate clusters.
   *
   * Usage: Test/runMain graft.DedupScaleProbe [rep] [queries]
-  * (run exclusively; `queries` is a comma list from d2,d2b,d3,d5,d9 —
-  * default d2,d3,d5,d9. Skip d2 at rep > 10: its OUTPUT grows
+  * (run exclusively; `queries` is a comma list from d2,d2b,d3,d5,d9,d12
+  * — default d2,d3,d5,d9. Skip d2 at rep > 10: its OUTPUT grows
   * quadratically in cluster multiplicity, so the run time is the
   * operator's answer size, not a plan property. d2b is the bounded
-  * variant whose growth must stay ~linear at any rep.)
+  * variant whose growth must stay ~linear at any rep; d12's output is
+  * per-doc (rows = corpus size) so it must also stay ~linear.)
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -47,6 +48,9 @@ object DedupScaleProbe {
     if (which("d2b")) time("d2b_capped")(DedupOps.ngramJaccardPairsCapped(base, 0.6).count())
     if (which("d3")) time("d3_minhash")(DedupOps.minhashLshPairs(base, 0.6).count())
     if (which("d5")) time("d5_simhash")(DedupOps.simhashPairs(base, 3).count())
+    // toRdd.count(), not count(): a plain count over d12's per-doc left
+    // join lets Catalyst prune the whole span computation away
+    if (which("d12")) time("d12_spans")(DedupOps.spanDedup(base).queryExecution.toRdd.count())
     if (which("d9")) time("d9_cc_star") {
       val out = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
       val c = out.count(); out.unpersist(); c
