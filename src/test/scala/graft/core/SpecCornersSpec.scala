@@ -395,7 +395,16 @@ class SpecCornersSpec extends AnyFunSuite {
       "<math><annotation-xml encoding=\"text/html\"><b>x</b></annotation-xml></math>",
       "<math><annotation-xml><b>x", "<math><mn><b>x</b></mn></math>",
       "<svg><font>x", "<svg><font color=red>x", "<svg><circle/><rect/></svg>",
-      "<a href='x'/ b>", "<DIV CLASS=Foo>")
+      "<a href='x'/ b>", "<DIV CLASS=Foo>",
+      // batch 6
+      "<a =b>", "<!doctype html public \"p\"\"s\">",
+      "<script><!--<script></script>x--></script>y",
+      "<svg><![CDATA[x",
+      "<math><annotation-xml encoding=TEXT/HTML><abbr>x",
+      "<math><annotation-xml encoding=text/xml><abbr>x",
+      "<a b=\">\">t", "<a b='>'>t", "<a b=\"x", "<a b=c>d=e>",
+      "<!--a\r\nb-->", "<textarea/>x</textarea>y", "<!--", "</?x>y",
+      "<!doctype html public 'p' \"s\">", "<script><!-- --> </script>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -684,5 +693,79 @@ class SpecCornersSpec extends AnyFunSuite {
 
   test("tag and attribute name case is preserved at the lexeme level") {
     check("<DIV CLASS=Foo>", "start(DIV|CLASS=Foo|sc=false|ns=0)", "eof")
+  }
+
+  // ---- batch 6 ----
+
+  test("'=' before an attribute name starts a name that keeps growing") {
+    // unexpected-equals-sign starts an attribute NAMED '='; the 'b'
+    // appends to that name (attribute name state), yielding name "=b"
+    check("<a =b>", "start(a|=b=|sc=false|ns=0)", "eof")
+  }
+
+  test("missing whitespace between public and system ids is tolerated") {
+    // after-doctype-public-identifier: a quote is a parse error but
+    // STARTS the system id — no quirks
+    check("<!doctype html public \"p\"\"s\">",
+      "doctype(html|p|s|quirks=false)", "eof")
+  }
+
+  test("'</script>' inside double-escape exits to escaped, '-->' then to data") {
+    // the inner </script> is TEXT (double-escape-end), after which the
+    // escape level is 'escaped' — so x--> leaves the escape and the
+    // outer </script> closes the element
+    check("<script><!--<script></script>x--></script>y",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script></script>x-->)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("CDATA truncated at EOF still emits the section text") {
+    check("<svg><![CDATA[x", "start(svg||sc=false|ns=1)",
+      "raw(<![CDATA[)", "text[CDataSection](x)", "eof")
+  }
+
+  test("annotation-xml encoding value matches ASCII-case-insensitively") {
+    // spec: 'an ASCII case-insensitive match for text/html' — abbr is
+    // NOT in the breakout list, so ns=0 here proves the integration
+    // point (not a breakout)
+    check("<math><annotation-xml encoding=TEXT/HTML><abbr>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=TEXT/HTML|sc=false|ns=0)",
+      "start(abbr||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("annotation-xml with a non-html encoding stays foreign") {
+    // text/xml is not an integration-point encoding; abbr (non-breakout)
+    // remains a MathML-namespace element
+    check("<math><annotation-xml encoding=text/xml><abbr>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=text/xml|sc=false|ns=2)",
+      "start(abbr||sc=false|ns=2)", "text[Data](x)", "eof")
+  }
+
+  test("'>' inside a quoted attribute value does not close the tag") {
+    check("<a b=\">\">t", "start(a|b=>|sc=false|ns=0)", "text[Data](t)", "eof")
+  }
+
+  test("EOF inside a quoted attribute value drops the token, keeps the raw") {
+    // eof-in-tag: the start tag token is never emitted; the consumed
+    // bytes surface as raw-without-token (lossless serialization)
+    check("<a b=\"x", "raw(<a b=\"x)", "eof")
+  }
+
+  test("CR/CRLF inside a comment is kept raw") {
+    check("<!--a\r\nb-->", "comment(a\r\nb)", "eof")
+  }
+
+  test("self-closing textarea still switches to RCDATA") {
+    // the self-closing flag on a non-void HTML element is ignored by the
+    // tree builder, so the mode switch happens regardless
+    check("<textarea/>x</textarea>y", "start(textarea||sc=true|ns=0)",
+      "text[RCData](x)", "end(textarea)", "text[Data](y)", "eof")
+  }
+
+  test("'<!--' alone at EOF is an empty comment") {
+    check("<!--", "comment()", "eof")
   }
 }
