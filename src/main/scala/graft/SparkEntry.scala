@@ -215,6 +215,10 @@ object SparkEntry {
     // doc-level dedup can't see
     "d12_span_dedup" -> ((s, dir) =>
       DedupOps.spanDedup(s.read.parquet(s"$dir/documents.parquet"))),
+    // d13: span-dedup APPLY — every later copy of a duplicated 13-gram
+    // run excised, the globally-first occurrence kept
+    "d13_span_apply" -> ((s, dir) =>
+      DedupOps.spanDedupApply(s.read.parquet(s"$dir/documents.parquet"))),
     // p1: the composed curation pipeline a training-data user actually
     // runs — near-dup cluster representatives (d9/d10), quality filters
     // (length + repetition), then deterministic split assignment: every
@@ -494,6 +498,26 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(a.ns, 0) AS INT) AS dup_spans, " +
         "CAST(coalesce(a.nt, 0) AS INT) AS dup_tokens " +
         "FROM documents d LEFT JOIN agg a USING (doc_id)"),
+    "d13_span_apply" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 11, 1)), " +
+        "i -> struct_pack(pos := i, gram := array_to_string(tk[i:i+12], ' ')))) AS pg FROM t), " +
+        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), " +
+        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g2), " +
+        "hit AS (SELECT doc_id, pos FROM r WHERE rk > 1), " +
+        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) <= 13 THEN 0 ELSE 1 END AS brk FROM hit), " +
+        "s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM b), " +
+        "sp AS (SELECT doc_id, sid, min(pos) AS st, max(pos) + 13 AS en FROM s GROUP BY doc_id, sid), " +
+        "spl AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS sp, " +
+        "SUM(en - st) AS rem FROM sp GROUP BY doc_id) " +
+        // duckdb array_to_string([]) is NULL where Spark array_join([]) is
+        // '' — coalesce the fully-deduplicated-doc case
+        "SELECT t.doc_id, CASE WHEN l.sp IS NULL THEN array_to_string(tk, ' ') " +
+        "ELSE coalesce(array_to_string(list_transform(list_filter(range(1, len(tk) + 1), " +
+        "i -> len(list_filter(l.sp, v -> i >= v.st AND i < v.en)) = 0), i -> tk[i]), ' '), '') END AS clean_text, " +
+        "CAST(coalesce(l.rem, 0) AS INT) AS removed_tokens " +
+        "FROM t LEFT JOIN spl l USING (doc_id)"),
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x12_heuristic_extract" ->

@@ -399,6 +399,73 @@ object DedupOps {
         coalesce(col("m.nt"), lit(0)).as("dup_tokens"))
   }
 
+  /** d13: span-dedup APPLY — the second half of [[spanDedup]]: rewrite
+    * every document with all-but-the-globally-first occurrence of each
+    * duplicated `k`-gram run REMOVED (Lee et al.'s "keep one copy"
+    * policy; global order = (doc_id, pos), so the earliest occurrence in
+    * the lowest-id document survives and every later copy is excised).
+    *
+    * Same plan skeleton as [[spanDedup]] with `row_number` instead of
+    * `count` in the per-gram window (rk > 1 marks removable
+    * occurrences); removal positions merge into maximal spans with the
+    * same fold, and the cleaned text is rebuilt from the tokens outside
+    * the spans with built-in HOFs (filter/exists/transform over the
+    * bound token array — no UDF). Whitespace-lossless for the ' '
+    * split/join pair (empty tokens survive the roundtrip). Returns
+    * (doc_id, clean_text, removed_tokens).
+    */
+  def spanDedupApply(base: DataFrame, k: Int = 13): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val grams = base.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = if (t == null) Array("") else t.split(" ", -1)
+        val cnt = toks.length - (k - 1)
+        if (cnt <= 0) Iterator.empty
+        else Iterator.range(1, cnt + 1).map { i =>
+          val sb = new java.lang.StringBuilder
+          var j = i - 1
+          val e = i - 1 + k
+          while (j < e) { if (j > i - 1) sb.append(' '); sb.append(toks(j)); j += 1 }
+          (id, i, sb.toString)
+        }
+      })
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+    val removable = grams
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    val spans = removable.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+              named_struct('sp', CAST(array() AS ARRAY<STRUCT<st: INT, en: INT>>), 'st', -1, 'en', -1),
+              (a, p) -> CASE
+                WHEN a.st < 0 THEN named_struct('sp', a.sp, 'st', p, 'en', p + $k)
+                WHEN p <= a.en THEN named_struct('sp', a.sp, 'st', a.st, 'en', p + $k)
+                ELSE named_struct('sp', array_append(a.sp, named_struct('st', a.st, 'en', a.en)), 'st', p, 'en', p + $k)
+              END,
+              a -> CASE WHEN a.st < 0 THEN a.sp
+                        ELSE array_append(a.sp, named_struct('st', a.st, 'en', a.en)) END
+            )""").as("sp"))
+    base.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("sp"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """array_join(transform(
+               filter(sequence(1, size(tk)),
+                      i -> !exists(sp, v -> i >= v.st AND i < v.en)),
+               i -> element_at(tk, i)), ' ')""")).as("clean_text"),
+        when(col("sp").isNull, lit(0)).otherwise(expr(
+          "aggregate(sp, 0, (a, v) -> a + (v.en - v.st))"))
+          .as("removed_tokens"))
+  }
+
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct
     * shingles -> group by shingle into doc-id buckets -> expand each

@@ -278,6 +278,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((0, 0)), s"docD: ${got(4L)}")
   }
 
+  test("span apply: later copies excised, globally-first occurrence kept, clean doc untouched") {
+    val sp = spark; import sp.implicits._
+    val s16 = Array.tabulate(16)(i => s"s$i")
+    val docA = s16.mkString(" ")                                            // first occurrence: intact
+    val docB = (Array("x", "y") ++ s16 ++ Array("q", "r")).mkString(" ")    // later copy: excised
+    val docC = Array.tabulate(20)(i => s"u$i").mkString(" ")                // clean: untouched
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got = DedupOps.spanDedupApply(df).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((docA, 0)), s"docA: ${got(1L)}")
+    assert(got(2L) == (("x y q r", 16)), s"docB: ${got(2L)}")
+    assert(got(3L) == ((docC, 0)), s"docC: ${got(3L)}")
+  }
+
   test("packSequences equals the global prefix-sum, even under coalesce(1)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
