@@ -189,6 +189,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("d12 span dedup: gram window, no cartesian, no gram-side re-scan join") {
+    val df = graft.SparkEntry.queries("d12_span_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // duplication is decided by ONE count window partitioned by the gram
+    // key (hashed) — a join-back against a HAVING-count aggregate would
+    // either recompute the gram generation or require caching it
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the gram generation (SerializeFromObject of the mapPartitions)
+    // must appear exactly once IN THE FINAL PLAN (the AQE plan string
+    // repeats every operator in its '== Initial Plan ==' section) — a
+    // second occurrence would mean a subtree recompute of the whole
+    // tokenize+gram pass
+    val fin = p.split("== Initial Plan ==")(0)
+    val gramScans = "SerializeFromObject".r.findAllIn(fin).length
+    assert(gramScans == 1, s"gram generation ran $gramScans times:\n$fin")
+  }
+
+  test("d13 span apply: rank window over gram key, single gram generation") {
+    val df = graft.SparkEntry.queries("d13_span_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val fin = p.split("== Initial Plan ==")(0)
+    val gramScans = "SerializeFromObject".r.findAllIn(fin).length
+    assert(gramScans == 1, s"gram generation ran $gramScans times:\n$fin")
+  }
+
   test("d11 decontamination joins the benchmark gram set by broadcast") {
     val df = graft.SparkEntry.queries("d11_decontaminate")(spark, sf)
     df.collect()
