@@ -404,7 +404,15 @@ class SpecCornersSpec extends AnyFunSuite {
       "<math><annotation-xml encoding=text/xml><abbr>x",
       "<a b=\">\">t", "<a b='>'>t", "<a b=\"x", "<a b=c>d=e>",
       "<!--a\r\nb-->", "<textarea/>x</textarea>y", "<!--", "</?x>y",
-      "<!doctype html public 'p' \"s\">", "<script><!-- --> </script>")
+      "<!doctype html public 'p' \"s\">", "<script><!-- --> </script>",
+      // batch 7
+      "<math><mi><mglyph>x", "<math><mi><malignmark>x", "<svg><mglyph>x",
+      "<svg><foreignObject><abbr>x",
+      "<math><annotation-xml encoding='application/xhtml+xml'><abbr>x",
+      "<!doctype html public \"p", "<!doctype html system 's",
+      "<iframe><b></iframe>", "<noframes><b></noframes>",
+      "<svg><svg><g></svg>y</svg>z", "<title></title0></title>",
+      "<textarea></textarea ></textarea>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -767,5 +775,81 @@ class SpecCornersSpec extends AnyFunSuite {
 
   test("'<!--' alone at EOF is an empty comment") {
     check("<!--", "comment()", "eof")
+  }
+
+  // ---- batch 7 ----
+
+  test("mglyph inside a MathML text integration point: REFERENCE PARITY (html ns)") {
+    // the full tree-construction dispatcher keeps mglyph/malignmark in
+    // the MathML namespace inside text integration points; the
+    // reference's simulator does NOT model that carve-out — it enters
+    // the HTML ns unconditionally at the integration point
+    // (tree_builder_simulator/mod.rs:203-207 has no mglyph check), and
+    // this engine matches the reference's observable behavior exactly
+    check("<math><mi><mglyph>x",
+      "start(math||sc=false|ns=2)", "start(mi||sc=false|ns=0)",
+      "start(mglyph||sc=false|ns=0)", "text[Data](x)", "eof")
+    check("<math><mi><malignmark>x",
+      "start(math||sc=false|ns=2)", "start(mi||sc=false|ns=0)",
+      "start(malignmark||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("mglyph directly inside svg stays foreign (no integration point)") {
+    check("<svg><mglyph>x", "start(svg||sc=false|ns=1)",
+      "start(mglyph||sc=false|ns=1)", "text[Data](x)", "eof")
+  }
+
+  test("svg foreignObject is an HTML integration point") {
+    // abbr is NOT in the breakout list — ns=0 proves the integration
+    // point, not a breakout
+    check("<svg><foreignObject><abbr>x",
+      "start(svg||sc=false|ns=1)", "start(foreignObject||sc=false|ns=0)",
+      "start(abbr||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("annotation-xml accepts application/xhtml+xml too") {
+    check("<math><annotation-xml encoding='application/xhtml+xml'><abbr>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=application/xhtml+xml|sc=false|ns=0)",
+      "start(abbr||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("EOF inside the doctype public id keeps the collected id, quirks on") {
+    check("<!doctype html public \"p",
+      "doctype(html|p|<none>|quirks=true)", "eof")
+  }
+
+  test("EOF inside the doctype system id keeps the collected id, quirks on") {
+    check("<!doctype html system 's",
+      "doctype(html|<none>|s|quirks=true)", "eof")
+  }
+
+  test("iframe and noframes are rawtext elements") {
+    check("<iframe><b></iframe>", "start(iframe||sc=false|ns=0)",
+      "text[RawText](<b>)", "end(iframe)", "eof")
+    check("<noframes><b></noframes>", "start(noframes||sc=false|ns=0)",
+      "text[RawText](<b>)", "end(noframes)", "eof")
+  }
+
+  test("nested svg: each end tag pops one namespace level") {
+    check("<svg><svg><g></svg>y</svg>z",
+      "start(svg||sc=false|ns=1)", "start(svg||sc=false|ns=1)",
+      "start(g||sc=false|ns=1)", "end(svg)", "text[Data](y)",
+      "end(svg)", "text[Data](z)", "eof")
+  }
+
+  test("'</title0>' is NOT an appropriate end tag for title") {
+    // rcdata end-tag-name: '0' is not ws / '/' / '>' after the matching
+    // name, so the whole run stays text
+    check("<title></title0></title>", "start(title||sc=false|ns=0)",
+      "text[RCData](</title0>)", "end(title)", "eof")
+  }
+
+  test("a stray end tag after rcdata closes is still emitted") {
+    // first '</textarea >' closes (appropriate, ws then '>'); the
+    // second is an ordinary Data-state end tag lexeme
+    check("<textarea></textarea ></textarea>",
+      "start(textarea||sc=false|ns=0)", "end(textarea)",
+      "end(textarea)", "eof")
   }
 }
