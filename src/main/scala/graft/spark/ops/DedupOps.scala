@@ -356,24 +356,43 @@ object DedupOps {
     * merge: gap <= k). Returns (doc_id, dup_spans, dup_tokens) for
     * EVERY corpus document, zeros for clean ones.
     */
-  def spanDedup(base: DataFrame, k: Int = 13): DataFrame = {
+  /** Positional k-grams of one document (1-based positions), shared by
+    * the in-memory and staged span-dedup paths.
+    */
+  private def posGramsOf(t: String, k: Int): Iterator[(Int, String)] = {
+    val toks = if (t == null) Array("") else t.split(" ", -1)
+    val cnt = toks.length - (k - 1)
+    if (cnt <= 0) Iterator.empty
+    else Iterator.range(1, cnt + 1).map { i =>
+      val sb = new java.lang.StringBuilder
+      var j = i - 1
+      val e = i - 1 + k
+      while (j < e) { if (j > i - 1) sb.append(' '); sb.append(toks(j)); j += 1 }
+      (i, sb.toString)
+    }
+  }
+
+  /** The corpus positional-gram table (doc_id, pos, g) with grams
+    * exchanged as xxhash64 keys — one row-local scan, no HOFs.
+    */
+  private def posGrams(base: DataFrame, k: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val grams = base.select(col("doc_id"), col("text")).as[(Long, String)]
+    base.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
-        val toks = if (t == null) Array("") else t.split(" ", -1)
-        val cnt = toks.length - (k - 1)
-        if (cnt <= 0) Iterator.empty
-        else Iterator.range(1, cnt + 1).map { i =>
-          val sb = new java.lang.StringBuilder
-          var j = i - 1
-          val e = i - 1 + k
-          while (j < e) { if (j > i - 1) sb.append(' '); sb.append(toks(j)); j += 1 }
-          (id, i, sb.toString)
-        }
+        posGramsOf(t, k).map { case (i, g) => (id, i, g) }
       })
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+  }
+
+  def spanDedup(base: DataFrame, k: Int = 13): DataFrame =
+    spanDedupFrom(base, posGrams(base, k), k)
+
+  /** d12 core over an arbitrary gram source ((doc_id, pos, g) — in-memory
+    * or the staged table).
+    */
+  def spanDedupFrom(base: DataFrame, grams: DataFrame, k: Int): DataFrame = {
     val hits = grams
       .withColumn("c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("g")))
@@ -414,24 +433,11 @@ object DedupOps {
     * split/join pair (empty tokens survive the roundtrip). Returns
     * (doc_id, clean_text, removed_tokens).
     */
-  def spanDedupApply(base: DataFrame, k: Int = 13): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    val grams = base.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        val toks = if (t == null) Array("") else t.split(" ", -1)
-        val cnt = toks.length - (k - 1)
-        if (cnt <= 0) Iterator.empty
-        else Iterator.range(1, cnt + 1).map { i =>
-          val sb = new java.lang.StringBuilder
-          var j = i - 1
-          val e = i - 1 + k
-          while (j < e) { if (j > i - 1) sb.append(' '); sb.append(toks(j)); j += 1 }
-          (id, i, sb.toString)
-        }
-      })
-      .toDF("doc_id", "pos", "gram")
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+  def spanDedupApply(base: DataFrame, k: Int = 13): DataFrame =
+    spanDedupApplyFrom(base, posGrams(base, k), k)
+
+  /** d13 core over an arbitrary gram source (see [[spanDedupFrom]]). */
+  def spanDedupApplyFrom(base: DataFrame, grams: DataFrame, k: Int): DataFrame = {
     val removable = grams
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("g")
@@ -465,6 +471,138 @@ object DedupOps {
           "aggregate(sp, 0, (a, v) -> a + (v.en - v.st))"))
           .as("removed_tokens"))
   }
+
+  /** Stage the POSITIONAL k-gram table (doc_id, pos, g) for span dedup,
+    * with the same resumable-ledger contract as [[stageShingles]]:
+    * doc-id-hash buckets, dynamic-partition-overwrite commits, ledger
+    * lines appended by atomic rename AFTER each pass, resume keyed on
+    * bucket presence only. The header additionally records `k` — a
+    * resume with a different gram width would silently mix gram spaces,
+    * so it fails fast. Gram strings never reach disk: they are hashed
+    * by the same `xxhash64` column expression the in-memory path uses,
+    * inside the staging job.
+    */
+  def stageSpanGrams(base: DataFrame, dir: String, k: Int = 13, buckets: Int = 64,
+                     maxBucketsPerPass: Int = Int.MaxValue,
+                     sourceId: String = ""): Seq[(Int, Long)] = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(sourceId.isEmpty || sourceId.matches("[A-Za-z0-9._/-]+"),
+      s"sourceId must match [A-Za-z0-9._/-]+ (embedded in the ledger header); got '$sourceId'")
+    val ledger = Paths.get(dir, "_ledger.jsonl")
+    Files.createDirectories(Paths.get(dir))
+
+    def ledgerLines: Seq[String] =
+      if (!Files.exists(ledger)) Nil
+      else Files.readAllLines(ledger, StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
+    def appendLedger(lines: Seq[String]): Unit = {
+      val tmp = Paths.get(dir, "_ledger.tmp")
+      val prev = if (Files.exists(ledger))
+        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8) else ""
+      Files.write(tmp, (prev + lines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val headerRx =
+      """"header"\s*:\s*1\s*,\s*"kind"\s*:\s*"posgrams"\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"k"\s*:\s*(\d+)\s*,\s*"source"\s*:\s*"([^"]*)"""".r
+    ledgerLines.iterator.flatMap(l => headerRx.findFirstMatchIn(l)).nextOption() match {
+      case Some(m) =>
+        require(m.group(1).toInt == buckets,
+          s"resume with buckets=$buckets, but the staging ledger was written with buckets=${m.group(1)}")
+        require(m.group(2).toInt == k,
+          s"resume with k=$k, but the staging ledger was written with k=${m.group(2)}")
+        require(m.group(3) == sourceId,
+          s"resume against a different source (ledger '${m.group(3)}', requested '$sourceId')")
+      case None =>
+        require(ledgerLines.isEmpty,
+          s"staging ledger at $dir has lines but no posgrams header; re-stage from scratch")
+        appendLedger(Seq(
+          s"""{"header":1,"kind":"posgrams","buckets":$buckets,"k":$k,"source":"$sourceId"}"""))
+    }
+    val bucketRx = """"bucket"\s*:\s*(\d+)""".r
+    val done = ledgerLines.flatMap(l => bucketRx.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    val todo = (0 until buckets).filterNot(done)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val results = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    for (group <- todo.grouped(math.max(1, maxBucketsPerPass))) {
+      val acc = new org.apache.spark.util.CollectionAccumulator[(Int, Long)]()
+      spark.sparkContext.register(acc, "graft_posgram_stage")
+      val staged = base
+        .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .where(col("bucket").isInCollection(group))
+        .select(col("doc_id"), col("text"), col("bucket"))
+        .as[(Long, String, Int)]
+        .mapPartitions { it =>
+          val counts = new java.util.HashMap[Int, Array[Long]]()
+          var flushed = false
+          new Iterator[(Long, Int, String, Int)] {
+            private var cur: Iterator[(Long, Int, String, Int)] = Iterator.empty
+            def hasNext: Boolean = {
+              while (!cur.hasNext && it.hasNext) {
+                val (id, t, b) = it.next()
+                counts.computeIfAbsent(b, _ => new Array[Long](1))(0) += 1
+                cur = posGramsOf(t, k).map { case (i, g) => (id, i, g, b) }
+              }
+              val h = cur.hasNext
+              if (!h && !it.hasNext && !flushed) {
+                flushed = true
+                counts.forEach((b, v) => acc.add((b, v(0))))
+              }
+              h
+            }
+            def next(): (Long, Int, String, Int) = cur.next()
+          }
+        }
+        .toDF("doc_id", "pos", "gram", "bucket")
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"), col("bucket"))
+      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(dir)
+      val merged = new java.util.HashMap[Int, Long]()
+      acc.value.forEach { case (b, n) => merged.merge(b, n, java.lang.Long.sum(_, _)) }
+      val groupResults = group.map(b => (b, merged.getOrDefault(b, 0L)))
+      appendLedger(groupResults.map { case (b, n) => s"""{"bucket":$b,"docs":$n}""" })
+      results ++= groupResults
+    }
+    results.toSeq
+  }
+
+  /** Read a staged positional-gram table written by [[stageSpanGrams]];
+    * fails on partial staging or a gram-width mismatch.
+    */
+  def stagedSpanGrams(spark: SparkSession, dir: String, k: Int = 13): DataFrame = {
+    import java.nio.charset.StandardCharsets
+    val ledger = java.nio.file.Paths.get(dir, "_ledger.jsonl")
+    require(java.nio.file.Files.exists(ledger), s"no staging ledger at $dir")
+    val lines = java.nio.file.Files.readAllLines(ledger, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+    val headerRx =
+      """"header"\s*:\s*1\s*,\s*"kind"\s*:\s*"posgrams"\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"k"\s*:\s*(\d+)""".r
+    val m = headerRx.findFirstMatchIn(lines.mkString("\n"))
+      .getOrElse(throw new IllegalStateException(s"staging ledger at $dir has no posgrams header"))
+    val buckets = m.group(1).toInt
+    require(m.group(2).toInt == k,
+      s"staged grams at $dir were written with k=${m.group(2)}, requested k=$k")
+    val done = lines.flatMap(l => """"bucket"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    val missing = (0 until buckets).filterNot(done)
+    require(missing.isEmpty,
+      s"staging at $dir is incomplete (missing buckets: ${missing.take(8).mkString(",")}...)")
+    spark.read.parquet(dir).select(col("doc_id"), col("pos"), col("g"))
+  }
+
+  /** d12 over a staged gram table — the 100 TB path: shingle the corpus
+    * once (resumably), then every span-dedup pass reads the staged
+    * parquet instead of re-tokenizing 100 TB of text.
+    */
+  def spanDedupStaged(base: DataFrame, dir: String, k: Int = 13): DataFrame =
+    spanDedupFrom(base, stagedSpanGrams(base.sparkSession, dir, k), k)
+
+  /** d13 over a staged gram table (see [[spanDedupStaged]]). */
+  def spanDedupApplyStaged(base: DataFrame, dir: String, k: Int = 13): DataFrame =
+    spanDedupApplyFrom(base, stagedSpanGrams(base.sparkSession, dir, k), k)
 
   /** Exact n-gram Jaccard similarity join via shingle inverted index.
     * Plan shape (one scan of the corpus, two shuffles): explode distinct

@@ -210,6 +210,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](DedupOps.stageShingles(base, dir, buckets = 8, sourceId = "other"))
   }
 
+  test("posgram staging: ledger resume skips done buckets; staged d12/d13 match in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_posgram_stage").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = base.count()
+    val first = DedupOps.stageSpanGrams(base, dir, buckets = 8, maxBucketsPerPass = 4)
+    assert(first.map(_._1).toSet == (0 until 8).toSet)
+    assert(first.map(_._2).sum == nDocs)
+    // simulate a mid-run kill: header + 3 committed bucket lines survive
+    val ledger = java.nio.file.Paths.get(dir, "_ledger.jsonl")
+    val lines = java.nio.file.Files.readAllLines(ledger)
+    val kept = lines.subList(0, 4)
+    val keptBuckets = kept.toArray(Array.empty[String]).drop(1)
+      .flatMap(l => """"bucket"\s*:\s*(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
+    java.nio.file.Files.write(ledger, kept)
+    val resumed = DedupOps.stageSpanGrams(base, dir, buckets = 8, maxBucketsPerPass = 4)
+    assert(resumed.size == 5, s"resume recomputed ${resumed.map(_._1)}")
+    assert(resumed.map(_._1).toSet.intersect(keptBuckets).isEmpty)
+    // staged results are bit-identical to the in-memory paths
+    def rows12(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def rows13(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows12(DedupOps.spanDedupStaged(base, dir)) == rows12(DedupOps.spanDedup(base)))
+    assert(rows13(DedupOps.spanDedupApplyStaged(base, dir)) == rows13(DedupOps.spanDedupApply(base)))
+    // fail fast on mismatched bucketing / gram width / source
+    intercept[IllegalArgumentException](DedupOps.stageSpanGrams(base, dir, buckets = 16))
+    intercept[IllegalArgumentException](DedupOps.stageSpanGrams(base, dir, k = 7, buckets = 8))
+    intercept[IllegalArgumentException](DedupOps.stageSpanGrams(base, dir, buckets = 8, sourceId = "other"))
+    intercept[IllegalArgumentException](DedupOps.stagedSpanGrams(spark, dir, k = 7))
+  }
+
   test("domain quota: two-phase top-k equals the window formulation exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = TextOps.domainQuota(docs, 7).collect()
