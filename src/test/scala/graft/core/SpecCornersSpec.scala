@@ -412,7 +412,12 @@ class SpecCornersSpec extends AnyFunSuite {
       "<!doctype html public \"p", "<!doctype html system 's",
       "<iframe><b></iframe>", "<noframes><b></noframes>",
       "<svg><svg><g></svg>y</svg>z", "<title></title0></title>",
-      "<textarea></textarea ></textarea>")
+      "<textarea></textarea ></textarea>",
+      // batch 8
+      "<a b= >x", "<a b=>x", "<a b=x", "<a//>x", "<a / >x", "<a b = = >x",
+      "<script><!-- - --></script>x", "<script><!----></script>x",
+      "<script><!--<script>-</script>--></script>x",
+      "<title>a<!--b--></title>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -851,5 +856,61 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<textarea></textarea ></textarea>",
       "start(textarea||sc=false|ns=0)", "end(textarea)",
       "end(textarea)", "eof")
+  }
+
+  // ---- batch 8 ----
+
+  test("missing attribute value: '=' then ws/'>' yields an empty value") {
+    // before-attribute-value skips whitespace; '>' is the
+    // missing-attribute-value parse error — tag still emitted
+    check("<a b= >x", "start(a|b=|sc=false|ns=0)", "text[Data](x)", "eof")
+    check("<a b=>x", "start(a|b=|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("EOF inside an unquoted value drops the token, keeps the raw") {
+    check("<a b=x", "raw(<a b=x)", "eof")
+  }
+
+  test("double slash before '>' still sets self-closing") {
+    // first '/' -> self-closing-start, '/' is not '>' so reconsume into
+    // before-attribute-name, second '/' -> self-closing-start, '>' sets
+    // the flag
+    check("<a//>x", "start(a||sc=true|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("slash then whitespace does NOT set self-closing") {
+    check("<a / >x", "start(a||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("'=' as the first unquoted value character is literal") {
+    // before-attribute-value reconsumes anything else into the unquoted
+    // value state, where '=' is an (error but literal) value char
+    check("<a b = = >x", "start(a|b==|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("script escaped: a lone dash does not close the escape") {
+    check("<script><!-- - --></script>x",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!-- - -->)",
+      "end(script)", "text[Data](x)", "eof")
+  }
+
+  test("'<!---->' inside script stays in the dash-dash state until '>'") {
+    check("<script><!----></script>x",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!---->)",
+      "end(script)", "text[Data](x)", "eof")
+  }
+
+  test("double-escape with a dash before the inner end tag") {
+    // '-' -> double-escaped-dash; '</script' ends only the DOUBLE escape
+    // (text), then '-->' leaves the single escape, then the real end tag
+    check("<script><!--<script>-</script>--></script>x",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script>-</script>-->)",
+      "end(script)", "text[Data](x)", "eof")
+  }
+
+  test("comment syntax inside rcdata title is text") {
+    check("<title>a<!--b--></title>", "start(title||sc=false|ns=0)",
+      "text[RCData](a<!--b-->)", "end(title)", "eof")
   }
 }
