@@ -143,6 +143,10 @@ object SparkEntry {
     // (no global-window funnel)
     "t7_pack" -> ((s, dir) =>
       TextOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), 512)),
+    // t8: context-window chunking (sliding <=128-token windows, 16-token
+    // overlap) — map-only, the embedding/fine-tuning prep dual of t7
+    "t8_chunk" -> ((s, dir) =>
+      TextOps.chunkDocuments(s.read.parquet(s"$dir/documents.parquet"))),
     // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
     // deterministically planted PII; counts + scrubbed text under oracle
     "t6_pii_scrub" -> ((s, dir) => {
@@ -655,6 +659,15 @@ object SparkEntry {
         "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tok, " +
         "sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) " +
         "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents)"),
+
+    "t8_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, tk, n, unnest(range(0, " +
+        "CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 128 + 111) // 112 END)) AS chunk_id FROM t) " +
+        "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+        "array_to_string(tk[chunk_id * 112 + 1 : least(chunk_id * 112 + 128, n)], ' ') AS chunk_text, " +
+        "CAST(least(chunk_id * 112 + 128, n) - chunk_id * 112 AS INT) AS n_tokens FROM c"),
 
     "t6_pii_scrub" ->
       ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

@@ -280,4 +280,35 @@ object TextOps {
       expr("rolling_hash(text)").as("fp_roll")
     )
   }
+
+  /** t8: context-window chunking — split every document into sliding
+    * windows of at most `maxTokens` whitespace tokens with `overlap`
+    * tokens of context carried between consecutive chunks (the
+    * embedding/fine-tuning prep step; sequence PACKING t7 is its dual).
+    * Chunk starts are `1 + i*(maxTokens-overlap)`; a document emits
+    * `1 + ceil((n - maxTokens) / step)` chunks (one when `n <=
+    * maxTokens`), so a trailing window fully covered by the previous one
+    * is never emitted. Map-only (no shuffle — PlanSpec asserts it);
+    * deterministic, rerun-stable. Returns (doc_id, chunk_id, chunk_text,
+    * n_tokens).
+    */
+  def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      s"need maxTokens > overlap >= 0; got $maxTokens/$overlap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val step = maxTokens - overlap
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = if (t == null) Array("") else t.split(" ", -1)
+        val n = toks.length
+        val chunks = if (n <= maxTokens) 1 else 1 + (n - maxTokens + step - 1) / step
+        Iterator.range(0, chunks).map { i =>
+          val s = i * step
+          val e = math.min(s + maxTokens, n)
+          (id, i, toks.slice(s, e).mkString(" "), e - s)
+        }
+      })
+      .toDF("doc_id", "chunk_id", "chunk_text", "n_tokens")
+  }
 }

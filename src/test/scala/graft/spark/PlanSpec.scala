@@ -189,6 +189,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("t8 chunking is map-only: no Exchange") {
+    val p = planOf("t8_chunk")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("d12 span dedup: gram window, no cartesian, no gram-side re-scan join") {
     val df = graft.SparkEntry.queries("d12_span_dedup")(spark, sf)
     df.collect()

@@ -323,6 +323,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((docC, 0)), s"docC: ${got(3L)}")
   }
 
+  test("chunkDocuments: sliding windows with exact overlap, short docs one chunk") {
+    val sp = spark; import sp.implicits._
+    val t300 = Array.tabulate(300)(i => s"w$i")
+    val df = Seq(
+      (1L, t300.mkString(" ")),
+      (2L, Array.tabulate(128)(i => s"a$i").mkString(" ")), // exactly max -> 1 chunk
+      (3L, Array.tabulate(129)(i => s"b$i").mkString(" ")), // one over -> 2 chunks
+      (4L, "")                                              // empty -> 1 chunk of [""]
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, maxTokens = 128, overlap = 16).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getInt(3)))).toMap
+    // 300 tokens, step 112: chunks [0,128), [112,240), [224,300)
+    assert(got((1L, 0)) == ((t300.slice(0, 128).mkString(" "), 128)))
+    assert(got((1L, 1)) == ((t300.slice(112, 240).mkString(" "), 128)))
+    assert(got((1L, 2)) == ((t300.slice(224, 300).mkString(" "), 76)))
+    assert(!got.contains((1L, 3)))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(t300.slice(112, 128).mkString(" ") ==
+      got((1L, 0))._1.split(" ").takeRight(16).mkString(" "))
+    assert(got((2L, 0))._2 == 128 && !got.contains((2L, 1)))
+    assert(got((3L, 0))._2 == 128 && got((3L, 1)) == (("b112 b113 b114 b115 b116 b117 b118 b119 b120 b121 b122 b123 b124 b125 b126 b127 b128", 17)))
+    assert(got((4L, 0)) == (("", 1)))
+  }
+
   test("packSequences equals the global prefix-sum, even under coalesce(1)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
