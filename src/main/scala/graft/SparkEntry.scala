@@ -147,6 +147,12 @@ object SparkEntry {
     // overlap) — map-only, the embedding/fine-tuning prep dual of t7
     "t8_chunk" -> ((s, dir) =>
       TextOps.chunkDocuments(s.read.parquet(s"$dir/documents.parquet"))),
+    // t9: per-source weighted mixture sampling — deterministic
+    // hash-threshold keep decision under per-source permille rates (four
+    // sources deliberately absent from the map take the default rate)
+    "t9_mixture" -> ((s, dir) =>
+      TextOps.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
+        MixRates, MixDefaultPermille)),
     // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
     // deterministically planted PII; counts + scrubbed text under oracle
     "t6_pii_scrub" -> ((s, dir) => {
@@ -213,6 +219,14 @@ object SparkEntry {
       val benchmark = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
         .select(col("doc_id"), col("text"))
       DedupOps.decontaminate(DedupOps.withVariants(s, dir), benchmark)
+    }),
+    // d14: incremental ingest dedup — the planted variants play the
+    // incoming crawl batch, the originals the existing corpus; one
+    // verdict row per batch doc with its best corpus match
+    "d14_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      DedupOps.incrementalDupVerdict(docs, DedupOps.variantBatch(docs), 0.6)
     }),
     // d12: substring-level span dedup (duplicated 13-gram runs merged
     // into maximal per-doc spans) — the boilerplate-paragraph case
@@ -417,6 +431,50 @@ object SparkEntry {
       "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard " +
       "FROM pairsb JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"
+
+  /** t9's mixture weights: per-source permille rates derived
+    * deterministically from the source name (what a mixture config table
+    * would carry); src16..src19 are deliberately absent so the default
+    * rate path is under the oracle too.
+    */
+  private[graft] val MixDefaultPermille = 500
+  private[graft] val MixRates: Map[String, Int] =
+    (0 until 16).map(i => s"src$i" -> (900 - 40 * (i % 10))).toMap
+
+  private val MixRateCase =
+    "CASE source " + MixRates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"WHEN '$s' THEN $r "
+    }.mkString + s"ELSE $MixDefaultPermille END"
+
+  /** d14's oracle: cross-set (batch vs corpus) inverted-index verify with
+    * the corpus-side document-frequency cap and a per-batch-doc argmax
+    * verdict (max rounded jaccard, ties to the minimum corpus id).
+    */
+  private val IncrementalSql =
+    "WITH corpus AS (SELECT doc_id, text FROM documents), " +
+      "batch AS (SELECT doc_id + 1000000 AS doc_id, " +
+      "array_to_string(list_filter(string_split(text, ' '), (x,i) -> i % 17 != 0), ' ') AS text FROM documents), " +
+      "csh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text,' ')) - 1, 1)), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh " +
+      "FROM corpus WHERE len(string_split(text,' ')) >= 3), " +
+      "bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text,' ')) - 1, 1)), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS sh " +
+      "FROM batch WHERE len(string_split(text,' ')) >= 3), " +
+      "csz AS (SELECT doc_id, count(*) AS set_size FROM csh GROUP BY 1), " +
+      "bsz AS (SELECT doc_id, count(*) AS set_size FROM bsh GROUP BY 1), " +
+      s"cok AS (SELECT sh FROM csh GROUP BY sh HAVING count(*) <= ${DedupOps.DefaultShingleDfCap}), " +
+      "icnt AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter " +
+      "FROM bsh b JOIN csh c USING (sh) JOIN cok USING (sh) GROUP BY 1, 2), " +
+      "f AS (SELECT bid, cid, jac FROM (SELECT bid, cid, " +
+      "round(CAST(inter AS DOUBLE) / (bs.set_size + cs.set_size - inter), 4) AS jac " +
+      "FROM icnt JOIN bsz bs ON bs.doc_id = bid JOIN csz cs ON cs.doc_id = cid) WHERE jac >= 0.6), " +
+      "best AS (SELECT bid, max(jac) AS jaccard FROM f GROUP BY 1), " +
+      "pick AS (SELECT f.bid, min(f.cid) AS dup_of, b.jaccard " +
+      "FROM f JOIN best b ON f.bid = b.bid AND f.jac = b.jaccard GROUP BY 1, 3) " +
+      "SELECT bt.doc_id, (p.bid IS NOT NULL) AS is_dup, p.dup_of, p.jaccard " +
+      "FROM batch bt LEFT JOIN pick p ON p.bid = bt.doc_id"
 
   /** d3's oracle: exact uncapped Jaccard ground truth. */
   private val JaccardPairsSql =
@@ -668,6 +726,13 @@ object SparkEntry {
         "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
         "array_to_string(tk[chunk_id * 112 + 1 : least(chunk_id * 112 + 128, n)], ' ') AS chunk_text, " +
         "CAST(least(chunk_id * 112 + 128, n) - chunk_id * 112 AS INT) AS n_tokens FROM c"),
+
+    "t9_mixture" ->
+      ("SELECT doc_id, source, CAST((doc_id * 2246822519) % 1000 AS INT) AS mix_bucket, " +
+        s"CAST($MixRateCase AS INT) AS rate_permille, " +
+        s"(doc_id * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+
+    "d14_incremental" -> IncrementalSql,
 
     "t6_pii_scrub" ->
       ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

@@ -24,12 +24,18 @@ object DedupOps {
   def withVariants(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val variants = docs.select(
+    docs.unionAll(variantBatch(docs))
+  }
+
+  /** The variant half of [[withVariants]] alone — used as the "incoming
+    * crawl batch" side of the incremental ingest dedup (d14), where the
+    * originals play the existing corpus.
+    */
+  def variantBatch(docs: DataFrame): DataFrame =
+    docs.select(
       (col("doc_id") + lit(1000000L)).as("doc_id"),
       array_join(filter(split(col("text"), " "),
         (x, i) => (i + lit(1)) % 17 =!= 0), " ").as("text"))
-    docs.unionAll(variants)
-  }
 
   /** Exact dedup: md5-keyed group, keep min doc_id. Map-side combine makes
     * this one shuffle of (hash -> partial min/count).
@@ -717,6 +723,76 @@ object DedupOps {
         round(col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** d14: incremental ingest dedup — the shape a 100 TB pipeline runs on
+    * every new crawl: the existing corpus is shingled ONCE (staged via
+    * [[stageShingles]] at scale) and each incoming batch is verified
+    * against it, producing one verdict row per batch document:
+    * `(doc_id, is_dup, dup_of, jaccard)` where `dup_of` is the minimum-id
+    * corpus document among those with the maximal (4-dp-rounded) Jaccard
+    * >= `threshold`; non-dup rows carry null `dup_of`/`jaccard`. Unlike
+    * d2/d2b/d3 (intra-corpus PAIRS) the output is one row per batch doc —
+    * the corpus never joins against itself, so output is bounded by the
+    * batch size regardless of corpus-side duplicate-cluster multiplicity.
+    *
+    * Plan shape: corpus postings = one explode + groupBy keyed on
+    * xxhash64(shingle) (8-byte exchange); postings with corpus document
+    * frequency > `dfCap` (boilerplate shingles, exactly the candidate
+    * fan-out killers at web scale) are dropped whole and surfaced via the
+    * observed metric "dropped_corpus_shingles". The batch side is
+    * exploded once and hash-joined; candidate counts group on
+    * (batch_id, corpus_id) — bounded by true near-dup candidates — then
+    * set sizes join in as column expressions (no second explode) and the
+    * per-batch-doc argmax is a single struct max (jaccard desc, corpus id
+    * asc via negation), no window.
+    */
+  def incrementalDupVerdict(corpus: DataFrame, batch: DataFrame, threshold: Double,
+                            dfCap: Int = DefaultShingleDfCap): DataFrame =
+    incrementalDupVerdictFromShingled(
+      shingled(corpus).select(col("doc_id"), col("sh")), batch, threshold, dfCap)
+
+  /** d14 over a pre-staged corpus shingle table (see [[stageShingles]]) —
+    * the production shape: stage the corpus once, run every ingest batch
+    * against the staged parquet with no corpus re-shingling.
+    */
+  def incrementalDupVerdictStaged(spark: SparkSession, dir: String, batch: DataFrame,
+                                  threshold: Double,
+                                  dfCap: Int = DefaultShingleDfCap): DataFrame =
+    incrementalDupVerdictFromShingled(stagedShingles(spark, dir), batch, threshold, dfCap)
+
+  private def incrementalDupVerdictFromShingled(corpusSh: DataFrame, batch: DataFrame,
+                                                threshold: Double, dfCap: Int): DataFrame = {
+    val cSizes = corpusSh.select(col("doc_id").as("cid"), size(col("sh")).as("size_c"))
+    val bSh = shingled(batch).select(col("doc_id"), col("sh"))
+    val bSizes = bSh.select(col("doc_id").as("bid"), size(col("sh")).as("size_b"))
+    // single-member postings are kept (unlike the intra-corpus pair ops'
+    // `> 1` floor): a batch doc can match a corpus doc through a shingle
+    // no OTHER corpus doc shares
+    val postings = corpusSh.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ids"))
+      .observe("incr_corpus_postings",
+        sum(when(size(col("ids")) > dfCap, 1L).otherwise(0L)).as("dropped_corpus_shingles"))
+      .where(size(col("ids")) <= dfCap)
+    val bExploded = bSh.select(col("doc_id").as("bid"), explode(col("sh")).as("sh"))
+      .select(col("bid"), xxhash64(col("sh")).as("sh"))
+    val inter = bExploded.join(postings, "sh")
+      .select(col("bid"), explode(col("ids")).as("cid"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
+    val flagged = inter
+      .join(bSizes, "bid").join(cSizes, "cid")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("size_b") + col("size_c") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+    val best = flagged.groupBy(col("bid"))
+      .agg(max(struct(col("jaccard"), (-col("cid")).as("negcid"))).as("m"))
+      .select(col("bid").as("doc_id"), (-col("m.negcid")).as("dup_of"),
+        col("m.jaccard").as("jaccard"))
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
   }
 
   // ---- MinHash ----

@@ -281,6 +281,36 @@ object TextOps {
     )
   }
 
+  /** t9: deterministic weighted mixture sampling — the corpus-assembly
+    * step that downsamples every source to its target mixture weight
+    * (the C4/Pile/DoReMi-shaped "data mixing" knob). Keep decision:
+    * Knuth-hash the stable doc_id into 1000 buckets with a DIFFERENT
+    * multiplier than [[deterministicSplit]] (the two decisions must be
+    * decorrelated — sampling must not bias which split bucket survives)
+    * and keep the document iff its bucket falls below the source's
+    * permille rate. Map-only (no shuffle, no RNG, no sampling drift):
+    * adding documents never flips existing keep decisions, reruns and
+    * repartitions are stable, and the oracle replays the identical
+    * integer arithmetic. Sources absent from `ratesPermille` take
+    * `defaultPermille`. Returns one row per input document
+    * (doc_id, source, mix_bucket, rate_permille, kept).
+    */
+  val MixHashMultiplier = 2246822519L // decorrelated from deterministicSplit's 2654435761
+
+  def mixtureSample(df: DataFrame, ratesPermille: Map[String, Int],
+                    defaultPermille: Int = 1000): DataFrame = {
+    require(defaultPermille >= 0 && defaultPermille <= 1000 &&
+      ratesPermille.values.forall(r => r >= 0 && r <= 1000),
+      "mixture rates are permille values in [0, 1000]")
+    val rate = coalesce(
+      element_at(typedLit(ratesPermille), col("source")), lit(defaultPermille))
+    val bucket = pmod(col("doc_id") * lit(MixHashMultiplier), lit(1000L)).cast("int")
+    df.select(col("doc_id"), col("source"),
+      bucket.as("mix_bucket"),
+      rate.cast("int").as("rate_permille"),
+      (bucket < rate).as("kept"))
+  }
+
   /** t8: context-window chunking — split every document into sliding
     * windows of at most `maxTokens` whitespace tokens with `overlap`
     * tokens of context carried between consecutive chunks (the

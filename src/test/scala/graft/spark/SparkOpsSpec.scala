@@ -139,6 +139,69 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupOps.clearShingleCache()
   }
 
+  test("d14 incremental: variants match their originals, fresh docs clean, staged == in-memory") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // incoming batch: the planted variants plus fresh docs with vocabulary
+    // the corpus has never seen (must come back is_dup = false)
+    val fresh = (0L until 20L).map(i =>
+      (9000000L + i, Array.tabulate(30)(j => s"fresh${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = DedupOps.variantBatch(docs).unionAll(fresh)
+    val out = DedupOps.incrementalDupVerdict(docs, batch, 0.6)
+    val rows = out.collect().map(r => (r.getLong(0),
+      r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toList
+    assert(rows.length == 520) // one verdict row per batch doc, exactly
+    val freshRows = rows.filter(_._1 >= 9000000L)
+    assert(freshRows.forall(!_._2), freshRows.take(3).toString)
+    // non-dup rows carry null dup_of
+    assert(rows.filter(!_._2).forall(_._3 == -1L))
+    // the overwhelming majority of variants hit their own original (a
+    // variant can in principle tie to a smaller-id near-identical corpus
+    // doc, so not asserted universally)
+    val matchedOwn = rows.count(r => r._2 && r._3 == r._1 - 1000000L)
+    assert(matchedOwn > 400, s"only $matchedOwn variants matched their original")
+    // staged corpus shingles (the production shape) are bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_stage").toString
+    DedupOps.stageShingles(docs, dir, buckets = 4)
+    val staged = DedupOps.incrementalDupVerdictStaged(spark, dir, batch, 0.6)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    val mem = out.collect().map(r => (r.getLong(0), r.getBoolean(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(staged == mem)
+  }
+
+  test("d14: boilerplate postings over the df cap are dropped whole and observable") {
+    val sp = spark; import sp.implicits._
+    // 50 corpus docs share a 6-token boilerplate tail -> 4 fully-shared
+    // trigrams with corpus df 50. With dfCap 10 those postings drop, so
+    // an exact copy of doc 0 keeps only its 4 unique-prefix trigrams:
+    // inter 4, jaccard 4/12 < 0.6 -> NOT flagged (without the cap it
+    // would be 1.0). A near-dup with unique vocabulary still flags.
+    val boiler = "boiler plate common text here now"
+    val corpus = ((0L until 50L).map(i => (i, s"a$i b$i c$i d$i $boiler")) ++
+      Seq((60L, Array.tabulate(12)(j => s"v$j").mkString(" ")))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, s"a0 b0 c0 d0 $boiler"), // exact copy of doc 0
+      (1060L, Array.tabulate(12)(j => s"v$j").drop(1).mkString(" "))
+    ).toDF("doc_id", "text")
+    DedupOps.clearShingleCache()
+    val out = DedupOps.incrementalDupVerdict(corpus, batch, 0.6, dfCap = 10)
+    val verdicts = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(verdicts(1000L) == ((false, -1L)), verdicts.toString)
+    assert(verdicts(1060L) == ((true, 60L)), verdicts.toString)
+    val metrics = out.queryExecution.observedMetrics("incr_corpus_postings")
+    assert(metrics.getAs[Long]("dropped_corpus_shingles") == 4L, metrics.toString)
+    DedupOps.clearShingleCache()
+  }
+
   test("d5 simhash: a giant chunk bucket is dropped (capped), true pairs elsewhere survive") {
     val sp = spark; import sp.implicits._
     // identical texts -> identical sketches -> one giant bucket per
@@ -255,6 +318,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(got == expected)
     assert(got.groupBy(_._2).forall(_._2.size <= 7))
+  }
+
+  test("mixture sample: per-source permille rates, absent sources take default, exact arithmetic") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 300L).map(i =>
+      (i, i % 3 match { case 0 => "all"; case 1 => "none"; case _ => "other" }))
+      .toDF("doc_id", "source")
+    val out = TextOps.mixtureSample(df, Map("all" -> 1000, "none" -> 0), 500)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    assert(out.length == 300) // one verdict per doc, keep/drop is a column
+    out.foreach { case (id, src, bucket, rate, kept) =>
+      val expBucket = (id * TextOps.MixHashMultiplier % 1000L).toInt
+      assert(bucket == expBucket)
+      val expRate = src match { case "all" => 1000; case "none" => 0; case _ => 500 }
+      assert(rate == expRate)
+      assert(kept == (expBucket < expRate), s"doc $id")
+    }
+    assert(out.filter(_._2 == "all").forall(_._5))
+    assert(out.filter(_._2 == "none").forall(!_._5))
+    // the default-rate path samples a real fraction (not all, not none)
+    val others = out.filter(_._2 == "other")
+    assert(others.exists(_._5) && others.exists(!_._5))
+    // decorrelated from the split hash: the two multipliers differ
+    assert(TextOps.MixHashMultiplier != 2654435761L)
   }
 
   test("pii scrub: planted email/ip/phone redacted with exact counts") {
