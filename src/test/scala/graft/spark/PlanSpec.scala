@@ -224,6 +224,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gramScans == 1, s"gram generation ran $gramScans times:\n$fin")
   }
 
+  test("t9 mixture sampling is map-only: no Exchange, scan prunes to id+source") {
+    val df = graft.SparkEntry.queries("t9_mixture")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    val f = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("source"), read)
+    assert(!read.contains("text"), read) // the keep decision never reads text
+  }
+
+  test("d14 incremental verdict: no cartesian, no window, argmax is a partial aggregate") {
+    val df = graft.SparkEntry.queries("d14_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-batch-doc best match is a struct max aggregate (map-side
+    // partial), NOT a rank window funnel over the candidate list
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+  }
+
   test("d11 decontamination joins the benchmark gram set by broadcast") {
     val df = graft.SparkEntry.queries("d11_decontaminate")(spark, sf)
     df.collect()
