@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * grown quadratically on the replicated duplicate clusters.
   *
   * Usage: Test/runMain graft.DedupScaleProbe [rep] [queries]
-  * (run exclusively; `queries` is a comma list from d2,d2b,d3,d5,d9,d12
-  * — default d2,d3,d5,d9. Skip d2 at rep > 10: its OUTPUT grows
-  * quadratically in cluster multiplicity, so the run time is the
-  * operator's answer size, not a plan property. d2b is the bounded
-  * variant whose growth must stay ~linear at any rep; d12's output is
-  * per-doc (rows = corpus size) so it must also stay ~linear.)
+  * (run exclusively; `queries` is a comma list from
+  * d2,d2b,d3,d5,d9,d12,d14 — default d2,d3,d5,d9. Skip d2 at rep > 10:
+  * its OUTPUT grows quadratically in cluster multiplicity, so the run
+  * time is the operator's answer size, not a plan property. d2b is the
+  * bounded variant whose growth must stay ~linear at any rep; d12's
+  * output is per-doc (rows = corpus size) so it must also stay ~linear;
+  * d14's output is one verdict row per BATCH doc — replication grows the
+  * corpus side only, so rows stay constant and wall must stay ~linear in
+  * the corpus.)
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -51,6 +54,14 @@ object DedupScaleProbe {
     // toRdd.count(), not count(): a plain count over d12's per-doc left
     // join lets Catalyst prune the whole span computation away
     if (which("d12")) time("d12_spans")(DedupOps.spanDedup(base).queryExecution.toRdd.count())
+    // d14: fixed-size batch (the UNreplicated variants) vs the replicated
+    // corpus — verdict rows stay constant while corpus postings grow
+    if (which("d14")) time("d14_incr") {
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      DedupOps.incrementalDupVerdict(base, DedupOps.variantBatch(docs0), 0.6)
+        .queryExecution.toRdd.count()
+    }
     if (which("d9")) time("d9_cc_star") {
       val out = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
       val c = out.count(); out.unpersist(); c
