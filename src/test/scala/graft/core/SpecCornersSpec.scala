@@ -417,7 +417,11 @@ class SpecCornersSpec extends AnyFunSuite {
       "<a b= >x", "<a b=>x", "<a b=x", "<a//>x", "<a / >x", "<a b = = >x",
       "<script><!-- - --></script>x", "<script><!----></script>x",
       "<script><!--<script>-</script>--></script>x",
-      "<title>a<!--b--></title>")
+      "<title>a<!--b--></title>",
+      // batch 9
+      "a</3>b", "<b </b>x", "<a b='x'y=1>z", "<!doctype html public\"p\">x",
+      "<!doctype html public \"p\"'s'>x", "<a b/c=d>x",
+      "<a b=\"x\"=\"y\">z", "<!doctype html system>x")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -912,5 +916,69 @@ class SpecCornersSpec extends AnyFunSuite {
   test("comment syntax inside rcdata title is text") {
     check("<title>a<!--b--></title>", "start(title||sc=false|ns=0)",
       "text[RCData](a<!--b-->)", "end(title)", "eof")
+  }
+
+  // ---- batch 9 ----
+
+  test("end tag open with a digit is a bogus comment") {
+    // end-tag-open: not a letter and not '>' -> invalid-first-character-
+    // of-tag-name parse error, RECONSUME in bogus comment state — the
+    // digit becomes comment data, consumed through '>'
+    check("a</3>b", "text[Data](a)", "comment(3)", "text[Data](b)", "eof")
+  }
+
+  test("'<' as an attribute name, '/' between attrs leaves no flag") {
+    // before-attr-name reconsumes '<' into attribute name (error but
+    // consumed); '/' ends the name via after-attribute-name -> self-
+    // closing-start; 'b' is not '>' so the flag is NOT set and a second
+    // attribute starts
+    check("<b </b>x", "start(b|<=,b=|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("missing whitespace after a quoted value starts the next attribute") {
+    // after-attribute-value-quoted: anything but ws / '/' / '>' is the
+    // missing-whitespace-between-attributes error, reconsumed in
+    // before-attribute-name
+    check("<a b='x'y=1>z", "start(a|b=x,y=1|sc=false|ns=0)",
+      "text[Data](z)", "eof")
+  }
+
+  test("quote directly after the PUBLIC keyword still reads the id") {
+    // after-doctype-public-keyword: '\"' -> missing-whitespace-after-
+    // doctype-public-keyword parse error, but the id is read and quirks
+    // stays off
+    check("<!doctype html public\"p\">x",
+      "doctype(html|p|<none>|quirks=false)", "text[Data](x)", "eof")
+  }
+
+  test("no whitespace between public and system ids still reads both") {
+    // after-doctype-public-identifier: a quote is the missing-whitespace-
+    // between-doctype-public-and-system-identifiers error, then the
+    // system id is read normally
+    check("<!doctype html public \"p\"'s'>x",
+      "doctype(html|p|s|quirks=false)", "text[Data](x)", "eof")
+  }
+
+  test("'/' between a valueless attribute and the next does not stick") {
+    // b -> after-attribute-name via '/', self-closing-start; 'c' is not
+    // '>' so the flag resets and c=d parses as a normal attribute
+    check("<a b/c=d>x", "start(a|b=,c=d|sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  test("'=' after a quoted value starts an attribute NAMED '=\"y\"'") {
+    // after-attribute-value-quoted '=' reconsumes in before-attribute-
+    // name, whose '=' branch starts an attribute named '='; the
+    // following quote and letters are (error but literal) NAME
+    // characters, so the whole '=\"y\"' is one valueless attribute name
+    check("<a b=\"x\"=\"y\">z", "start(a|b=x,=\"y\"=|sc=false|ns=0)",
+      "text[Data](z)", "eof")
+  }
+
+  test("SYSTEM keyword with a missing id forces quirks") {
+    // after-doctype-system-keyword: '>' -> missing-doctype-system-
+    // identifier parse error, quirks on, token still emitted
+    check("<!doctype html system>x",
+      "doctype(html|<none>|<none>|quirks=true)", "text[Data](x)", "eof")
   }
 }
