@@ -153,6 +153,28 @@ object SparkEntry {
     "t9_mixture" -> ((s, dir) =>
       TextOps.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
         MixRates, MixDefaultPermille)),
+    // t10: URL canonicalization over deterministically synthesized URLs
+    // (mixed-case scheme/host, default + explicit ports, empty paths,
+    // utm_* tracking params, unsorted params, fragments) — the prep step
+    // before URL-level dedup
+    "t10_url_norm" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val url = concat(
+        when(pmod(did, lit(4L)) === 0, lit("HTTP")).otherwise(lit("HtTpS")),
+        lit("://"), col("source"), lit(".Example.COM"),
+        when(pmod(did, lit(7L)) === 0, lit(":8080"))
+          .when(pmod(did, lit(4L)) === 0, lit(":80")).otherwise(lit(":443")),
+        when(pmod(did, lit(5L)) === 0, lit(""))
+          .otherwise(concat(lit("/Docs/"), did.cast("string"))),
+        when(pmod(did, lit(6L)) === 0, lit("?utm_medium=x"))
+          .otherwise(concat(lit("?utm_source=t"), pmod(did, lit(3L)).cast("string"),
+            lit("&b=2&a="), pmod(did, lit(5L)).cast("string"))),
+        lit("#s"), did.cast("string"))
+      val norm = TextOps.normalizeUrl(url)
+      docs.select(did, url.as("url"), norm.as("url_norm"),
+        md5(encode(norm, "UTF-8")).as("url_key"))
+    }),
     // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
     // deterministically planted PII; counts + scrubbed text under oracle
     "t6_pii_scrub" -> ((s, dir) => {
@@ -726,6 +748,27 @@ object SparkEntry {
         "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
         "array_to_string(tk[chunk_id * 112 + 1 : least(chunk_id * 112 + 128, n)], ' ') AS chunk_text, " +
         "CAST(least(chunk_id * 112 + 128, n) - chunk_id * 112 AS INT) AS n_tokens FROM c"),
+
+    "t10_url_norm" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'HtTpS' END) || '://' || source || '.Example.COM' || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 4 = 0 THEN ':80' ELSE ':443' END) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN '?utm_medium=x' ELSE '?utm_source=t' || CAST(doc_id % 3 AS VARCHAR) || '&b=2&a=' || CAST(doc_id % 5 AS VARCHAR) END) || " +
+        "'#s' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "n AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)) AS host, " +
+        "regexp_extract(url, '^[^:]+://[^/:?#]+:([0-9]+)', 1) AS port, " +
+        "regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path, " +
+        "array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+        "p -> p != '' AND NOT regexp_matches(p, '^utm_'))), '&') AS params FROM u), " +
+        "n2 AS (SELECT doc_id, url, scheme || '://' || host || " +
+        "(CASE WHEN port != '' AND NOT (scheme = 'https' AND port = '443') " +
+        "AND NOT (scheme = 'http' AND port = '80') THEN ':' || port ELSE '' END) || " +
+        "(CASE WHEN path = '' THEN '/' ELSE path END) || " +
+        "(CASE WHEN params != '' THEN '?' || params ELSE '' END) AS url_norm FROM n) " +
+        "SELECT doc_id, url, url_norm, md5(url_norm) AS url_key FROM n2"),
 
     "t9_mixture" ->
       ("SELECT doc_id, source, CAST((doc_id * 2246822519) % 1000 AS INT) AS mix_bucket, " +

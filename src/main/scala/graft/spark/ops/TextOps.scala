@@ -311,6 +311,36 @@ object TextOps {
       (bucket < rate).as("kept"))
   }
 
+  /** t10: URL canonicalization — the C4/RefinedWeb prep step before
+    * URL-level dedup: lowercase scheme and host, strip default ports
+    * (http:80 / https:443, keeping explicit non-defaults), default an
+    * empty path to '/', drop the fragment, drop `utm_*` tracking
+    * parameters and SORT the surviving query parameters so
+    * parameter-order variants collapse to one key. Pure Catalyst
+    * regexp/string/array expressions — map-only, codegen, no UDF — and
+    * every rule is replayed verbatim by the DuckDB oracle (shared regex
+    * dialect, like t6). Returns the normalized URL; pair with md5 for
+    * the dedup key.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    // the host charclass excludes ':' so the port never leaks into it
+    val h = lower(regexp_extract(url, "^[^:]+://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[^:]+://[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val path = regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_join(array_sort(
+      filter(split(q, "&"), p => p =!= lit("") && !p.rlike("^utm_"))), "&")
+    concat(
+      scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   /** t8: context-window chunking — split every document into sliding
     * windows of at most `maxTokens` whitespace tokens with `overlap`
     * tokens of context carried between consecutive chunks (the

@@ -344,6 +344,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.MixHashMultiplier != 2654435761L)
   }
 
+  test("url normalization: hand-derived cases for every rule") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // default ports dropped, scheme+host lowered, fragment dropped
+      ("HTTPS://Ex.COM:443/A/b#frag", "https://ex.com/A/b"),
+      ("http://ex.com:80/", "http://ex.com/"),
+      // non-default port kept; http:443 is NOT a default and stays
+      ("https://ex.com:8080/x", "https://ex.com:8080/x"),
+      ("http://ex.com:443/x", "http://ex.com:443/x"),
+      // empty path -> '/', with and without a port
+      ("https://ex.com", "https://ex.com/"),
+      ("https://ex.com:9090?b=1", "https://ex.com:9090/?b=1"),
+      // params sorted, utm_* dropped, '?' dropped when nothing survives
+      ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+      ("https://ex.com/p?utm_source=x&utm_medium=y", "https://ex.com/p"),
+      ("https://ex.com/p?zz=1&utm_a=2&aa=3#f", "https://ex.com/p?aa=3&zz=1"),
+      // path case is PRESERVED (only scheme/host fold)
+      ("HtTpS://A.B.C/Path/UPPER?x=Y", "https://a.b.c/Path/UPPER?x=Y"))
+    val out = cases.toDF("url", "expected")
+      .select(col("expected"), graft.spark.ops.TextOps.normalizeUrl(col("url")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"got ${r.getString(1)}, want ${r.getString(0)}"))
+  }
+
   test("pii scrub: planted email/ip/phone redacted with exact counts") {
     val sp = spark; import sp.implicits._
     val df = Seq(
