@@ -419,9 +419,12 @@ class SpecCornersSpec extends AnyFunSuite {
       "<script><!--<script>-</script>--></script>x",
       "<title>a<!--b--></title>",
       // batch 9
-      "a</3>b", "<b </b>x", "<a b='x'y=1>z", "<!doctype html public\"p\">x",
+      "a</3>b", "<b </b>x", "<a b='x'/c>z", "<!doctype html public\"p\">x",
       "<!doctype html public \"p\"'s'>x", "<a b/c=d>x",
-      "<a b=\"x\"=\"y\">z", "<!doctype html system>x")
+      "<a b=\"x\"=\"y\">z", "<!doctype html system>x",
+      // batch 10
+      "<!doctyp>x", "<svg><![CDATA[]]>x</svg>", "<svg><desc><svg><g>x",
+      "<math><annotation-xml encoding=\"text/html;charset=utf-8\"><abbr>x")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -935,11 +938,12 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<b </b>x", "start(b|<=,b=|sc=false|ns=0)", "text[Data](x)", "eof")
   }
 
-  test("missing whitespace after a quoted value starts the next attribute") {
-    // after-attribute-value-quoted: anything but ws / '/' / '>' is the
-    // missing-whitespace-between-attributes error, reconsumed in
-    // before-attribute-name
-    check("<a b='x'y=1>z", "start(a|b=x,y=1|sc=false|ns=0)",
+  test("'/' after a quoted value enters self-closing-start, then resets") {
+    // after-attribute-value-quoted '/' -> self-closing-start; 'c' is not
+    // '>' so the flag is NOT set and c becomes a valueless attribute
+    // (distinct from the batch-3 missing-whitespace case, which
+    // reconsumes a NAME character directly)
+    check("<a b='x'/c>z", "start(a|b=x,c=|sc=false|ns=0)",
       "text[Data](z)", "eof")
   }
 
@@ -980,5 +984,37 @@ class SpecCornersSpec extends AnyFunSuite {
     // identifier parse error, quirks on, token still emitted
     check("<!doctype html system>x",
       "doctype(html|<none>|<none>|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 10 ----
+
+  test("a near-miss of the DOCTYPE keyword is a bogus comment") {
+    // markup-declaration-open matches the full 'doctype' (case-insens);
+    // 'doctyp>' falls through to incorrectly-opened-comment -> bogus
+    // comment whose data starts right after '<!'
+    check("<!doctyp>x", "comment(doctyp)", "text[Data](x)", "eof")
+  }
+
+  test("empty CDATA section emits no text") {
+    check("<svg><![CDATA[]]>x</svg>", "start(svg||sc=false|ns=1)",
+      "raw(<![CDATA[)", "raw(]]>)", "text[Data](x)", "end(svg)", "eof")
+  }
+
+  test("svg re-entered from inside an HTML integration point is foreign again") {
+    // desc switches children to HTML dispatch; an <svg> child there
+    // starts a NEW foreign subtree (ns captured after feedback)
+    check("<svg><desc><svg><g>x", "start(svg||sc=false|ns=1)",
+      "start(desc||sc=false|ns=0)", "start(svg||sc=false|ns=1)",
+      "start(g||sc=false|ns=1)", "text[Data](x)", "eof")
+  }
+
+  test("annotation-xml encoding with a parameter is NOT an integration point") {
+    // the spec compares the encoding attribute EXACTLY (case-insens) to
+    // 'text/html' / 'application/xhtml+xml' — a charset parameter breaks
+    // the match, so children stay in the MathML namespace
+    check("<math><annotation-xml encoding=\"text/html;charset=utf-8\"><abbr>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=text/html;charset=utf-8|sc=false|ns=2)",
+      "start(abbr||sc=false|ns=2)", "text[Data](x)", "eof")
   }
 }
