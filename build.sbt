@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of the final 2,000 bytes of sbt's
+// combined output as JSON. Two sbt defaults defeat that: the forked
+// child's stdout is routed through sbt's logger (prefixed "[info] "),
+// and a "[success] Total time..." banner prints AFTER the run. Unprefixed
+// child stdio + no success banner make the bench's bare JSON the final
+// line of output. (BenchTailParseSpec simulates the driver end-to-end.)
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -312,15 +312,7 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Exception => () }
     spark.stop()
-    // Tail-window guarantee: stop Spark FIRST (its shutdown lines land
-    // before this), flush stderr, then emit a brace-free padding line wider
-    // than the driver's 2,000-byte tail followed by the ONE JSON line — so
-    // the captured tail can only ever contain padding + the headline JSON.
-    System.err.flush()
-    try Thread.sleep(500) catch { case _: InterruptedException => () }
-    println("=" * 2100)
-    println(slim)
-    System.out.flush()
+    BenchTail.emitHeadline(slim)
   }
 
   /** Per-tier single-doc throughput on the reference's three bench
