@@ -546,9 +546,9 @@ object SparkEntry {
       "JOIN stats st ON st.doc_id = b.doc_id " +
       "WHERE length(b.text) >= 50 AND " +
       "(CASE WHEN st.ntok > 0 THEN round(1 - CAST(st.ndist AS DOUBLE) / st.ntok, 4) ELSE 0.0 END) <= 0.6) " +
-      "SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS split_bucket, " +
-      "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
-      "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+      "SELECT doc_id, CAST(((doc_id & 2147483647) * 2654435761) % 1000 AS INT) AS split_bucket, " +
+      "CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'train' " +
+      "WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
       "FROM kept"
 
   def oracleSql: Map[String, String] = Map(
@@ -721,15 +721,15 @@ object SparkEntry {
         "FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks FROM documents))"),
 
     "t4_split" ->
-      ("SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS split_bucket, " +
-        "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
-        "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+      ("SELECT doc_id, CAST(((doc_id & 2147483647) * 2654435761) % 1000 AS INT) AS split_bucket, " +
+        "CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'train' " +
+        "WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
         "FROM documents"),
 
     "t5_domain_quota" ->
       ("SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (" +
         "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
-        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn FROM documents) " +
+        "ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) AS rn FROM documents) " +
         "WHERE rn <= 10"),
 
     "t7_pack" ->
@@ -771,9 +771,9 @@ object SparkEntry {
         "SELECT doc_id, url, url_norm, md5(url_norm) AS url_key FROM n2"),
 
     "t9_mixture" ->
-      ("SELECT doc_id, source, CAST((doc_id * 2246822519) % 1000 AS INT) AS mix_bucket, " +
+      ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
-        s"(doc_id * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+        s"((doc_id & 2147483647) * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
 
     "d14_incremental" -> IncrementalSql,
 

@@ -388,10 +388,14 @@ final class Lexer(strict: Boolean = true) extends TagView {
           // their FNV-64 — already computed above — so attr-need is one
           // compare per tag on custom-element-dense documents too; the
           // engine already trusts FNV-64 for name identity (frame name
-          // keys, FastEntryTable by-name dispatch). Bit 63 tags the FNV
-          // key space: a packed TagHash is < 2^60 (at most 12 chars x 5
-          // bits, guarded by the (h >>> 59) == 0 overflow check), so the
-          // two key spaces can never collide in one memo slot
+          // keys, FastEntryTable by-name dispatch). Bit 63 biases the FNV
+          // key space AWAY from packed TagHash values, but the separation
+          // is probabilistic, not structural: TagHash.update guards
+          // (h >>> 59) == 0 BEFORE the 5-bit shift (reference parity,
+          // tag.rs), so a 13-char dashless name whose first letter is
+          // c..j packs with bit 63 set. A cross-space collision therefore
+          // needs full 64-bit equality — the same (negligible) trust
+          // level as the FNV keys themselves
           val key = if (tNameHash != TagHash.Empty) tNameHash
                     else tNameFnv | Long.MinValue
           val m = ((key * 0x9e3779b97f4a7c15L) >>> 56).toInt
@@ -1070,7 +1074,11 @@ object Lexer {
         i += 8
       }
     }
-    while (i < until) { if (input(i) == b) return i; i += 1 }
+    // unsigned compare: the SWAR half matches b & 0xff, and for b in
+    // 128..255 a signed `input(i) == b` tail would disagree with it —
+    // results must not depend on whether the match lands in the word
+    // loop or the tail
+    while (i < until) { if ((input(i) & 0xff) == (b & 0xff)) return i; i += 1 }
     -1
   }
 

@@ -138,8 +138,17 @@ object HtmlClean {
           dtS = -1; dtE = -1; navS = -1; navE = -1
           val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           rw.rewriteToBytes(bytes)
-          (id, dtS, dtE, navS, navE,
-            new String(bytes, navS, navE - navS, java.nio.charset.StandardCharsets.UTF_8))
+          // a doc without </nav> (or a doctype) leaves the sentinel at -1;
+          // emit nulls rather than letting new String(bytes, -1, ...)
+          // throw for the whole partition on non-corpus input
+          val navRaw =
+            if (navS >= 0) new String(bytes, navS, navE - navS,
+              java.nio.charset.StandardCharsets.UTF_8)
+            else null
+          (id,
+            if (dtS >= 0) Some(dtS) else None, if (dtE >= 0) Some(dtE) else None,
+            if (navS >= 0) Some(navS) else None, if (navE >= 0) Some(navE) else None,
+            navRaw)
         }
       }
       .toDF("doc_id", "dt_start", "dt_end", "nav_start", "nav_end", "nav_raw")

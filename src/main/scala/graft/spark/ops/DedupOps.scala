@@ -204,6 +204,61 @@ object DedupOps {
   def stageShingles(base: DataFrame, dir: String, buckets: Int = 64,
                     maxBucketsPerPass: Int = Int.MaxValue,
                     sourceId: String = ""): Seq[(Int, Long)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val headerRx =
+      """"header"\s*:\s*1\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"source"\s*:\s*"([^"]*)"""".r
+    stageLedgered(base, dir, buckets, maxBucketsPerPass, sourceId,
+      accName = "graft_shingle_stage",
+      headerLine = s"""{"header":1,"buckets":$buckets,"source":"$sourceId"}""",
+      headerRx = headerRx, kindDesc = "header",
+      validate = m => {
+        require(m.group(1).toInt == buckets,
+          s"resume with buckets=$buckets, but the staging ledger was written with buckets=${m.group(1)}")
+        require(m.group(2) == sourceId,
+          s"resume against a different source (ledger '${m.group(2)}', requested '$sourceId')")
+      }) { (slice, acc) =>
+      slice.mapPartitions { it =>
+          val counts = new java.util.HashMap[Int, Array[Long]]()
+          var flushed = false
+          new Iterator[(Long, Array[String], Int)] {
+            def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h && !flushed) {
+                flushed = true
+                counts.forEach((b, v) => acc.add((b, v(0))))
+              }
+              h
+            }
+            def next(): (Long, Array[String], Int) = {
+              val (id, t, b) = it.next()
+              counts.computeIfAbsent(b, _ => new Array[Long](1))(0) += 1
+              (id, shingleSet(t), b)
+            }
+          }
+        }
+        .toDF("doc_id", "sh", "bucket")
+    }
+  }
+
+  /** Shared resumable-ledger staging skeleton for [[stageShingles]] and
+    * [[stageSpanGrams]] — ONE copy of the commit protocol so ledger fixes
+    * cannot drift between the two: header validated (via `headerRx` +
+    * `validate`) or written on first run, done-set keyed on bucket
+    * PRESENCE only, per-pass single-scan staging via `buildPass` (which
+    * receives the bucketed (doc_id, text, bucket) slice and a per-pass
+    * accumulator for the informational doc counts and must return a frame
+    * carrying a `bucket` column), dynamic-partition-overwrite commit,
+    * ledger lines appended by atomic rename AFTER the write succeeds.
+    */
+  private def stageLedgered(
+      base: DataFrame, dir: String, buckets: Int, maxBucketsPerPass: Int,
+      sourceId: String, accName: String, headerLine: String,
+      headerRx: scala.util.matching.Regex, kindDesc: String,
+      validate: scala.util.matching.Regex.Match => Unit)(
+      buildPass: (org.apache.spark.sql.Dataset[(Long, String, Int)],
+                  org.apache.spark.util.CollectionAccumulator[(Int, Long)]) => DataFrame)
+      : Seq[(Int, Long)] = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // sourceId is embedded verbatim in the ledger's JSON header line — a
@@ -225,17 +280,12 @@ object DedupOps {
       Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
 
-    val headerRx = """"header"\s*:\s*1\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"source"\s*:\s*"([^"]*)"""".r
     ledgerLines.iterator.flatMap(l => headerRx.findFirstMatchIn(l)).nextOption() match {
-      case Some(m) =>
-        require(m.group(1).toInt == buckets,
-          s"resume with buckets=$buckets, but the staging ledger was written with buckets=${m.group(1)}")
-        require(m.group(2) == sourceId,
-          s"resume against a different source (ledger '${m.group(2)}', requested '$sourceId')")
+      case Some(m) => validate(m)
       case None =>
         require(ledgerLines.isEmpty,
-          s"staging ledger at $dir has lines but no header; re-stage from scratch")
-        appendLedger(Seq(s"""{"header":1,"buckets":$buckets,"source":"$sourceId"}"""))
+          s"staging ledger at $dir has lines but no $kindDesc; re-stage from scratch")
+        appendLedger(Seq(headerLine))
     }
     val bucketRx = """"bucket"\s*:\s*(\d+)""".r
     val done = ledgerLines.flatMap(l => bucketRx.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
@@ -245,33 +295,13 @@ object DedupOps {
     val results = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     for (group <- todo.grouped(math.max(1, maxBucketsPerPass))) {
       val acc = new org.apache.spark.util.CollectionAccumulator[(Int, Long)]()
-      spark.sparkContext.register(acc, "graft_shingle_stage")
-      val staged = base
+      spark.sparkContext.register(acc, accName)
+      val slice = base
         .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
         .where(col("bucket").isInCollection(group))
         .select(col("doc_id"), col("text"), col("bucket"))
         .as[(Long, String, Int)]
-        .mapPartitions { it =>
-          val counts = new java.util.HashMap[Int, Array[Long]]()
-          var flushed = false
-          new Iterator[(Long, Array[String], Int)] {
-            def hasNext: Boolean = {
-              val h = it.hasNext
-              if (!h && !flushed) {
-                flushed = true
-                counts.forEach((b, v) => acc.add((b, v(0))))
-              }
-              h
-            }
-            def next(): (Long, Array[String], Int) = {
-              val (id, t, b) = it.next()
-              counts.computeIfAbsent(b, _ => new Array[Long](1))(0) += 1
-              (id, shingleSet(t), b)
-            }
-          }
-        }
-        .toDF("doc_id", "sh", "bucket")
-      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      buildPass(slice, acc).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(dir)
@@ -491,55 +521,24 @@ object DedupOps {
   def stageSpanGrams(base: DataFrame, dir: String, k: Int = 13, buckets: Int = 64,
                      maxBucketsPerPass: Int = Int.MaxValue,
                      sourceId: String = ""): Seq[(Int, Long)] = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    require(sourceId.isEmpty || sourceId.matches("[A-Za-z0-9._/-]+"),
-      s"sourceId must match [A-Za-z0-9._/-]+ (embedded in the ledger header); got '$sourceId'")
-    val ledger = Paths.get(dir, "_ledger.jsonl")
-    Files.createDirectories(Paths.get(dir))
-
-    def ledgerLines: Seq[String] =
-      if (!Files.exists(ledger)) Nil
-      else Files.readAllLines(ledger, StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
-    def appendLedger(lines: Seq[String]): Unit = {
-      val tmp = Paths.get(dir, "_ledger.tmp")
-      val prev = if (Files.exists(ledger))
-        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8) else ""
-      Files.write(tmp, (prev + lines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    }
-
+    val spark = base.sparkSession
+    import spark.implicits._
     val headerRx =
       """"header"\s*:\s*1\s*,\s*"kind"\s*:\s*"posgrams"\s*,\s*"buckets"\s*:\s*(\d+)\s*,\s*"k"\s*:\s*(\d+)\s*,\s*"source"\s*:\s*"([^"]*)"""".r
-    ledgerLines.iterator.flatMap(l => headerRx.findFirstMatchIn(l)).nextOption() match {
-      case Some(m) =>
+    stageLedgered(base, dir, buckets, maxBucketsPerPass, sourceId,
+      accName = "graft_posgram_stage",
+      headerLine =
+        s"""{"header":1,"kind":"posgrams","buckets":$buckets,"k":$k,"source":"$sourceId"}""",
+      headerRx = headerRx, kindDesc = "posgrams header",
+      validate = m => {
         require(m.group(1).toInt == buckets,
           s"resume with buckets=$buckets, but the staging ledger was written with buckets=${m.group(1)}")
         require(m.group(2).toInt == k,
           s"resume with k=$k, but the staging ledger was written with k=${m.group(2)}")
         require(m.group(3) == sourceId,
           s"resume against a different source (ledger '${m.group(3)}', requested '$sourceId')")
-      case None =>
-        require(ledgerLines.isEmpty,
-          s"staging ledger at $dir has lines but no posgrams header; re-stage from scratch")
-        appendLedger(Seq(
-          s"""{"header":1,"kind":"posgrams","buckets":$buckets,"k":$k,"source":"$sourceId"}"""))
-    }
-    val bucketRx = """"bucket"\s*:\s*(\d+)""".r
-    val done = ledgerLines.flatMap(l => bucketRx.findFirstMatchIn(l).map(_.group(1).toInt)).toSet
-    val todo = (0 until buckets).filterNot(done)
-    val spark = base.sparkSession
-    import spark.implicits._
-    val results = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    for (group <- todo.grouped(math.max(1, maxBucketsPerPass))) {
-      val acc = new org.apache.spark.util.CollectionAccumulator[(Int, Long)]()
-      spark.sparkContext.register(acc, "graft_posgram_stage")
-      val staged = base
-        .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
-        .where(col("bucket").isInCollection(group))
-        .select(col("doc_id"), col("text"), col("bucket"))
-        .as[(Long, String, Int)]
-        .mapPartitions { it =>
+      }) { (slice, acc) =>
+      slice.mapPartitions { it =>
           val counts = new java.util.HashMap[Int, Array[Long]]()
           var flushed = false
           new Iterator[(Long, Int, String, Int)] {
@@ -562,17 +561,7 @@ object DedupOps {
         }
         .toDF("doc_id", "pos", "gram", "bucket")
         .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"), col("bucket"))
-      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(dir)
-      val merged = new java.util.HashMap[Int, Long]()
-      acc.value.forEach { case (b, n) => merged.merge(b, n, java.lang.Long.sum(_, _)) }
-      val groupResults = group.map(b => (b, merged.getOrDefault(b, 0L)))
-      appendLedger(groupResults.map { case (b, n) => s"""{"bucket":$b,"docs":$n}""" })
-      results ++= groupResults
     }
-    results.toSeq
   }
 
   /** Read a staged positional-gram table written by [[stageSpanGrams]];

@@ -120,9 +120,19 @@ object TextOps {
     * under repartitioning/reruns, and adding documents never reassigns
     * existing ones. Map-only: no shuffle, no RNG, no sampling drift.
     */
+  /** Shared-arithmetic guard for every Knuth-hash decision below: doc_id
+    * is folded to its low 31 bits BEFORE the multiply, so the product fits
+    * in a signed 64-bit value in every engine. Without the mask the
+    * contract silently breaks past doc_id ~4.1e9: Spark wraps the Long
+    * overflow while DuckDB raises a BIGINT out-of-range error. Cost: ids
+    * differing only above bit 31 share a bucket — irrelevant for bucketing
+    * (the multiplier mixes the low bits) and fully deterministic.
+    */
+  private def hid: Column = col("doc_id").bitwiseAND(lit(2147483647L))
+
   def deterministicSplit(df: DataFrame,
                          trainPct: Int = 900, valPct: Int = 50): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val bucket = pmod(hid * lit(2654435761L), lit(1000L))
     df.select(
       col("doc_id"),
       bucket.cast("int").as("split_bucket"),
@@ -151,7 +161,7 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(col("source"),
-        pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("okey"),
+        pmod(hid * lit(2654435761L), lit(1000000007L)).as("okey"),
         col("doc_id"))
       .as[(String, Long, Long)]
     val pruned = keyed.mapPartitions { it =>
@@ -304,7 +314,7 @@ object TextOps {
       "mixture rates are permille values in [0, 1000]")
     val rate = coalesce(
       element_at(typedLit(ratesPermille), col("source")), lit(defaultPermille))
-    val bucket = pmod(col("doc_id") * lit(MixHashMultiplier), lit(1000L)).cast("int")
+    val bucket = pmod(hid * lit(MixHashMultiplier), lit(1000L)).cast("int")
     df.select(col("doc_id"), col("source"),
       bucket.as("mix_bucket"),
       rate.cast("int").as("rate_permille"),

@@ -312,7 +312,7 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = docs.select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val expected = all.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
-      xs.toSeq.map { case (id, _) => (java.lang.Math.floorMod(id * 2654435761L, 1000000007L), id) }
+      xs.toSeq.map { case (id, _) => (java.lang.Math.floorMod((id & 2147483647L) * 2654435761L, 1000000007L), id) }
         .sorted.take(7).zipWithIndex
         .map { case ((_, id), i) => (id, src, i + 1) }
     }.toSet
