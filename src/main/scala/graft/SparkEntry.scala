@@ -103,6 +103,12 @@ object SparkEntry {
     "x13_endtag_ranges" -> ((s, dir) =>
       HtmlClean.endTagRanges(HtmlClean.generatedHtml(s, dir))),
 
+    // x15: rewrite-mode graceful bail-out (reference v3.0.0 BailOut unit
+    // + append_bail_out_handler): memory and handler-error bail-outs emit
+    // the handler's marker before the raw flush; the oracle replays all
+    // three branches via template arithmetic
+    "x15_bailout_rewrite" -> ((s, dir) => HtmlClean.bailoutRewrite(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -648,6 +654,21 @@ object SparkEntry {
         "FROM documents"),
     "x9_encoded_koi8r" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text || ' Русская проверка текста' AS main_text FROM documents",
+    // x15 branches: %5 => memory bail BEFORE parse (marker + whole doc
+    // raw, pad = budget+16 x's); %7 => handler bail mid-doc (nav already
+    // replaced by <hr>, marker, then the unemitted suffix raw); else
+    // normal rewrite. Budget fixed at 8192.
+    "x15_bailout_rewrite" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN '<!--bail:memory_limit_exceeded:8192-->' || " +
+        "'<html><body><nav>n-' || CAST(doc_id AS VARCHAR) || '</nav><article><p>' || " +
+        "repeat('x', 8208) || '</p></article></body></html>' " +
+        "WHEN doc_id % 7 = 0 THEN '<html><body><hr>' || '<!--bail:content_handler_error-->' || " +
+        "'<article data-fail=\"1\"><p>' || text || '</p></article></body></html>' " +
+        "ELSE '<html><body><hr><article><p>' || text || '</p></article></body></html>' END AS rewritten, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'memory_limit_exceeded:8192' " +
+        "WHEN doc_id % 7 = 0 THEN 'content_handler_error' ELSE '' END AS bail_error " +
+        "FROM documents"),
     // a_start = |seg1| + |did| + |seg2| + |did| + |seg3| + |lang| + |seg4|
     // with the four template segment lengths 38/48/68/37 (sum 191), and
     // the <a> tag itself is '<a href="/' + source + '/' + did + '">'

@@ -9,6 +9,46 @@ object ContentType {
   final val Text = 1
 }
 
+/** Rewrite-path error taxonomy (reference RewritingError, src/lib.rs):
+  * the two recoverable kinds a graceful bail-out can be enabled for.
+  * Parsing ambiguity ([[graft.core.EngineBailoutException]]) is NEVER
+  * recovered from — the whole point of strict mode is to refuse
+  * uncertain markup (reference transform_stream/mod.rs:85-97) — so it
+  * stays outside this hierarchy and always propagates.
+  */
+sealed abstract class RewritingError(msg: String, cause: Throwable)
+    extends Exception(msg, cause) {
+  def errorCode: String
+}
+
+final class MemoryLimitExceededError(val limit: Int, val requested: Int)
+    extends RewritingError(s"memory limit exceeded (limit=$limit, requested=$requested)", null) {
+  def errorCode: String = s"memory_limit_exceeded:$limit"
+}
+
+final class ContentHandlerError(cause: Throwable)
+    extends RewritingError(s"content handler error: ${cause.getMessage}", cause) {
+  def errorCode: String = "content_handler_error"
+}
+
+/** The BailOut rewritable unit (reference v3.0.0,
+  * /root/reference/src/rewritable_units/bail_out.rs:23-72): handed to
+  * bail-out handlers at the moment the rewriter abandons processing.
+  * [[append]] lands bytes in the output BEFORE the raw flush of
+  * remaining unparsed input — the only opportunity for content other
+  * handlers have buffered (e.g. text withheld pending more input) to
+  * reach the response. Sink order on a graceful bail-out:
+  *   1. transformed bytes the rewriter already emitted normally,
+  *   2. bytes appended here, in handler-registration order,
+  *   3. the raw flush of the not-yet-emitted input suffix.
+  * Valid only during the handler invocation.
+  */
+final class BailOut private[rewrite] (out: ByteBuf) {
+  def append(content: String, contentType: Int): Unit =
+    if (contentType == ContentType.Html) out.appendString(content)
+    else out.appendEscaped(content)
+}
+
 /** Growable byte buffer output sink. */
 final class ByteBuf(initial: Int = 1024) {
   private var buf = new Array[Byte](initial)
@@ -597,7 +637,25 @@ final class Rewriter(
       * (reference D15, settings.rs with_enable_esi_tags; off by default
       * there too).
       */
-    enableEsiTags: Boolean = false
+    enableEsiTags: Boolean = false,
+    /** Per-document byte budget for the REWRITE path (reference
+      * MemorySettings.max_allowed_memory_usage through the rewriter,
+      * settings.rs:829-941): trips when the input length exceeds it, and
+      * mid-document when handler-appended output grows past it. <= 0
+      * disables (the extraction path has its own budget, ExtractPolicy
+      * .maxDocBytes).
+      */
+    maxDocBytes: Int = 0,
+    /** reference with_graceful_bail_out_on_memory_limit_exceeded. */
+    gracefulBailOutOnMemoryLimit: Boolean = false,
+    /** reference with_graceful_bail_out_on_content_handler_error. */
+    gracefulBailOutOnContentHandlerError: Boolean = false,
+    /** Bail-out handlers (reference Settings::append_bail_out_handler,
+      * settings.rs:40-41,160): run in registration order when a graceful
+      * bail-out triggers, BEFORE the raw flush of remaining input; each
+      * may append final bytes via [[BailOut.append]].
+      */
+    bailOutHandlers: Seq[(RewritingError, BailOut) => Unit] = Nil
 ) {
   // ---- compile ----
   private val program: Program = Program.compile(
@@ -688,8 +746,28 @@ final class Rewriter(
 
   def rewriteToBytes(doc: Array[Byte]): Array[Byte] = rewriteToBytes(doc, doc.length)
 
+  /** After a GRACEFUL bail-out, the error that triggered it; null when
+    * the last rewrite completed normally. (The reference's `write()`
+    * returns the error alongside sink-flushed bytes; our whole-document
+    * API returns the flushed bytes and exposes the error here.)
+    */
+  def lastBailOut: RewritingError = lastBailOutV
+  private var lastBailOutV: RewritingError = _
+
   /** Length-aware variant: parses `doc(0 until length)` so callers can
     * reuse a grow-only document buffer across rows.
+    *
+    * Graceful bail-out contract (reference transform_stream/mod.rs
+    * write() + dispatcher.rs flush_for_bail_out/run_bail_out_handlers):
+    * when a [[MemoryLimitExceededError]] or [[ContentHandlerError]]
+    * occurs and the matching graceful flag is set, the bail-out handlers
+    * run first (their appends land in the output), then the
+    * not-yet-emitted input suffix is flushed AS-IS — ignoring the
+    * emission gate, so content being removed at the bail point is
+    * flushed raw rather than lost (reference dispatcher.rs:412-430) —
+    * and the flushed output is returned with the error in [[lastBailOut]]
+    * instead of thrown, so the caller can continue the response.
+    * Parsing-ambiguity errors always propagate.
     */
   def rewriteToBytes(doc: Array[Byte], length: Int): Array[Byte] = {
     out.reset()
@@ -698,15 +776,41 @@ final class Rewriter(
     emissionEnabled = true
     matchedRemoved = 0
     textPending = false
+    lastBailOutV = null
     vm.reset()
     // restore registration-time handler state (doc handlers active,
     // selector-scoped inactive, dynamic end-tag handlers dropped)
     elementHandlers.reset(); commentHandlers.reset(); textHandlers.reset()
     doctypeHandlers.reset(); endHandlers.reset(); endTagHandlers.reset()
-    if (disableAttrSkip) lexer.parse(doc, length, sink, null)
-    else lexer.parse(doc, length, sink, program.scanAttrNeed)
-    input = null
-    out.toArray
+    try {
+      if (maxDocBytes > 0 && length > maxDocBytes)
+        throw new MemoryLimitExceededError(maxDocBytes, length)
+      if (disableAttrSkip) lexer.parse(doc, length, sink, null)
+      else lexer.parse(doc, length, sink, program.scanAttrNeed)
+      input = null
+      out.toArray
+    } catch {
+      case e: graft.core.EngineBailoutException =>
+        input = null; throw e // never graceful (strict-mode refusal)
+      case e: Throwable =>
+        val err = e match {
+          case r: RewritingError => r
+          case other => new ContentHandlerError(other)
+        }
+        val graceful = err match {
+          case _: MemoryLimitExceededError => gracefulBailOutOnMemoryLimit
+          case _: ContentHandlerError => gracefulBailOutOnContentHandlerError
+        }
+        if (!graceful) { input = null; throw err }
+        val bo = new BailOut(out)
+        bailOutHandlers.foreach(h => h(err, bo))
+        if (produceOutput && length > pendingStart)
+          out.append(input, pendingStart, length)
+        pendingStart = 0
+        lastBailOutV = err
+        input = null
+        out.toArray
+    }
   }
 
   // ---- element view over the current lexer tag ----
@@ -1122,6 +1226,12 @@ final class Rewriter(
     def onStartTag(nameStart: Int, nameEnd: Int, nameHash: Long, ns: Int,
                    selfClosing: Boolean, attrs: AttrList,
                    rawStart: Int, rawEnd: Int): Unit = {
+      // mid-document budget trip (the buffered-handler-growth analog of
+      // the reference's arena accounting): handler-appended output past
+      // the budget bails here, so the transformed prefix is kept and the
+      // suffix from pendingStart flushes raw. One compare per start tag.
+      if (maxDocBytes > 0 && out.size > maxDocBytes)
+        throw new MemoryLimitExceededError(maxDocBytes, out.size)
       flushPendingText(rawStart)
 
       view.set(input, nameStart, nameEnd, nameHash, lexer.tagNameFnv, ns, attrs)

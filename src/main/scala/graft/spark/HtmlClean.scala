@@ -369,6 +369,53 @@ object HtmlClean {
       .toDF("doc_id", "rewritten")
   }
 
+  /** x15: rewrite-mode graceful bail-out (reference v3.0.0 BailOut unit,
+    * Settings::append_bail_out_handler — settings.rs:40-41,160 and
+    * rewritable_units/bail_out.rs). Three branches per row:
+    *  - doc_id % 5 == 0: body padded past the rewrite budget — memory
+    *    bail-out BEFORE parsing: output = handler marker + whole doc raw
+    *  - doc_id % 7 == 0 (and not % 5): a planted handler failure at
+    *    `<article data-fail>` — mid-document bail-out: the transformed
+    *    prefix (nav already replaced) is kept, the marker lands, then the
+    *    unemitted suffix flushes raw
+    *  - otherwise: normal rewrite (nav replaced by <hr>), empty error
+    * Rows never fail; the error code rides a column — the same
+    * keep-the-response-whole contract the reference's graceful flags buy.
+    */
+  def bailoutRewrite(spark: SparkSession, sfDir: String, budget: Int = 8192): DataFrame = {
+    import spark.implicits._
+    import graft.rewrite.ContentType
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val rw = new Rewriter(
+          Seq(
+            "nav" -> ElementHandlers(element = el => el.replace("<hr>")),
+            "article" -> ElementHandlers(element = el =>
+              if (el.attr("data-fail") != null)
+                throw new RuntimeException("planted handler failure"))),
+          strict = false,
+          maxDocBytes = budget,
+          gracefulBailOutOnMemoryLimit = true,
+          gracefulBailOutOnContentHandlerError = true,
+          bailOutHandlers = Seq((err, bo) =>
+            bo.append(s"<!--bail:${err.errorCode}-->", ContentType.Html)))
+        val pad = "x" * (budget + 16)
+        it.map { case (id, text) =>
+          val idNum = id.toLong
+          val body = if (idNum % 5 == 0) pad else text
+          val failAttr = if (idNum % 5 != 0 && idNum % 7 == 0) " data-fail=\"1\"" else ""
+          val html = s"""<html><body><nav>n-$id</nav><article$failAttr><p>$body</p></article></body></html>"""
+          val outBytes = rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val err = rw.lastBailOut
+          (id, new String(outBytes, java.nio.charset.StandardCharsets.UTF_8),
+            if (err == null) "" else err.errorCode)
+        }
+      }
+      .toDF("doc_id", "rewritten", "bail_error")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -167,9 +167,14 @@ object DedupOps {
     }
   }
 
-  def clearShingleCache(): Unit = shingleCache.synchronized {
-    shingleCache.values.forEach(df => scala.util.Try(df.unpersist()))
-    shingleCache.clear()
+  def clearShingleCache(): Unit = {
+    shingleCache.synchronized {
+      shingleCache.values.forEach(df => scala.util.Try(df.unpersist()))
+      shingleCache.clear()
+    }
+    // stale shingles imply stale pairs: anyone invalidating the shingle
+    // view (files overwritten in place) must not keep derived pair lists
+    clearPairsCache()
   }
 
   // ---- shingle staging table (resumable; the 100 TB path) ----------------
@@ -843,11 +848,52 @@ object DedupOps {
     * the cost of O(n^2) expansion inside giant buckets.
     */
   def minhashLshPairs(base: DataFrame, threshold: Double,
-                      bucketCap: Int = DefaultLshBucketCap): DataFrame =
-    // persisted + memoized: the signature path and the two verification
-    // joins would otherwise re-shingle the corpus once each
-    minhashLshPairsFromShingled(
-      shingled(base).select(col("doc_id"), col("sh")), threshold, bucketCap)
+                      bucketCap: Int = DefaultLshBucketCap): DataFrame = pairsCache.synchronized {
+    pairsCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash(),
+      threshold, bucketCap)
+    val cached = pairsCache.get(key)
+    if (cached != null) cached
+    else {
+      // the shingled() memo already avoids re-shingling; this one avoids
+      // re-running signatures + banding + verification per consumer
+      val df = minhashLshPairsFromShingled(
+        shingled(base).select(col("doc_id"), col("sh")), threshold, bucketCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairsCache.put(key, df)
+      df
+    }
+  }
+
+  /** Session-scoped near-dup pair memo (the e3-codebook / shingled()
+    * pattern): d6, d8, d9, d10 and p1 each consume the SAME
+    * (base, threshold, cap) pair list — at 100 TB the pair list is
+    * computed once and every dedup-apply / clustering consumer reads it;
+    * locally the memo cuts four redundant signature+banding+verify
+    * passes from the iterative bench tail. Keyed on the base plan's
+    * ANALYZED semantic hash + (threshold, bucketCap); bounded LRU, the
+    * persisted result is unpersisted on eviction. Caveat (same as
+    * [[shingled]]): keys on the PLAN, not the data — if the underlying
+    * files are overwritten in place within one session, call
+    * [[clearPairsCache]] first. The `dropped_band_buckets` observed
+    * metric fires on the FIRST materialization only (cache reads do not
+    * re-run the banding stage).
+    */
+  private val MaxCachedPairViews = 4
+  private val pairsCache =
+    new java.util.LinkedHashMap[(SparkSession, Int, Double, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Int, Double, Int), DataFrame]): Boolean = {
+        val evict = size() > MaxCachedPairViews
+        if (evict) scala.util.Try(e.getValue.unpersist())
+        evict
+      }
+    }
+
+  def clearPairsCache(): Unit = pairsCache.synchronized {
+    pairsCache.values.forEach(df => scala.util.Try(df.unpersist()))
+    pairsCache.clear()
+  }
 
   /** d3 over a pre-staged shingle table (see [[stageShingles]]). */
   def minhashLshPairsStaged(spark: SparkSession, dir: String, threshold: Double,

@@ -441,4 +441,95 @@ class AttrCaseSensitivitySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(matches("[type=TEXT s]", "<input type=TEXT>") == 1)
     assert(matches("[data-x=a i]", "<div data-x=A>") == 1)
   }
+
+  // ---- graceful bail-out (reference v3.0.0 BailOut unit,
+  // rewriter/mod.rs test_graceful_bail_out_* + bail_out.rs doc contract) --
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  test("bail-out: memory limit on an oversized doc flushes the whole input after the marker") {
+    val rw = new Rewriter(
+      Seq("nav" -> ElementHandlers(element = _.replace("<hr>"))),
+      strict = false, maxDocBytes = 32,
+      gracefulBailOutOnMemoryLimit = true,
+      bailOutHandlers = Seq((err, bo) => {
+        bo.append(s"<!--${err.errorCode}-->", ContentType.Html)
+        bo.append("a<b", ContentType.Text) // escaped per content type
+      }))
+    val doc = "<html><body><nav>x</nav>" + ("y" * 40) + "</body></html>"
+    val out = new String(rw.rewriteToBytes(utf8(doc)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // input-size trip happens BEFORE parsing: no transformation at all,
+    // marker (handler appends concatenated, Text escaped) then raw doc
+    assert(out == "<!--memory_limit_exceeded:32-->a&lt;b" + doc)
+    assert(rw.lastBailOut != null &&
+      rw.lastBailOut.isInstanceOf[MemoryLimitExceededError])
+    // the next document rewrites normally and clears lastBailOut
+    assert(new String(rw.rewriteToBytes(utf8("<nav>x</nav>ok")),
+      java.nio.charset.StandardCharsets.UTF_8) == "<hr>ok")
+    assert(rw.lastBailOut == null)
+  }
+
+  test("bail-out: without the graceful flag the memory error throws (no flush)") {
+    val rw = new Rewriter(Seq("nav" -> ElementHandlers(element = _.replace("<hr>"))),
+      strict = false, maxDocBytes = 8)
+    intercept[MemoryLimitExceededError] { rw.rewriteToBytes(utf8("<p>0123456789</p>")) }
+  }
+
+  test("bail-out: handler error mid-document keeps the transformed prefix, marker, raw suffix") {
+    val rw = new Rewriter(
+      Seq(
+        "nav" -> ElementHandlers(element = _.replace("<hr>")),
+        "article" -> ElementHandlers(element = _ => throw new RuntimeException("boom"))),
+      strict = false,
+      gracefulBailOutOnContentHandlerError = true,
+      bailOutHandlers = Seq(
+        (err, bo) => bo.append(s"<!--${err.errorCode}-->", ContentType.Html),
+        (_, bo) => bo.append("<!--second-->", ContentType.Html))) // registration order
+    val doc = "<html><body><nav>n</nav><article><p>t</p></article></body></html>"
+    val out = new String(rw.rewriteToBytes(utf8(doc)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(out == "<html><body><hr><!--content_handler_error--><!--second-->" +
+      "<article><p>t</p></article></body></html>")
+    assert(rw.lastBailOut.isInstanceOf[ContentHandlerError])
+  }
+
+  test("bail-out: handler error without the graceful flag wraps and throws") {
+    val rw = new Rewriter(
+      Seq("p" -> ElementHandlers(element = _ => throw new RuntimeException("boom"))),
+      strict = false)
+    val e = intercept[ContentHandlerError] { rw.rewriteToBytes(utf8("<p>x</p>")) }
+    assert(e.getCause.getMessage == "boom")
+  }
+
+  test("bail-out: mid-document output-budget trip (buffered-handler growth) flushes remaining raw") {
+    // the append grows the OUTPUT past the budget; the trip fires at the
+    // next start tag, so the transformed prefix survives and the rest of
+    // the input flushes as-is — the reference's buffered-data flush
+    // analog (rewriter/mod.rs test_graceful_bail_out_in_buffer_append)
+    val rw = new Rewriter(
+      Seq("p" -> ElementHandlers(element = _.after("B" * 64, ContentType.Html))),
+      strict = false, maxDocBytes = 60,
+      gracefulBailOutOnMemoryLimit = true,
+      bailOutHandlers = Seq((err, bo) => bo.append(s"<!--${err.errorCode}-->", ContentType.Html)))
+    val doc = "<p>a</p><i>keep</i><p>z</p>"
+    val out = new String(rw.rewriteToBytes(utf8(doc)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // first <p> serialized + appended content (out.size = 8 + 64 > 60);
+    // trip at <i>: pendingStart is after the first </p>
+    assert(out == "<p>a</p>" + ("B" * 64) + "<!--memory_limit_exceeded:60-->" +
+      "<i>keep</i><p>z</p>")
+  }
+
+  test("bail-out: parsing ambiguity is never graceful (strict-mode refusal, reference parity)") {
+    val rw = new Rewriter(
+      Seq("p" -> ElementHandlers(element = _ => ())),
+      strict = true,
+      gracefulBailOutOnMemoryLimit = true,
+      gracefulBailOutOnContentHandlerError = true,
+      bailOutHandlers = Seq((_, bo) => bo.append("<!--never-->", ContentType.Html)))
+    intercept[graft.core.ParsingAmbiguityException] {
+      rw.rewriteToBytes(utf8("<select><style>bail</style></select>"))
+    }
+  }
 }

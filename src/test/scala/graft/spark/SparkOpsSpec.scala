@@ -139,6 +139,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupOps.clearShingleCache()
   }
 
+  test("d3 pairs memo: d6/d8/d9/d10/p1's shared pair list is computed once per session") {
+    DedupOps.clearShingleCache()
+    val p1 = DedupOps.minhashLshPairs(DedupOps.withVariants(spark, sf), 0.6)
+    // a SECOND consumer building the same base plan gets the SAME persisted
+    // instance — reference equality is the one-computation proof
+    val p2 = DedupOps.minhashLshPairs(DedupOps.withVariants(spark, sf), 0.6)
+    assert(p1 eq p2, "same (plan, threshold, cap) must return the memoized instance")
+    assert(p1.storageLevel.useMemory || p1.storageLevel.useDisk,
+      "memoized pairs must be persisted")
+    val p3 = DedupOps.minhashLshPairs(DedupOps.withVariants(spark, sf), 0.7)
+    assert(!(p1 eq p3), "a different threshold is a different pair list")
+    // shingle invalidation cascades: the memo must not survive a clear
+    DedupOps.clearShingleCache()
+    assert(p1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist the evicted pair list")
+    val p4 = DedupOps.minhashLshPairs(DedupOps.withVariants(spark, sf), 0.6)
+    assert(!(p1 eq p4), "clear must drop the memo")
+    DedupOps.clearShingleCache()
+  }
+
   test("d14 incremental: variants match their originals, fresh docs clean, staged == in-memory") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, lit}
