@@ -1109,6 +1109,10 @@ object Lexer {
   */
 final class AttrNeedTable(val allTags: Boolean, keys: Array[Long],
                           names: Array[String]) {
+  /** Debug views for the selectors_ast-style dump (graft.DumpAst). */
+  private[graft] def dumpHashes: Seq[Long] = keys.filter(_ != 0L).toSeq
+  private[graft] def dumpNames: Seq[String] = names.toSeq
+
   def needsAttrs(nameHash: Long, s: Int, e: Int, input: Array[Byte]): Boolean = {
     if (allTags) return true
     if (nameHash != TagHash.Empty) {
