@@ -424,7 +424,22 @@ class SpecCornersSpec extends AnyFunSuite {
       "<a b=\"x\"=\"y\">z", "<!doctype html system>x",
       // batch 10
       "<!doctyp>x", "<svg><![CDATA[]]>x</svg>", "<svg><desc><svg><g>x",
-      "<math><annotation-xml encoding=\"text/html;charset=utf-8\"><abbr>x")
+      "<math><annotation-xml encoding=\"text/html;charset=utf-8\"><abbr>x",
+      // batch 11
+      "<script><!--<scriptx></script>-->z",
+      "<script><!--<script/></script>--></script>",
+      "<script><!--<script></scriptx>--></script>y",
+      "<script><!--<script>--></script>z",
+      "<script><!--<SCRIPT ></SCRIPT >--></script>x",
+      "<script><!--<script><!--</script>x", "<script><!--<script>",
+      "<title>a</title id=x>b", "<title>a</title/>b",
+      "<title>a</style id=x></title>", "<title>a</title x",
+      "<title>a</titlex></title>", "<textarea></title>x</textarea>",
+      "<title>a</title b=\">\">c",
+      "a\u0000b", "<title>a\u0000b</title>", "<script>a\u0000b</script>",
+      "<di\u0000v>x</di\u0000v>", "<\u0000a>b", "a</\u0000x>b",
+      "<a b\u0000=c\u0000d>x", "<!--a\u0000b-->x", "<!doctype ht\u0000ml>x",
+      "<plaintext>", "<plaintext>\u0000", "<xmp>a<b")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1016,5 +1031,183 @@ class SpecCornersSpec extends AnyFunSuite {
       "start(math||sc=false|ns=2)",
       "start(annotation-xml|encoding=text/html;charset=utf-8|sc=false|ns=2)",
       "start(abbr||sc=false|ns=2)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 11: script-data double-escape entry/exit corners ----
+
+  test("double-escape entry needs a delimiter after the keyword") {
+    // '<scriptx' in escaped: double-escape-start keeps appending letters,
+    // the '>' delimiter compares 'scriptx' != 'script' -> STAY escaped,
+    // so the following appropriate end tag closes the element
+    check("<script><!--<scriptx></script>-->z",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<scriptx>)",
+      "end(script)", "text[Data](-->z)", "eof")
+  }
+
+  test("double-escape entry via '/' delimiter; exit via '>' returns to ESCAPED") {
+    // '<script/' -> double-escaped; '</script>' there is TEXT and flips
+    // back to escaped (double-escape-end), so '-->' then leaves escape
+    // and the final end tag closes
+    check("<script><!--<script/></script>--></script>",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script/></script>-->)",
+      "end(script)", "eof")
+  }
+
+  test("double-escape exit needs the delimiter too") {
+    // '</scriptx' inside double-escape: keyword mismatch at '>' keeps the
+    // DOUBLE-escaped state; '-->' in double-escaped-dash-dash goes
+    // straight to script data, where the end tag is appropriate
+    check("<script><!--<script></scriptx>--></script>y",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script></scriptx>-->)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("'-->' inside double-escape exits directly to script data") {
+    check("<script><!--<script>--></script>z",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<script>-->)",
+      "end(script)", "text[Data](z)", "eof")
+  }
+
+  test("double-escape keyword comparison is case-insensitive") {
+    check("<script><!--<SCRIPT ></SCRIPT >--></script>x",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<SCRIPT ></SCRIPT >-->)",
+      "end(script)", "text[Data](x)", "eof")
+  }
+
+  test("'<!--' inside double-escape is inert; exiting lands in ESCAPED, not data") {
+    // nesting is not tracked: the inner '<!--' is text; '</script>' ends
+    // the DOUBLE escape (back to escaped, still text), and with no '-->'
+    // the element never closes — everything to EOF is script text
+    check("<script><!--<script><!--</script>x",
+      "start(script||sc=false|ns=0)",
+      "text[ScriptData](<!--<script><!--</script>x)", "eof")
+  }
+
+  test("EOF inside double-escape is script text") {
+    check("<script><!--<script>",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<script>)", "eof")
+  }
+
+  // ---- batch 11: RCDATA appropriate end tag with attrs / self-closing ----
+
+  test("appropriate end tag with attributes still closes (attrs dropped)") {
+    // rcdata-end-tag-name ws -> before-attribute-name only when
+    // APPROPRIATE; the tag machinery then runs normally and end-tag
+    // attrs are dropped at the lexeme level
+    check("<title>a</title id=x>b",
+      "start(title||sc=false|ns=0)", "text[RCData](a)", "end(title)",
+      "text[Data](b)", "eof")
+  }
+
+  test("appropriate end tag with self-closing slash still closes") {
+    // '/' -> self-closing-start (appropriate only); '>' emits the end
+    // tag (the sc flag on an end tag is a tree-stage parse error)
+    check("<title>a</title/>b",
+      "start(title||sc=false|ns=0)", "text[RCData](a)", "end(title)",
+      "text[Data](b)", "eof")
+  }
+
+  test("inappropriate end tag with attributes is all text") {
+    // '</style' fails the appropriate check at the space -> '</' + name
+    // re-emitted as text, the rest reconsumed as RCDATA characters
+    check("<title>a</style id=x></title>",
+      "start(title||sc=false|ns=0)", "text[RCData](a</style id=x>)",
+      "end(title)", "eof")
+  }
+
+  test("appropriate end tag dropped at EOF mid-attributes keeps the raw") {
+    // EOF in before-attribute-name drops the token; the consumed tag
+    // bytes surface as a raw (no-token) range, like data-context tags
+    check("<title>a</title x",
+      "start(title||sc=false|ns=0)", "text[RCData](a)", "raw(</title x)", "eof")
+  }
+
+  test("end tag name that over-runs the keyword is text") {
+    // 'titlex' fails the appropriate check at '>', which reconsumes as
+    // an RCDATA character
+    check("<title>a</titlex></title>",
+      "start(title||sc=false|ns=0)", "text[RCData](a</titlex>)",
+      "end(title)", "eof")
+  }
+
+  test("appropriate check uses THIS element's name, not any rcdata name") {
+    check("<textarea></title>x</textarea>",
+      "start(textarea||sc=false|ns=0)", "text[RCData](</title>x)",
+      "end(textarea)", "eof")
+  }
+
+  test("quoted '>' in an end-tag attribute does not end the tag early") {
+    // the attribute-value machinery runs in the end-tag context: the
+    // quoted '>' is value data, the tag ends at the real '>'
+    check("<title>a</title b=\">\">c",
+      "start(title||sc=false|ns=0)", "text[RCData](a)", "end(title)",
+      "text[Data](c)", "eof")
+  }
+
+  // ---- batch 11: NUL handling per state (lexeme level: raw bytes kept;
+  // the spec's U+FFFD replacement is a token/tree-stage concern and
+  // replacing would break the serializer's passthrough byte identity) ----
+
+  test("NUL in data text passes through") {
+    check("a\u0000b", "text[Data](a\u0000b)", "eof")
+  }
+
+  test("NUL in RCDATA passes through") {
+    check("<title>a\u0000b</title>",
+      "start(title||sc=false|ns=0)", "text[RCData](a\u0000b)", "end(title)", "eof")
+  }
+
+  test("NUL in script data passes through") {
+    check("<script>a\u0000b</script>",
+      "start(script||sc=false|ns=0)", "text[ScriptData](a\u0000b)",
+      "end(script)", "eof")
+  }
+
+  test("NUL in a tag name is a name byte (unhashable name)") {
+    check("<di\u0000v>x</di\u0000v>",
+      "start(di\u0000v||sc=false|ns=0)", "text[Data](x)", "end(di\u0000v)", "eof")
+  }
+
+  test("NUL right after '<' makes the whole run text") {
+    // tag-open: not a letter -> '<' is a character, reconsume in data
+    check("<\u0000a>b", "text[Data](<\u0000a>b)", "eof")
+  }
+
+  test("NUL after '</' opens a bogus comment") {
+    check("a</\u0000x>b",
+      "text[Data](a)", "comment(\u0000x)", "text[Data](b)", "eof")
+  }
+
+  test("NUL in attribute name and value is kept") {
+    check("<a b\u0000=c\u0000d>x",
+      "start(a|b\u0000=c\u0000d|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("NUL in comment data is kept") {
+    check("<!--a\u0000b-->x", "comment(a\u0000b)", "text[Data](x)", "eof")
+  }
+
+  test("NUL in the doctype name is kept") {
+    check("<!doctype ht\u0000ml>x",
+      "doctype(ht\u0000ml|<none>|<none>|quirks=false)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 11: plaintext / rawtext EOF ----
+
+  test("plaintext at immediate EOF emits no text") {
+    check("<plaintext>", "start(plaintext||sc=false|ns=0)", "eof")
+  }
+
+  test("plaintext containing only NUL") {
+    check("<plaintext>\u0000",
+      "start(plaintext||sc=false|ns=0)", "text[PlainText](\u0000)", "eof")
+  }
+
+  test("rawtext partial markup at EOF is text") {
+    // rawtext-less-than-sign: 'b' is not '/' -> reconsume as text
+    check("<xmp>a<b", "start(xmp||sc=false|ns=0)", "text[RawText](a<b)", "eof")
   }
 }
