@@ -159,6 +159,12 @@ object SparkEntry {
     "t9_mixture" -> ((s, dir) =>
       TextOps.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
         MixRates, MixDefaultPermille)),
+    // t11: temperature-scaled source balancing (alpha = 0.5) — rates
+    // DERIVED from per-source counts (1000*sqrt(min/count) permille);
+    // sqrt/division are correctly-rounded IEEE in both engines, so the
+    // oracle replays the rates bit-identically
+    "t11_temperature_mix" -> ((s, dir) =>
+      TextOps.temperatureMixture(s.read.parquet(s"$dir/documents.parquet"))),
     // t10: URL canonicalization over deterministically synthesized URLs
     // (mixed-case scheme/host, default + explicit ports, empty paths,
     // utm_* tracking params, unsorted params, fragments) — the prep step
@@ -795,6 +801,16 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
         s"((doc_id & 2147483647) * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+
+    "t11_temperature_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS src_count FROM documents GROUP BY 1), " +
+        "m AS (SELECT min(src_count) AS mn FROM c), " +
+        "r AS (SELECT source, src_count, " +
+        "CAST(floor(1000.0 * sqrt(CAST(mn AS DOUBLE) / src_count)) AS INT) AS rate_permille " +
+        "FROM c, m) " +
+        "SELECT d.doc_id, d.source, CAST(r.src_count AS BIGINT) AS src_count, r.rate_permille, " +
+        "((d.doc_id & 2147483647) * 3266489917) % 1000 < r.rate_permille AS kept " +
+        "FROM documents d JOIN r ON d.source = r.source"),
 
     "d14_incremental" -> IncrementalSql,
 

@@ -321,6 +321,44 @@ object TextOps {
       (bucket < rate).as("kept"))
   }
 
+  /** t11: temperature-scaled source balancing — the multilingual /
+    * data-mixing standard (mBERT/XLM-R exponent-sampling shape): keep
+    * probability proportional to count^(alpha-1) with alpha = 0.5
+    * ("square-root temperature"), i.e. rate_s = 1000*sqrt(min_count /
+    * count_s) permille — the smallest source keeps everything, larger
+    * sources are downsampled TOWARD (not onto) balance. Unlike t9 the
+    * rates are computed FROM the corpus, not supplied.
+    *
+    * The fixed sqrt temperature is what makes this oracle-exact: IEEE
+    * division and sqrt are correctly-rounded in both Spark and DuckDB,
+    * so the permille rates replay bit-identically — libm `pow` with an
+    * arbitrary alpha is NOT correctly rounded and could flip a floor()
+    * by one ULP between engines.
+    *
+    * Keep decision: the t9 Knuth-hash permille bucket with a THIRD
+    * decorrelated multiplier. Plan shape at 100 TB: one partial-agg
+    * count per source (tiny result), a broadcast of the one-row min
+    * onto it, and a broadcast join of the per-source rates back onto
+    * the corpus — the data itself is touched map-only, no wide shuffle.
+    * Returns (doc_id, source, src_count, rate_permille, kept).
+    */
+  val TempHashMultiplier = 3266489917L // decorrelated from split's and t9's
+
+  def temperatureMixture(df: DataFrame): DataFrame = {
+    val counts = df.groupBy(col("source")).agg(count(lit(1)).as("src_count"))
+    val minDf = counts.agg(min(col("src_count")).as("min_count"))
+    val rates = counts.crossJoin(broadcast(minDf))
+      .withColumn("rate_permille",
+        floor(lit(1000.0) * sqrt(col("min_count").cast("double") / col("src_count")))
+          .cast("int"))
+      .select(col("source"), col("src_count"), col("rate_permille"))
+    val bucket = pmod(hid * lit(TempHashMultiplier), lit(1000L))
+    df.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("src_count"),
+        col("rate_permille"), (bucket < col("rate_permille")).as("kept"))
+  }
+
   /** t10: URL canonicalization — the C4/RefinedWeb prep step before
     * URL-level dedup: lowercase scheme and host, strip default ports
     * (http:80 / https:443, keeping explicit non-defaults), default an

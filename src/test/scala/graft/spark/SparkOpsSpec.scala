@@ -364,6 +364,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.MixHashMultiplier != 2654435761L)
   }
 
+  test("temperature mixture: sqrt-scaled rates from counts, smallest source keeps all") {
+    val sp = spark; import sp.implicits._
+    // counts 400 / 100 / 25 -> rates 1000*sqrt(25/400)=250,
+    // 1000*sqrt(25/100)=500, 1000*sqrt(25/25)=1000
+    val df = ((0L until 400L).map((_, "big")) ++
+      (1000L until 1100L).map((_, "mid")) ++
+      (2000L until 2025L).map((_, "small"))).toDF("doc_id", "source")
+    val out = TextOps.temperatureMixture(df)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    assert(rows.length == 525) // one verdict per doc
+    val rates = rows.map(t => t._2 -> (t._3, t._4)).toMap
+    assert(rates("big") == ((400L, 250)) && rates("mid") == ((100L, 500)) &&
+      rates("small") == ((25L, 1000)), rates.toString)
+    rows.foreach { case (id, _, _, rate, kept) =>
+      val bucket = java.lang.Math.floorMod((id & 2147483647L) * TextOps.TempHashMultiplier, 1000L)
+      assert(kept == (bucket < rate), s"doc $id")
+    }
+    assert(rows.filter(_._2 == "small").forall(_._5)) // rate 1000 keeps every bucket
+    val bigs = rows.filter(_._2 == "big")
+    assert(bigs.exists(_._5) && bigs.exists(!_._5))
+    // the corpus-side join is broadcast (the rates table is tiny by
+    // construction); the data itself must not sort-merge
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // a third decorrelated multiplier
+    assert(TextOps.TempHashMultiplier != TextOps.MixHashMultiplier &&
+      TextOps.TempHashMultiplier != 2654435761L)
+  }
+
   test("url normalization: hand-derived cases for every rule") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
