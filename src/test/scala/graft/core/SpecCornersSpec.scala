@@ -439,7 +439,17 @@ class SpecCornersSpec extends AnyFunSuite {
       "a\u0000b", "<title>a\u0000b</title>", "<script>a\u0000b</script>",
       "<di\u0000v>x</di\u0000v>", "<\u0000a>b", "a</\u0000x>b",
       "<a b\u0000=c\u0000d>x", "<!--a\u0000b-->x", "<!doctype ht\u0000ml>x",
-      "<plaintext>", "<plaintext>\u0000", "<xmp>a<b")
+      "<plaintext>", "<plaintext>\u0000", "<xmp>a<b",
+      // batch 12
+      "<style/>a</style>b", "<script/>x</script>y", "<title/>x</title>y",
+      "<plaintext/>x", "<textarea/>x</textarea>y",
+      "<script><!--x--!></script>z",
+      "<svg><![CDATA[a]>b]]></svg>", "<svg><![CDATA[a]]]></svg>",
+      "<!--x--!-->y", "<!--x--!a-->z",
+      "<!doctype html \"p\">x", "<!doctype html pub>x",
+      "<title></ x</title>", "<SVG><G>x</G></SVG>y", "<svg><B>x",
+      "a<plaintext><plaintext>x",
+      "<script><!--</script x>-->y", "<script>a</script x>y")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1209,5 +1219,129 @@ class SpecCornersSpec extends AnyFunSuite {
   test("rawtext partial markup at EOF is text") {
     // rawtext-less-than-sign: 'b' is not '/' -> reconsume as text
     check("<xmp>a<b", "start(xmp||sc=false|ns=0)", "text[RawText](a<b)", "eof")
+  }
+
+  // ---- batch 12: self-closing flags on HTML text elements (the tree
+  // builder acknowledges the flag only for void/foreign elements — the
+  // generic raw-text/RCDATA/script algorithms run regardless) ----
+
+  test("<style/> still enters RAWTEXT") {
+    check("<style/>a</style>b",
+      "start(style||sc=true|ns=0)", "text[RawText](a)", "end(style)",
+      "text[Data](b)", "eof")
+  }
+
+  test("<script/> still enters script data") {
+    check("<script/>x</script>y",
+      "start(script||sc=true|ns=0)", "text[ScriptData](x)", "end(script)",
+      "text[Data](y)", "eof")
+  }
+
+  test("<title/> still enters RCDATA") {
+    check("<title/>x</title>y",
+      "start(title||sc=true|ns=0)", "text[RCData](x)", "end(title)",
+      "text[Data](y)", "eof")
+  }
+
+  test("<plaintext/> still enters plaintext") {
+    check("<plaintext/>x", "start(plaintext||sc=true|ns=0)",
+      "text[PlainText](x)", "eof")
+  }
+
+  test("<textarea/> still enters RCDATA") {
+    check("<textarea/>x</textarea>y",
+      "start(textarea||sc=true|ns=0)", "text[RCData](x)", "end(textarea)",
+      "text[Data](y)", "eof")
+  }
+
+  // ---- batch 12: script-escape and CDATA terminator corners ----
+
+  test("'--!>' inside script escape is text (no comment-end-bang there)") {
+    // the escaped dash-dash state's '!' branch is anything-else -> back
+    // to plain escaped; the '>' is text and the escape never ends, but
+    // the appropriate end tag still closes the element from escaped
+    check("<script><!--x--!></script>z",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--x--!>)",
+      "end(script)", "text[Data](z)", "eof")
+  }
+
+  test("']>' inside CDATA is data") {
+    check("<svg><![CDATA[a]>b]]></svg>",
+      "start(svg||sc=false|ns=1)", "raw(<![CDATA[)",
+      "text[CDataSection](a]>b)", "raw(]]>)", "end(svg)", "eof")
+  }
+
+  test("three brackets before '>': the extra ']' is data") {
+    // CDATA end state ']' -> emit one ']' as data, stay; '>' then closes
+    check("<svg><![CDATA[a]]]></svg>",
+      "start(svg||sc=false|ns=1)", "raw(<![CDATA[)",
+      "text[CDataSection](a])", "raw(]]>)", "end(svg)", "eof")
+  }
+
+  // ---- batch 12: comment-end-bang continuations ----
+
+  test("'--!-' continues the comment with '--!' as data") {
+    // comment-end-bang '-' -> append '--!', comment-end-dash; '--' '>'
+    // then closes
+    check("<!--x--!-->y", "comment(x--!)", "text[Data](y)", "eof")
+  }
+
+  test("'--!a' continues the comment with '--!' as data") {
+    check("<!--x--!a-->z", "comment(x--!a)", "text[Data](z)", "eof")
+  }
+
+  // ---- batch 12: doctype keyword near-misses ----
+
+  test("a quote after the doctype name is bogus-doctype junk (quirks)") {
+    check("<!doctype html \"p\">x",
+      "doctype(html|<none>|<none>|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  test("a PUBLIC keyword prefix that stops short is bogus (quirks)") {
+    check("<!doctype html pub>x",
+      "doctype(html|<none>|<none>|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 12: rcdata end-tag-open without a letter ----
+
+  test("'</ ' inside rcdata is text (end-tag-open needs a letter)") {
+    check("<title></ x</title>",
+      "start(title||sc=false|ns=0)", "text[RCData](</ x)", "end(title)", "eof")
+  }
+
+  // ---- batch 12: foreign-content case rules ----
+
+  test("uppercase <SVG> still enters the SVG namespace") {
+    check("<SVG><G>x</G></SVG>y",
+      "start(SVG||sc=false|ns=1)", "start(G||sc=false|ns=1)",
+      "text[Data](x)", "end(G)", "end(SVG)", "text[Data](y)", "eof")
+  }
+
+  test("the breakout list is case-insensitive: <B> pops foreign content") {
+    check("<svg><B>x",
+      "start(svg||sc=false|ns=1)", "start(B||sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  // ---- batch 12: plaintext swallows later markup ----
+
+  test("a second <plaintext> inside plaintext is text") {
+    check("a<plaintext><plaintext>x",
+      "text[Data](a)", "start(plaintext||sc=false|ns=0)",
+      "text[PlainText](<plaintext>x)", "eof")
+  }
+
+  // ---- batch 12: appropriate end tags with attrs in script states ----
+
+  test("escaped-script appropriate end tag with attributes closes") {
+    check("<script><!--</script x>-->y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--)",
+      "end(script)", "text[Data](-->y)", "eof")
+  }
+
+  test("plain script data appropriate end tag with attributes closes") {
+    check("<script>a</script x>y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](a)",
+      "end(script)", "text[Data](y)", "eof")
   }
 }
