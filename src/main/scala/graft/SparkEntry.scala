@@ -327,6 +327,11 @@ object SparkEntry {
     // nearest-neighbor resize -> re-encode -> re-decode chain (m7)
     "m6_png_decode" -> ((s, dir) =>
       MultimodalOps.pngDecode(MultimodalOps.pngAssets(s, dir))),
+    // m9: header-only IHDR probe — dimensions/bit-depth/color-type via
+    // codegen'd byte peeks, no decoder; the oracle recomputes the
+    // generator formulas + the PNG writer's fixed 8-bit truecolor header
+    "m9_png_header" -> ((s, dir) =>
+      MultimodalOps.pngHeaderProbe(MultimodalOps.pngAssets(s, dir))),
     "m7_png_resize" -> ((s, dir) =>
       MultimodalOps.pngResizeProbe(MultimodalOps.pngAssets(s, dir))),
     // m8: the REAL audio codec branch — javax.sound WAV containers with
@@ -895,6 +900,10 @@ object SparkEntry {
     // formulas r=(id+x)%256, g=(label+y)%256, b=(id*7+x*3+y*5)%256;
     // m6 probes (0,0) and (w-1,h-1); m7's resize samples source (2x,2y),
     // so its probes are source (0,0) and (w-2,h-2)
+    "m9_png_header" ->
+      ("SELECT vec_id, TRUE AS is_png, CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
+        "CAST(24 + (label % 5) * 12 AS INT) AS height, " +
+        "CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type FROM embeddings"),
     "m6_png_decode" ->
       ("SELECT vec_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CAST((vec_id % 256) * 65536 + (label % 256) * 256 + ((vec_id * 7) % 256) AS INT) AS px00, " +

@@ -169,6 +169,24 @@ object MultimodalOps {
       .toDF("vec_id", "label", "png")
   }
 
+  /** m9: header-only metadata probe — IHDR width/height/bit-depth/
+    * color-type read straight from the fixed PNG byte layout (8-byte
+    * signature, 4-byte length, "IHDR", then 13 data bytes) with
+    * codegen'd Catalyst expressions (substring/hex/conv), NO decoder on
+    * the path at all. At 100 TB, dimension stats / size filtering should
+    * cost a 26-byte peek per row, not an inflate of every image —
+    * that is the difference between a projection-only scan and m6's
+    * per-row ImageIO decode. `is_png` gates on the signature bytes.
+    */
+  def pngHeaderProbe(pngDf: DataFrame): DataFrame = {
+    def beInt(off1: Int, len: Int) =
+      conv(hex(substring(col("png"), off1, len)), 16, 10).cast("int")
+    pngDf.select(col("vec_id"),
+      (hex(substring(col("png"), 1, 8)) === lit("89504E470D0A1A0A")).as("is_png"),
+      beInt(17, 4).as("width"), beInt(21, 4).as("height"),
+      beInt(25, 1).as("bit_depth"), beInt(26, 1).as("color_type"))
+  }
+
   /** m6: REAL decode — ImageIO parses the PNG bytes; emit the decoded
     * dimensions and the (0,0) and (w-1,h-1) pixels. The oracle recomputes
     * every value from the generation formulas, so a decoder that

@@ -551,6 +551,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
   }
 
+  test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
+      (id, label, MultimodalOps.encodePng(id, label))
+    }.toDF("vec_id", "label", "png")
+    val rows = MultimodalOps.pngHeaderProbe(df).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    for ((id, label) <- Seq((5L, 3), (6L, 0), (13L, 4))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodePng(id, label)))
+      // signature recognized; dimensions match the real decode; the
+      // writer's fixed 8-bit truecolor header (bit depth 8, color type 2)
+      assert(rows(id) == ((true, img.getWidth, img.getHeight, 8, 2)), rows(id).toString)
+    }
+    // a non-PNG payload is flagged, not crashed on
+    val bad = Seq((99L, 0, "not a png at all, but long enough".getBytes("UTF-8")))
+      .toDF("vec_id", "label", "png")
+    val b = MultimodalOps.pngHeaderProbe(bad).collect()(0)
+    assert(!b.getBoolean(1))
+    // header peeks are pure projections: no object serialization /
+    // mapPartitions lambda in the plan (m6's decoder path has both)
+    val plan = MultimodalOps.pngHeaderProbe(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
   test("multimodal: encode/decode stub roundtrip with real schema") {
     val meta = MultimodalOps.decodeMeta(MultimodalOps.assets(spark, sf)).collect()
     assert(meta.length == 500)
