@@ -159,6 +159,12 @@ object SparkEntry {
     "t9_mixture" -> ((s, dir) =>
       TextOps.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
         MixRates, MixDefaultPermille)),
+    // t12: banned-phrase content-policy scan — plan-literal phrase list,
+    // pipe-joined matches + keep verdict, map-only HOF (one phrase
+    // deliberately matches nothing)
+    "t12_banned" -> ((s, dir) =>
+      TextOps.bannedPhrases(s.read.parquet(s"$dir/documents.parquet"),
+        BannedPhraseList)),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
     // sqrt/division are correctly-rounded IEEE in both engines, so the
@@ -485,6 +491,14 @@ object SparkEntry {
       s"WHEN '$s' THEN $r "
     }.mkString + s"ELSE $MixDefaultPermille END"
 
+  /** t12 phrase list (two-word phrases over the generator vocabulary so
+    * each matches a real subset; the last matches nothing by design).
+    * Kept sorted — both sides emit matches in sorted-list order.
+    */
+  private[graft] val BannedPhraseList =
+    Seq("big query", "data column", "slow fast", "vector table", "zz never zz")
+  private val BannedSqlList = BannedPhraseList.map(p => s"'$p'").mkString("[", ", ", "]")
+
   /** d14's oracle: cross-set (batch vs corpus) inverted-index verify with
     * the corpus-side document-frequency cap and a per-batch-doc argmax
     * verdict (max rounded jaccard, ties to the minimum corpus id).
@@ -806,6 +820,13 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
         s"((doc_id & 2147483647) * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+
+    "t12_banned" ->
+      (s"WITH f AS (SELECT doc_id, list_filter($BannedSqlList, p -> contains(text, p)) AS m " +
+        "FROM documents) " +
+        // duckdb array_to_string([]) is NULL where Spark array_join([]) is ''
+        "SELECT doc_id, coalesce(array_to_string(m, '|'), '') AS matched, " +
+        "CAST(len(m) AS INT) AS n_matched, len(m) = 0 AS kept FROM f"),
 
     "t11_temperature_mix" ->
       ("WITH c AS (SELECT source, count(*) AS src_count FROM documents GROUP BY 1), " +

@@ -359,6 +359,25 @@ object TextOps {
         col("rate_permille"), (bucket < col("rate_permille")).as("kept"))
   }
 
+  /** t12: banned-phrase scan — content-policy filtering against a small
+    * plan-literal phrase list: per document, the pipe-joined sorted list
+    * of phrases found (substring match), their count, and a keep verdict.
+    * Pure Catalyst HOF (filter over an array literal + contains) —
+    * map-only, no UDF, no shuffle; the right shape for policy lists up
+    * to a few thousand entries (beyond that, d11's broadcast n-gram
+    * join is the tool). The HOF lambda references the row's text as a
+    * bare attribute, so the CLAUDE.md interpreted-lambda gotcha (outer
+    * SUBTREE re-evaluation per element) does not apply.
+    */
+  def bannedPhrases(df: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase list")
+    val matched = filter(typedLit(phrases.sorted), p => contains(col("text"), p))
+    df.select(col("doc_id"),
+      array_join(matched, "|").as("matched"),
+      size(matched).as("n_matched"),
+      (size(matched) === 0).as("kept"))
+  }
+
   /** t10: URL canonicalization — the C4/RefinedWeb prep step before
     * URL-level dedup: lowercase scheme and host, strip default ports
     * (http:80 / https:443, keeping explicit non-defaults), default an

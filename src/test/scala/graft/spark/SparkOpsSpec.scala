@@ -551,6 +551,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
   }
 
+  test("banned phrases: sorted substring matches, clean docs kept, map-only plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "the big query ran on a data column today"),
+      (2L, "nothing objectionable here"),
+      (3L, "so slow fast and slow fast again")).toDF("doc_id", "text")
+    val out = TextOps.bannedPhrases(df, Seq("slow fast", "big query", "data column"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == (("big query|data column", 2, false))) // sorted order
+    assert(rows(2L) == (("", 0, true)))
+    assert(rows(3L) == (("slow fast", 1, false))) // repeated phrase counted once
+    // map-only: no shuffle in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
