@@ -159,6 +159,11 @@ object SparkEntry {
     "t9_mixture" -> ((s, dir) =>
       TextOps.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
         MixRates, MixDefaultPermille)),
+    // t13: corpus vocabulary top-K (count desc, token asc rank) — the
+    // partial-agg explode shape; the rank window sees only the
+    // vocab-sized aggregate
+    "t13_vocab" -> ((s, dir) =>
+      TextOps.vocabTopK(s.read.parquet(s"$dir/documents.parquet"))),
     // t12: banned-phrase content-policy scan — plan-literal phrase list,
     // pipe-joined matches + keep verdict, map-only HOF (one phrase
     // deliberately matches nothing)
@@ -820,6 +825,13 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
         s"((doc_id & 2147483647) * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+
+    "t13_vocab" ->
+      ("SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT token, count(*) AS cnt, " +
+        "row_number() OVER (ORDER BY count(*) DESC, token) AS rank FROM (" +
+        "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token " +
+        "FROM documents) GROUP BY token) WHERE rank <= 20"),
 
     "t12_banned" ->
       (s"WITH f AS (SELECT doc_id, list_filter($BannedSqlList, p -> contains(text, p)) AS m " +

@@ -359,6 +359,26 @@ object TextOps {
         col("rate_permille"), (bucket < col("rate_permille")).as("kept"))
   }
 
+  /** t13: corpus vocabulary stats — the top-K tokens by total count with
+    * a deterministic rank (count desc, token asc). Plan shape: explode +
+    * hash-aggregate WITH map-side partial aggregation (the exchange
+    * carries one row per (partition, token), not per occurrence), then a
+    * rank window over the AGGREGATED table only — that table is
+    * vocab-sized, orders of magnitude smaller than the corpus, so the
+    * single-task window is fine at any corpus scale (the corpus itself
+    * is never globally sorted).
+    */
+  def vocabTopK(df: DataFrame, k: Int = 20): DataFrame = {
+    val toks = df.select(
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("token"), col("cnt"), col("rank"))
+  }
+
   /** t12: banned-phrase scan — content-policy filtering against a small
     * plan-literal phrase list: per document, the pipe-joined sorted list
     * of phrases found (substring match), their count, and a keep verdict.

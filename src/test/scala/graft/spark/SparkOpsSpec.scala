@@ -551,6 +551,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
   }
 
+  test("vocab top-k: counts, deterministic tie-break rank, partial-agg plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b b c  c c"), (2L, "c d d"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.vocabTopK(df, 3)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+      .sortBy(_._3)
+    // c:4, d:2, b:2 — ties broken token-asc (b before d)
+    assert(rows == List(("c", 4L, 1), ("b", 2L, 2), ("d", 2L, 3)), rows.toString)
+    // map-side partial aggregation: two HashAggregate stages around the
+    // exchange, so the shuffle carries (partition, token) partials, not
+    // one row per token occurrence
+    val plan = out.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("banned phrases: sorted substring matches, clean docs kept, map-only plan") {
     val sp = spark; import sp.implicits._
     val df = Seq(
