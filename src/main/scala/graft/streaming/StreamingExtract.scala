@@ -64,6 +64,44 @@ object StreamingExtract {
       .drop("arrival")
   }
 
+  /** The production ingest loop as a stream: each arriving micro-batch of
+    * (doc_id, text) rows is verdict-checked against the STAGED corpus
+    * shingle postings (d14's staged path — the corpus is shingled once,
+    * resumably, never self-joined), verdicts append to `verdictDir`, and
+    * NOVEL documents append to `acceptedDir` — the continuously-running
+    * crawl-dedup front door. foreachBatch rather than a stateful
+    * operator on purpose: the dedup state (corpus postings) is a
+    * DISK-RESIDENT staged table shared with the batch path and updated
+    * by periodic re-staging, not per-event stream state — at crawl scale
+    * the postings do not fit (and do not belong) in streaming state
+    * store; exactly-once comes from foreachBatch's batchId-idempotent
+    * append contract.
+    */
+  def ingestDedupStream(spark: SparkSession, inDir: String, stagedShingleDir: String,
+                        verdictDir: String, acceptedDir: String, checkpointDir: String,
+                        threshold: Double = 0.6): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val verdicts = graft.spark.ops.DedupOps
+          .incrementalDupVerdictStaged(spark, stagedShingleDir, batch.toDF(), threshold)
+          .withColumn("batch_id", lit(batchId))
+        verdicts.persist()
+        try {
+          verdicts.write.mode("append").parquet(verdictDir)
+          batch.toDF()
+            .join(verdicts.where(!col("is_dup")).select(col("doc_id")), "doc_id")
+            .write.mode("append").parquet(acceptedDir)
+        } finally verdicts.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Windowed span-rate metrics over a stream of (doc batch arrival time,
     * span counts): tumbling 10s windows with a 30s watermark — the
     * event-time aggregation shape for production monitoring.

@@ -768,6 +768,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select(countDistinct(col("fp"))).head().getLong(0) == 500)
   }
 
+  test("streaming ingest loop: batches verdict-checked against staged postings, novel docs accepted") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ingst").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ingin").toString
+    val verdictDir = java.nio.file.Files.createTempDirectory("graft_ingv").toString
+    val acceptedDir = java.nio.file.Files.createTempDirectory("graft_inga").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ingck").toString
+    // corpus staged ONCE (the production shape); the stream then runs
+    // ingest batches against the staged postings with no re-shingling
+    val corpus = (0L until 50L).map(i => (i, s"c$i d$i e$i f$i g$i h$i " +
+      "shared common boiler plate text here")).toDF("doc_id", "text")
+    DedupOps.clearShingleCache()
+    DedupOps.stageShingles(corpus, stageDir, buckets = 4)
+    // batch: one exact re-crawl of doc 7, one novel doc
+    Seq((1007L, "c7 d7 e7 f7 g7 h7 shared common boiler plate text here"),
+        (2000L, Array.tabulate(12)(j => s"nv$j").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val q = graft.streaming.StreamingExtract.ingestDedupStream(
+      spark, inDir, stageDir, verdictDir, acceptedDir, ckDir)
+    q.awaitTermination(120000)
+    val verdicts = spark.read.parquet(verdictDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(verdicts(1007L) == ((true, 7L)), verdicts.toString)   // dup of corpus doc 7
+    assert(verdicts(2000L) == ((false, -1L)), verdicts.toString) // novel
+    // only the novel doc reaches the accepted corpus feed
+    val accepted = spark.read.parquet(acceptedDir).select("doc_id").collect().map(_.getLong(0))
+    assert(accepted.toSeq == Seq(2000L), accepted.mkString(","))
+    DedupOps.clearShingleCache()
+  }
+
   test("salted rebalance evens out a pathologically skewed input") {
     import org.apache.spark.sql.functions._
     // all rows crammed into one partition; AQE off so the requested
