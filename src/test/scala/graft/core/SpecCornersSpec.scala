@@ -449,7 +449,16 @@ class SpecCornersSpec extends AnyFunSuite {
       "<!doctype html \"p\">x", "<!doctype html pub>x",
       "<title></ x</title>", "<SVG><G>x</G></SVG>y", "<svg><B>x",
       "a<plaintext><plaintext>x",
-      "<script><!--</script x>-->y", "<script>a</script x>y")
+      "<script><!--</script x>-->y", "<script>a</script x>y",
+      // batch 13
+      "a&#65;b&amp;c", "<a b=\"&quot;x\">t", "<!---x-->y",
+      "<script><!-x</script>y", "<title>a\rb</title>", "x<br/", "a<?",
+      "x</br>y", "<!doctype html public 'p>x",
+      "<svg><script/>x</svg>",
+      "<math><annotation-xml encoding=\"text/html\"/><abbr>x",
+      "<math><mtext><b>x",
+      "<svg><foreignObject><![CDATA[x]]></foreignObject></svg>",
+      "<svg><desc><title>a<b></title>x")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1343,5 +1352,103 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<script>a</script x>y",
       "start(script||sc=false|ns=0)", "text[ScriptData](a)",
       "end(script)", "text[Data](y)", "eof")
+  }
+
+  // ---- batch 13: entity rawness, comment-start-dash, escape-start miss,
+  // CR non-normalization, EOF raws ----
+
+  test("character references stay raw at the lexeme level") {
+    // lol-html tokenizes without entity decoding; the serializer's
+    // passthrough identity depends on it
+    check("a&#65;b&amp;c", "text[Data](a&#65;b&amp;c)", "eof")
+  }
+
+  test("&quot; inside a quoted attribute value does not close it") {
+    check("<a b=\"&quot;x\">t", "start(a|b=&quot;x|sc=false|ns=0)",
+      "text[Data](t)", "eof")
+  }
+
+  test("comment-start-dash followed by data keeps the dash") {
+    // comment start dash: not '-' or '>' -> append '-' and reconsume
+    check("<!---x-->y", "comment(-x)", "text[Data](y)", "eof")
+  }
+
+  test("'<!-' in script data never enters the escape") {
+    // escape-start-dash needs a SECOND dash; 'x' falls back to plain
+    // script data, and the appropriate end tag closes as usual
+    check("<script><!-x</script>y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!-x)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("CR in RCDATA is not normalized at the lexeme level") {
+    check("<title>a\rb</title>",
+      "start(title||sc=false|ns=0)", "text[RCData](a\rb)", "end(title)", "eof")
+  }
+
+  test("'<br/' at EOF drops the tag, keeps the raw") {
+    check("x<br/", "text[Data](x)", "raw(<br/)", "eof")
+  }
+
+  test("bogus comment from '<?' at EOF is emitted") {
+    check("a<?", "text[Data](a)", "comment(?)", "eof")
+  }
+
+  test("'</br>' is an ordinary end-tag lexeme") {
+    // voidness is a tree concern; the tokenizer emits the end tag
+    check("x</br>y", "text[Data](x)", "end(br)", "text[Data](y)", "eof")
+  }
+
+  test("doctype public id in single quotes abruptly closed") {
+    check("<!doctype html public 'p>x",
+      "doctype(html|p|<none>|quirks=true)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 13: foreign-content self-closing and integration points ----
+
+  test("self-closing IS acknowledged in foreign content") {
+    // <script/> inside svg closes immediately (no script data mode in
+    // foreign content): x is ordinary svg child text — the foreign
+    // counterpart of batch 12's HTML text-element cases
+    check("<svg><script/>x</svg>",
+      "start(svg||sc=false|ns=1)", "start(script||sc=true|ns=1)",
+      "text[Data](x)", "end(svg)", "eof")
+  }
+
+  test("self-closed annotation-xml is not an open integration point") {
+    check("<math><annotation-xml encoding=\"text/html\"/><abbr>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml|encoding=text/html|sc=true|ns=2)",
+      "start(abbr||sc=false|ns=2)", "text[Data](x)", "eof")
+  }
+
+  test("mtext is a MathML text integration point") {
+    // ADJUDICATED: first guess said mtext reports ns=2 (it lives in the
+    // MathML subtree), but the engine's convention — set in batch 4/5
+    // with svg <desc>/<title> — is that integration-point elements
+    // report the ENTERED namespace their children parse in (the ns is
+    // captured after feedback). mtext is a text integration point, so
+    // ns=0, exactly like desc
+    check("<math><mtext><b>x",
+      "start(math||sc=false|ns=2)", "start(mtext||sc=false|ns=0)",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("CDATA is NOT recognized inside an HTML integration point") {
+    // foreignObject children parse under HTML rules: '<![CDATA[' is the
+    // incorrectly-opened-comment path -> bogus comment
+    check("<svg><foreignObject><![CDATA[x]]></foreignObject></svg>",
+      "start(svg||sc=false|ns=1)", "start(foreignObject||sc=false|ns=0)",
+      "comment([CDATA[x]])", "end(foreignObject)", "end(svg)", "eof")
+  }
+
+  test("HTML <title> inside an svg integration point is RCDATA again") {
+    // desc switches children to HTML dispatch, so <title> there is the
+    // HTML title element and the rcdata switch applies — the complement
+    // of the svg-title trap (svg <title> itself is NOT rcdata)
+    check("<svg><desc><title>a<b></title>x",
+      "start(svg||sc=false|ns=1)", "start(desc||sc=false|ns=0)",
+      "start(title||sc=false|ns=0)", "text[RCData](a<b>)", "end(title)",
+      "text[Data](x)", "eof")
   }
 }
