@@ -76,4 +76,28 @@ class PropertySpec extends AnyFunSuite {
       assert(rw.rewrite(s) == s)
     }
   }
+
+  test("graceful bail-out conserves bytes on arbitrary input") {
+    import graft.rewrite._
+    // the whole point of the graceful contract: the caller's response is
+    // NEVER truncated. With passthrough handlers, every budget either
+    // (a) trips on input size -> output is marker + the untouched doc,
+    // lastBailOut set; or (b) does not trip -> identity, lastBailOut null
+    val marker = "<!--B-->"
+    forAllSamples(Gen.zip(htmlish, Gen.choose(1, 700)), n = 200) { case (s, budget) =>
+      val rw = new Rewriter(
+        Seq("never-matches-anything" -> ElementHandlers(element = _ => ())),
+        strict = false, maxDocBytes = budget,
+        gracefulBailOutOnMemoryLimit = true,
+        bailOutHandlers = Seq((_, bo) => bo.append(marker, ContentType.Html)))
+      val out = rw.rewrite(s)
+      if (s.getBytes("UTF-8").length > budget) {
+        assert(out == marker + s, s"budget=$budget input=${s.take(80)}")
+        assert(rw.lastBailOut != null)
+      } else {
+        assert(out == s)
+        assert(rw.lastBailOut == null)
+      }
+    }
+  }
 }
