@@ -792,7 +792,9 @@ final class Rewriter(
     } catch {
       case e: graft.core.EngineBailoutException =>
         input = null; throw e // never graceful (strict-mode refusal)
-      case e: Throwable =>
+      // NonFatal: a genuinely fatal JVM error (OOM, StackOverflow, ...)
+      // must propagate, not be laundered into a graceful flush
+      case scala.util.control.NonFatal(e) =>
         val err = e match {
           case r: RewritingError => r
           case other => new ContentHandlerError(other)
