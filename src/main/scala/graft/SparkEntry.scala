@@ -282,6 +282,24 @@ object SparkEntry {
     // run excised, the globally-first occurrence kept
     "d13_span_apply" -> ((s, dir) =>
       DedupOps.spanDedupApply(s.read.parquet(s"$dir/documents.parquet"))),
+    // p2: composed SPAN-level curation (the round-6 counterpart of p1):
+    // d13 clean text -> t12 policy filter + length floor -> t11
+    // temperature mixture (rates derived from the SURVIVORS) -> t4 split
+    "p2_curate_spans" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cleaned = DedupOps.spanDedupApply(docs).select(col("doc_id"), col("clean_text"))
+      val withSrc = cleaned.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val policy = TextOps.bannedPhrases(
+        withSrc.select(col("doc_id"), col("clean_text").as("text")), BannedPhraseList)
+      val ok = withSrc
+        .join(policy.where(col("kept")).select(col("doc_id")), "doc_id")
+        .where(length(col("clean_text")) >= 50)
+      val sampled = ok.join(
+        TextOps.temperatureMixture(ok).where(col("kept")).select(col("doc_id")), "doc_id")
+      TextOps.deterministicSplit(sampled)
+        .join(sampled.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("split_bucket"), col("split"))
+    }),
     // p1: the composed curation pipeline a training-data user actually
     // runs — near-dup cluster representatives (d9/d10), quality filters
     // (length + repetition), then deterministic split assignment: every
@@ -496,6 +514,31 @@ object SparkEntry {
       s"WHEN '$s' THEN $r "
     }.mkString + s"ELSE $MixDefaultPermille END"
 
+  /** d13's span-clean CTE chain, ending in
+    * cln(doc_id, clean_text, removed_tokens) — shared by the d13 oracle
+    * and p2's composed oracle. duckdb array_to_string([]) is NULL where
+    * Spark array_join([]) is '' — hence the coalesce on the
+    * fully-deduplicated-doc case.
+    */
+  private val SpanCleanCte =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 11, 1)), " +
+      "i -> struct_pack(pos := i, gram := array_to_string(tk[i:i+12], ' ')))) AS pg FROM t), " +
+      "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), " +
+      "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g2), " +
+      "hit AS (SELECT doc_id, pos FROM r WHERE rk > 1), " +
+      "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) <= 13 THEN 0 ELSE 1 END AS brk FROM hit), " +
+      "s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM b), " +
+      "sp AS (SELECT doc_id, sid, min(pos) AS st, max(pos) + 13 AS en FROM s GROUP BY doc_id, sid), " +
+      "spl AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS sp, " +
+      "SUM(en - st) AS rem FROM sp GROUP BY doc_id), " +
+      "cln AS (SELECT t.doc_id, CASE WHEN l.sp IS NULL THEN array_to_string(tk, ' ') " +
+      "ELSE coalesce(array_to_string(list_transform(list_filter(range(1, len(tk) + 1), " +
+      "i -> len(list_filter(l.sp, v -> i >= v.st AND i < v.en)) = 0), i -> tk[i]), ' '), '') END AS clean_text, " +
+      "CAST(coalesce(l.rem, 0) AS INT) AS removed_tokens " +
+      "FROM t LEFT JOIN spl l USING (doc_id))"
+
   /** t12 phrase list (two-word phrases over the generator vocabulary so
     * each matches a real subset; the last matches nothing by design).
     * Kept sorted — both sides emit matches in sorted-list order.
@@ -619,25 +662,28 @@ object SparkEntry {
         "CAST(coalesce(a.nt, 0) AS INT) AS dup_tokens " +
         "FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "d13_span_apply" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 11, 1)), " +
-        "i -> struct_pack(pos := i, gram := array_to_string(tk[i:i+12], ' ')))) AS pg FROM t), " +
-        "g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g), " +
-        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g2), " +
-        "hit AS (SELECT doc_id, pos FROM r WHERE rk > 1), " +
-        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
-        "(PARTITION BY doc_id ORDER BY pos) <= 13 THEN 0 ELSE 1 END AS brk FROM hit), " +
-        "s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM b), " +
-        "sp AS (SELECT doc_id, sid, min(pos) AS st, max(pos) + 13 AS en FROM s GROUP BY doc_id, sid), " +
-        "spl AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS sp, " +
-        "SUM(en - st) AS rem FROM sp GROUP BY doc_id) " +
-        // duckdb array_to_string([]) is NULL where Spark array_join([]) is
-        // '' — coalesce the fully-deduplicated-doc case
-        "SELECT t.doc_id, CASE WHEN l.sp IS NULL THEN array_to_string(tk, ' ') " +
-        "ELSE coalesce(array_to_string(list_transform(list_filter(range(1, len(tk) + 1), " +
-        "i -> len(list_filter(l.sp, v -> i >= v.st AND i < v.en)) = 0), i -> tk[i]), ' '), '') END AS clean_text, " +
-        "CAST(coalesce(l.rem, 0) AS INT) AS removed_tokens " +
-        "FROM t LEFT JOIN spl l USING (doc_id)"),
+      (SpanCleanCte + " SELECT doc_id, clean_text, removed_tokens FROM cln"),
+
+    // p2: composed span-level curation — every stage individually gated
+    // (d13 clean, t12 policy, length, t11 mixture over the SURVIVORS'
+    // counts, t4 split); this row gates their composition under one SQL
+    "p2_curate_spans" ->
+      (SpanCleanCte +
+        ", src AS (SELECT doc_id, source FROM documents)" +
+        s", ok AS (SELECT c.doc_id, s2.source FROM cln c JOIN src s2 USING (doc_id) " +
+        s"WHERE length(c.clean_text) >= 50 AND " +
+        s"len(list_filter($BannedSqlList, p -> contains(c.clean_text, p))) = 0)" +
+        ", cnt AS (SELECT source, count(*) AS sc FROM ok GROUP BY 1)" +
+        ", mnv AS (SELECT min(sc) AS m FROM cnt)" +
+        ", rt AS (SELECT source, CAST(floor(1000.0 * sqrt(CAST(m AS DOUBLE) / sc)) AS INT) AS rp " +
+        "FROM cnt, mnv)" +
+        ", keepd AS (SELECT ok.doc_id, ok.source FROM ok JOIN rt USING (source) " +
+        "WHERE ((ok.doc_id & 2147483647) * 3266489917) % 1000 < rt.rp) " +
+        "SELECT doc_id, source, " +
+        "CAST(((doc_id & 2147483647) * 2654435761) % 1000 AS INT) AS split_bucket, " +
+        "CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'train' " +
+        "WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+        "FROM keepd"),
     "x1_extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS main_text FROM documents",
     "x12_heuristic_extract" ->
