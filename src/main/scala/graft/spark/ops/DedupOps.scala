@@ -172,9 +172,11 @@ object DedupOps {
       shingleCache.values.forEach(df => scala.util.Try(df.unpersist()))
       shingleCache.clear()
     }
-    // stale shingles imply stale pairs: anyone invalidating the shingle
-    // view (files overwritten in place) must not keep derived pair lists
+    // stale shingles imply stale pairs and stale grams: anyone
+    // invalidating the text-derived views (files overwritten in place)
+    // must not keep any derived table
     clearPairsCache()
+    clearGramCache()
   }
 
   // ---- shingle staging table (resumable; the 100 TB path) ----------------
@@ -414,17 +416,47 @@ object DedupOps {
   }
 
   /** The corpus positional-gram table (doc_id, pos, g) with grams
-    * exchanged as xxhash64 keys — one row-local scan, no HOFs.
+    * exchanged as xxhash64 keys — one row-local scan, no HOFs. Memoized
+    * per session like [[shingled]]/the pairs memo: d12, d13 and p2 each
+    * consume the SAME gram table (at 100 TB it is staged once via
+    * [[stageSpanGrams]]; in-session the memo cuts two redundant
+    * tokenize+hash scans). Invalidated by [[clearShingleCache]] (grams
+    * are text-derived state, same staleness rules).
     */
-  private def posGrams(base: DataFrame, k: Int): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    base.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        posGramsOf(t, k).map { case (i, g) => (id, i, g) }
-      })
-      .toDF("doc_id", "pos", "gram")
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+  private def posGrams(base: DataFrame, k: Int): DataFrame = gramCache.synchronized {
+    gramCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash(), k)
+    val cached = gramCache.get(key)
+    if (cached != null) cached
+    else {
+      val spark = base.sparkSession
+      import spark.implicits._
+      val df = base.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          posGramsOf(t, k).map { case (i, g) => (id, i, g) }
+        })
+        .toDF("doc_id", "pos", "gram")
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gramCache.put(key, df)
+      df
+    }
+  }
+
+  private val MaxCachedGramViews = 4
+  private val gramCache =
+    new java.util.LinkedHashMap[(SparkSession, Int, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > MaxCachedGramViews
+        if (evict) scala.util.Try(e.getValue.unpersist())
+        evict
+      }
+    }
+
+  private[graft] def clearGramCache(): Unit = gramCache.synchronized {
+    gramCache.values.forEach(df => scala.util.Try(df.unpersist()))
+    gramCache.clear()
   }
 
   def spanDedup(base: DataFrame, k: Int = 13): DataFrame =
