@@ -458,7 +458,11 @@ class SpecCornersSpec extends AnyFunSuite {
       "<math><annotation-xml encoding=\"text/html\"/><abbr>x",
       "<math><mtext><b>x",
       "<svg><foreignObject><![CDATA[x]]></foreignObject></svg>",
-      "<svg><desc><title>a<b></title>x")
+      "<svg><desc><title>a<b></title>x",
+      // batch 14
+      "<svg><p>x", "<svg><font class=z>w", "<a b='' c=\"\">x",
+      "<!DoCtYpE HtMl>x", "<math><annotation-xml><![CDATA[x]]>",
+      "<textarea>&amp;</textarea>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1450,5 +1454,55 @@ class SpecCornersSpec extends AnyFunSuite {
       "start(svg||sc=false|ns=1)", "start(desc||sc=false|ns=0)",
       "start(title||sc=false|ns=0)", "text[RCData](a<b>)", "end(title)",
       "text[Data](x)", "eof")
+  }
+
+  // ---- batch 14 ----
+
+  test("<p> is in the foreign-content breakout list") {
+    check("<svg><p>x",
+      "start(svg||sc=false|ns=1)", "start(p||sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  test("<font> breaks out of foreign content ONLY with color/size/face") {
+    // bare font is a legitimate foreign element; a color attribute makes
+    // it the HTML font element (tree feedback reads the attributes)
+    check("<svg><font>x",
+      "start(svg||sc=false|ns=1)", "start(font||sc=false|ns=1)",
+      "text[Data](x)", "eof")
+    check("<svg><font color=red>y",
+      "start(svg||sc=false|ns=1)", "start(font|color=red|sc=false|ns=0)",
+      "text[Data](y)", "eof")
+    // a font attribute OUTSIDE the trigger set does not break out
+    check("<svg><font class=z>w",
+      "start(svg||sc=false|ns=1)", "start(font|class=z|sc=false|ns=1)",
+      "text[Data](w)", "eof")
+  }
+
+  test("empty quoted attribute values") {
+    check("<a b='' c=\"\">x", "start(a|b=,c=|sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  test("doctype name keeps its raw case at the lexeme level") {
+    // the spec lowercases the NAME at the token level; the lexeme keeps
+    // the raw slice (passthrough identity), like tag names do
+    check("<!DoCtYpE HtMl>x",
+      "doctype(HtMl|<none>|<none>|quirks=false)", "text[Data](x)", "eof")
+  }
+
+  test("CDATA IS recognized inside a non-integration annotation-xml") {
+    // annotation-xml WITHOUT an html encoding keeps its children in the
+    // MathML namespace, so the CDATA machinery stays on — the foreign
+    // complement of batch 13's foreignObject case
+    check("<math><annotation-xml><![CDATA[x]]>",
+      "start(math||sc=false|ns=2)", "start(annotation-xml||sc=false|ns=2)",
+      "raw(<![CDATA[)", "text[CDataSection](x)", "raw(]]>)", "eof")
+  }
+
+  test("entities in RCDATA stay raw") {
+    check("<textarea>&amp;</textarea>",
+      "start(textarea||sc=false|ns=0)", "text[RCData](&amp;)",
+      "end(textarea)", "eof")
   }
 }
