@@ -462,7 +462,11 @@ class SpecCornersSpec extends AnyFunSuite {
       // batch 14
       "<svg><p>x", "<svg><font class=z>w", "<a b='' c=\"\">x",
       "<!DoCtYpE HtMl>x", "<math><annotation-xml><![CDATA[x]]>",
-      "<textarea>&amp;</textarea>")
+      "<textarea>&amp;</textarea>",
+      // batch 15
+      "<noscript><b></noscript>x", "<noembed><i></noembed>y",
+      "<b>x</b/>y", "<DIV CLASS=Foo>x</DIV>", "<svg><style>a<b>c",
+      "<title><title></title>x")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1504,5 +1508,32 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<textarea>&amp;</textarea>",
       "start(textarea||sc=false|ns=0)", "text[RCData](&amp;)",
       "end(textarea)", "eof")
+  }
+
+  // ---- batch 15 ----
+
+  test("end tag with a self-closing slash in data context still closes") {
+    check("<b>x</b/>y",
+      "start(b||sc=false|ns=0)", "text[Data](x)", "end(b)",
+      "text[Data](y)", "eof")
+  }
+
+  test("tag and attribute names keep raw case at the lexeme level") {
+    check("<DIV CLASS=Foo>x</DIV>",
+      "start(DIV|CLASS=Foo|sc=false|ns=0)", "text[Data](x)", "end(DIV)", "eof")
+  }
+
+  test("style inside svg is NOT rawtext; breakout still applies inside it") {
+    // foreign content has no rawtext switch; <b> is in the breakout
+    // list so it pops the foreign subtree mid-'style'
+    check("<svg><style>a<b>c",
+      "start(svg||sc=false|ns=1)", "start(style||sc=false|ns=1)",
+      "text[Data](a)", "start(b||sc=false|ns=0)", "text[Data](c)", "eof")
+  }
+
+  test("a nested <title> start inside RCDATA is text") {
+    check("<title><title></title>x",
+      "start(title||sc=false|ns=0)", "text[RCData](<title>)",
+      "end(title)", "text[Data](x)", "eof")
   }
 }
