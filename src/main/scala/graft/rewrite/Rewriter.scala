@@ -708,7 +708,7 @@ final class Rewriter(
     * content and end tags are handled inside the lexer. Tests can force
     * the full attribute states via [[disableAttrSkip]].
     */
-  private[rewrite] var disableAttrSkip = false
+  private[graft] var disableAttrSkip = false
 
   /** Test hook: force the framed VM stack even for entry-only programs
     * (frameless-mode equivalence tests pin both paths byte-identical).

@@ -77,6 +77,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("selector parser is total: parses or rejects, never crashes") {
+    import graft.selectors._
+    val selish = {
+      val piece = Gen.oneOf(
+        Gen.oneOf(">", " ", ",", ".", "#", "[", "]", "=", "~=", "|=", "^=", "$=", "*=",
+          "*", ":", "(", ")", "'", "\"", "\\", "i", "s", "-", "2n+1"),
+        Gen.oneOf("div", "p", "a", "href", "class", "note", "not", "nth-child",
+          "first-child", "nth-of-type", "x y"),
+        Gen.asciiPrintableStr.map(_.take(6)))
+      Gen.listOf(piece).map(_.mkString).map(_.take(80))
+    }
+    forAllSamples(selish, n = 500) { s =>
+      try { SelectorParser.parse(s); () }
+      catch { case _: SelectorParseException => () } // the ONLY rejection channel
+    }
+  }
+
+  test("scan mode (attr-skip) and full-attr mode rewrite identically on arbitrary input") {
+    import graft.rewrite._
+    // the scan-mode equivalence claim (T3/O1/O5), property-style: for a
+    // program that skips most tags' attributes, output and match counts
+    // must be byte-identical with the skip disabled
+    var n1 = 0; var n2 = 0
+    val mk = (count: () => Unit) => Seq(
+      "div" -> ElementHandlers(element = _ => count()),
+      "p.note" -> ElementHandlers(element = _ => count()),
+      "a" -> ElementHandlers(element = el => { el.attr("href"); count() }))
+    val rwSkip = new Rewriter(mk(() => n1 += 1), strict = false)
+    val rwFull = new Rewriter(mk(() => n2 += 1), strict = false)
+    rwFull.disableAttrSkip = true
+    forAllSamples(htmlish, n = 300) { s =>
+      n1 = 0; n2 = 0
+      val a = rwSkip.rewrite(s)
+      val b = rwFull.rewrite(s)
+      assert(a == b, s"output diverged for: ${s.take(120)}")
+      assert(n1 == n2, s"match counts diverged ($n1 vs $n2) for: ${s.take(120)}")
+    }
+  }
+
   test("graceful bail-out conserves bytes on arbitrary input") {
     import graft.rewrite._
     // the whole point of the graceful contract: the caller's response is
