@@ -288,16 +288,16 @@ object SparkEntry {
     "p2_curate_spans" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val cleaned = DedupOps.spanDedupApply(docs).select(col("doc_id"), col("clean_text"))
+      // ONE doc_id-keyed join in the whole pipeline (clean text back to
+      // its source): the policy verdict and the split are inline column
+      // expressions, and the mixture's output already carries
+      // (doc_id, source) — no join-backs, no extra exchanges at 100 TB
       val withSrc = cleaned.join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val policy = TextOps.bannedPhrases(
-        withSrc.select(col("doc_id"), col("clean_text").as("text")), BannedPhraseList)
-      val ok = withSrc
-        .join(policy.where(col("kept")).select(col("doc_id")), "doc_id")
-        .where(length(col("clean_text")) >= 50)
-      val sampled = ok.join(
-        TextOps.temperatureMixture(ok).where(col("kept")).select(col("doc_id")), "doc_id")
-      TextOps.deterministicSplit(sampled)
-        .join(sampled.select(col("doc_id"), col("source")), "doc_id")
+      val ok = withSrc.where(
+        size(TextOps.bannedMatches(col("clean_text"), BannedPhraseList)) === 0 &&
+          length(col("clean_text")) >= 50)
+      TextOps.withSplit(
+          TextOps.temperatureMixture(ok).where(col("kept")))
         .select(col("doc_id"), col("source"), col("split_bucket"), col("split"))
     }),
     // p1: the composed curation pipeline a training-data user actually

@@ -131,14 +131,21 @@ object TextOps {
   private def hid: Column = col("doc_id").bitwiseAND(lit(2147483647L))
 
   def deterministicSplit(df: DataFrame,
-                         trainPct: Int = 900, valPct: Int = 50): DataFrame = {
+                         trainPct: Int = 900, valPct: Int = 50): DataFrame =
+    withSplit(df, trainPct, valPct).select("doc_id", "split_bucket", "split")
+
+  /** [[deterministicSplit]] in composition form: appends the split
+    * columns to the input row instead of projecting them out, so
+    * composed pipelines don't need a join-back by doc_id to recover
+    * their other columns.
+    */
+  def withSplit(df: DataFrame, trainPct: Int = 900, valPct: Int = 50): DataFrame = {
     val bucket = pmod(hid * lit(2654435761L), lit(1000L))
-    df.select(
-      col("doc_id"),
-      bucket.cast("int").as("split_bucket"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+    df.withColumn("split_bucket", bucket.cast("int"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
   }
 
   /** Per-domain quota sampling — the C4/RefinedWeb-style per-source cap:
@@ -390,12 +397,18 @@ object TextOps {
     * SUBTREE re-evaluation per element) does not apply.
     */
   def bannedPhrases(df: DataFrame, phrases: Seq[String]): DataFrame = {
-    require(phrases.nonEmpty, "empty phrase list")
-    val matched = filter(typedLit(phrases.sorted), p => contains(col("text"), p))
+    val matched = bannedMatches(col("text"), phrases)
     df.select(col("doc_id"),
       array_join(matched, "|").as("matched"),
       size(matched).as("n_matched"),
       (size(matched) === 0).as("kept"))
+  }
+
+  /** The t12 match predicate as a bare column expression, for composed
+    * pipelines that want the policy verdict inline (no join-back). */
+  def bannedMatches(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty phrase list")
+    filter(typedLit(phrases.sorted), p => contains(text, p))
   }
 
   /** t10: URL canonicalization — the C4/RefinedWeb prep step before
