@@ -43,8 +43,10 @@ class BenchTailParseSpec extends AnyFunSuite {
 
     val dir = Files.createTempDirectory("graft_driver_sim")
     Files.createDirectories(dir.resolve("project"))
-    Files.write(dir.resolve("project").resolve("build.properties"),
-      "sbt.version=1.10.0\n".getBytes(UTF_8))
+    // same sbt version as the real project (read, not hardcoded, so the
+    // child boots from the same cached distribution offline)
+    Files.copy(Paths.get("project", "build.properties"),
+      dir.resolve("project").resolve("build.properties"))
     val tempBuild =
       s"""scalaVersion := "2.13.17"
          |name := "graft-driver-sim"
