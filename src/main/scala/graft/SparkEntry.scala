@@ -164,6 +164,10 @@ object SparkEntry {
     // vocab-sized aggregate
     "t13_vocab" -> ((s, dir) =>
       TextOps.vocabTopK(s.read.parquet(s"$dir/documents.parquet"))),
+    // t14: per-doc TF-IDF keywords — integer-only idf surrogate
+    // (N*1e6 div df) so both engines rank bit-identically (no libm log)
+    "t14_keywords" -> ((s, dir) =>
+      TextOps.keywords(s.read.parquet(s"$dir/documents.parquet"))),
     // t12: banned-phrase content-policy scan — plan-literal phrase list,
     // pipe-joined matches + keep verdict, map-only HOF (one phrase
     // deliberately matches nothing)
@@ -427,6 +431,25 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
           round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+    }),
+    "r9_asof" -> ((s, dir) => {
+      // as-of join (last-touch attribution): each event is joined to the
+      // most recent STRICTLY-prior purchase by the same user. Generic
+      // union+window form — one exchange on user_id, no join operator,
+      // no range explosion (see AsofJoin). DuckDB oracles it with a
+      // native ASOF LEFT JOIN on `e.ts > p.ts`; (user_id, ts) is unique
+      // in the events table so the tie contract is satisfied.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purch_id"),
+          col("ts").cast("timestamp").cast("long").as("purch_sec"))
+      AsofJoin.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("ts").cast("timestamp").cast("long").as("ev_sec")),
+        purch, "user_id", "ts", "ts", Seq("purch_id", "purch_sec"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("purch_id"), (col("ev_sec") - col("purch_sec")).as("gap_s"))
     }),
     "r8_setops" -> ((s, dir) => {
       // set operators: brands selling large parts EXCEPT brands selling
@@ -871,6 +894,23 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
         s"((doc_id & 2147483647) * 2246822519) % 1000 < $MixRateCase AS kept FROM documents"),
+
+    "t14_keywords" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT tf.doc_id, tf.token, tf.tf, tf.tf * ((n.n * 1000000) // dfq.df) AS score, " +
+        "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ((n.n * 1000000) // dfq.df) DESC, tf.token) AS rank " +
+        "FROM tf, dfq, n WHERE tf.token = dfq.token) WHERE rank <= 3"),
+
+    "r9_asof" ->
+      ("SELECT e.event_id, e.user_id, e.event_type, p.event_id AS purch_id, " +
+        "epoch_us(e.ts) // 1000000 - epoch_us(p.ts) // 1000000 AS gap_s " +
+        "FROM events e ASOF LEFT JOIN " +
+        "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id AND e.ts > p.ts"),
 
     "t13_vocab" ->
       ("SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank FROM (" +

@@ -386,6 +386,36 @@ object TextOps {
       .select(col("token"), col("cnt"), col("rank"))
   }
 
+  /** t14: per-document TF-IDF keywords — the top-k tokens of each document
+    * by tf * idf, where idf is the INTEGER-ONLY surrogate
+    * `(N * 1_000_000) div df` (N = corpus doc count, df = number of docs
+    * containing the token). The classic `ln(N/df)` is deliberately avoided:
+    * libm `log` is not correctly rounded, so a float idf could rank-flip
+    * between engines by one ULP (the t11 lesson) — integer division is
+    * exact and identical in Spark and DuckDB, and it is monotone in N/df,
+    * so the ranking is a faithful TF-IDF ordering. Plan shape: one
+    * explode + (doc_id, token) partial agg, a vocab-sized df aggregate
+    * joined back ON TOKEN (vocab << corpus; AQE picks broadcast when it
+    * fits), a 1-row broadcast for N, then a row_number window partitioned
+    * by doc_id — per-doc cardinality is bounded by doc length, so the
+    * window has no skew at any corpus scale. Deterministic ties:
+    * score desc, token asc.
+    */
+  def keywords(df: DataFrame, k: Int = 3): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n * 1000000) div df)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rank"))
+  }
+
   /** t12: banned-phrase scan — content-policy filtering against a small
     * plan-literal phrase list: per document, the pipe-joined sorted list
     * of phrases found (substring match), their count, and a keep verdict.

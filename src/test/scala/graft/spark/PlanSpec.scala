@@ -224,6 +224,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gramScans == 1, s"gram generation ran $gramScans times:\n$fin")
   }
 
+  test("r9 as-of join: ONE exchange on the key, no join operator, no cartesian") {
+    val df = graft.SparkEntry.queries("r9_asof")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    // the union+window form must not degrade into a range/cross join —
+    // the whole point is one hash exchange on user_id + one sort
+    assert(!fin.contains("CartesianProduct") && !fin.contains("Join"), fin)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(fin).length
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$fin")
+    assert(fin.contains("Window"), fin)
+  }
+
+  test("t14 keywords: df-side join is broadcast at this scale, window partitioned by doc") {
+    val df = graft.SparkEntry.queries("t14_keywords")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    // the 1-row N side must arrive as a broadcast (BNLJ), never a
+    // CartesianProduct, and the rank window must partition by doc_id
+    // (bounded per-doc cardinality — no global sort of the scored table)
+    assert(!fin.contains("CartesianProduct"), fin)
+    assert(fin.contains("BroadcastNestedLoopJoin"), fin)
+    assert(fin.contains("windowspecdefinition(doc_id"), fin)
+  }
+
   test("t9 mixture sampling is map-only: no Exchange, scan prunes to id+source") {
     val df = graft.SparkEntry.queries("t9_mixture")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
