@@ -451,6 +451,39 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("purch_id"), (col("ev_sec") - col("purch_sec")).as("gap_s"))
     }),
+    "r10_range_join" -> ((s, dir) => {
+      // bucketed range join: events (points, in exact integer cents) vs
+      // 100 OVERLAPPING price bands — exploded-bucket equi-join, never a
+      // BroadcastNestedLoop/cartesian (see RangeJoin). Bands are
+      // deterministic arithmetic on spark.range so DuckDB regenerates
+      // them; floor(value*100) is the same IEEE multiply+floor in both.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+      val bands = s.range(0, 100).select(
+        col("id").as("band_id"),
+        (col("id") * 500).as("lo"),
+        (col("id") * 500 + 1200).as("hi"))
+      RangeJoin.pointInInterval(ev, "cents", bands, "lo", "hi", 512L)
+        .select(col("event_id"), col("cents"), col("band_id"))
+    }),
+    // t15: sketch-based distinct counting — HLL++ approx_count_distinct
+    // of the token vocabulary per source, gated like e2/e3's recall rows:
+    // the emitted column is the EXACT count (oracle-matchable) plus a
+    // within-5% accuracy verdict on the sketch (HLL register merge is
+    // max() — commutative/associative, so the approx value is
+    // partitioning-independent and the verdict deterministic). The 100 TB
+    // story: the sketch is one pass + constant memory per group where
+    // the exact path shuffles the full token set.
+    "t15_hll_tokens" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet").select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
+      toks.groupBy(col("source")).agg(
+        countDistinct(col("token")).as("exact_tokens"),
+        approx_count_distinct(col("token"), 0.02).as("approx"))
+        .select(col("source"), col("exact_tokens"),
+          (abs(col("approx") - col("exact_tokens")) <=
+            col("exact_tokens") * 0.05).as("within_5pct"))
+    }),
     "r8_setops" -> ((s, dir) => {
       // set operators: brands selling large parts EXCEPT brands selling
       // small parts, plus intersect count as a scalar column
@@ -904,6 +937,18 @@ object SparkEntry {
         "SELECT tf.doc_id, tf.token, tf.tf, tf.tf * ((n.n * 1000000) // dfq.df) AS score, " +
         "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ((n.n * 1000000) // dfq.df) DESC, tf.token) AS rank " +
         "FROM tf, dfq, n WHERE tf.token = dfq.token) WHERE rank <= 3"),
+
+    "r10_range_join" ->
+      ("SELECT e.event_id, CAST(floor(e.value * 100) AS BIGINT) AS cents, b.band_id " +
+        "FROM events e JOIN " +
+        "(SELECT CAST(k AS BIGINT) AS band_id, CAST(k * 500 AS BIGINT) AS lo, " +
+        "CAST(k * 500 + 1200 AS BIGINT) AS hi FROM range(0, 100) t(k)) b " +
+        "ON floor(e.value * 100) >= b.lo AND floor(e.value * 100) < b.hi"),
+
+    "t15_hll_tokens" ->
+      ("SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens, TRUE AS within_5pct " +
+        "FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token " +
+        "FROM documents) GROUP BY source"),
 
     "r9_asof" ->
       ("SELECT e.event_id, e.user_id, e.event_type, p.event_id AS purch_id, " +

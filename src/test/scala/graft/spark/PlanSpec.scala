@@ -250,6 +250,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.contains("windowspecdefinition(doc_id"), fin)
   }
 
+  test("r10 range join is an equi-join on the bucket, never a nested loop") {
+    val df = graft.SparkEntry.queries("r10_range_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("BroadcastNestedLoopJoin") && !fin.contains("CartesianProduct"), fin)
+    // either shuffled or broadcast HASH join is fine — the invariant is
+    // that the range predicate rides on a bucket EQUI-key
+    assert(fin.contains("HashJoin") || fin.contains("SortMergeJoin"), fin)
+    assert(fin.contains("Generate explode"), fin) // interval -> bucket expansion
+  }
+
+  test("t15 HLL sketch aggregates partially before the shuffle") {
+    val df = graft.SparkEntry.queries("t15_hll_tokens")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // partial_approx_count_distinct must appear below the exchange: the
+    // sketch (not the token set) is what travels
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("partial(approx_count_distinct"), p)
+  }
+
   test("t9 mixture sampling is map-only: no Exchange, scan prunes to id+source") {
     val df = graft.SparkEntry.queries("t9_mixture")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -71,6 +71,34 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("range join matches brute-force expectation, incl. overlapping intervals") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(5000).toLong))
+    // overlapping, varied-width intervals; some wider than the bucket
+    val ivs = (0 until 60).map { j =>
+      val lo = rnd.nextInt(4800).toLong
+      (j.toLong, lo, lo + 1 + rnd.nextInt(900))
+    }
+    val got = RangeJoin.pointInInterval(
+      pts.toDF("id", "p"), "p", ivs.toDF("iv", "lo", "hi"), "lo", "hi", 256L)
+      .select("id", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (id, p) <- pts; (iv, lo, hi) <- ivs if p >= lo && p < hi
+    } yield (id, iv)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("range join survives intervals narrower than one bucket and exact boundaries") {
+    val ss = spark; import ss.implicits._
+    val pts = Seq((1L, 0L), (2L, 255L), (3L, 256L), (4L, 511L), (5L, 512L)).toDF("id", "p")
+    val ivs = Seq((10L, 0L, 256L), (11L, 256L, 512L), (12L, 500L, 600L)).toDF("iv", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 256L)
+      .select("id", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (4L, 12L), (5L, 12L)))
+  }
+
   test("keywords: rare tokens outrank common ones, deterministic ranks") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
