@@ -466,7 +466,11 @@ class SpecCornersSpec extends AnyFunSuite {
       // batch 15
       "<noscript><b></noscript>x", "<noembed><i></noembed>y",
       "<b>x</b/>y", "<DIV CLASS=Foo>x</DIV>", "<svg><style>a<b>c",
-      "<title><title></title>x")
+      "<title><title></title>x",
+      // batch 16
+      "<a b=\"c\"d=e>x", "<a b=\"c\"/>x",
+      "<script><!--<a>x-->y</script>z",
+      "<!doctype html public \"p\" x>y", "<a =b>x", "<svg></svg/>x")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1535,5 +1539,54 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<title><title></title>x",
       "start(title||sc=false|ns=0)", "text[RCData](<title>)",
       "end(title)", "text[Data](x)", "eof")
+  }
+
+  // ---- batch 16 ----
+
+  test("letter directly after a quoted value starts a new attribute") {
+    // after-attribute-value-quoted: anything but ws/'/'/'>' is a
+    // missing-whitespace-between-attributes error, reconsumed in
+    // before-attribute-name — 'd' opens attribute d=e
+    check("<a b=\"c\"d=e>x",
+      "start(a|b=c,d=e|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("solidus directly after a quoted value sets self-closing") {
+    // after-attribute-value-quoted '/' -> self-closing-start -> '>'
+    check("<a b=\"c\"/>x",
+      "start(a|b=c|sc=true|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("double-escape start with a non-script name stays single-escaped") {
+    // '<a' in script-data-escaped enters double-escape-START, but the
+    // temp buffer 'a' != 'script' at '>' so the state falls back to
+    // script-data-escaped — the later '-->' exits the escape and the
+    // appropriate end tag closes normally
+    check("<script><!--<a>x-->y</script>z",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<a>x-->y)",
+      "end(script)", "text[Data](z)", "eof")
+  }
+
+  test("junk after the PUBLIC id forces quirks (asymmetric with system)") {
+    // between-doctype-public-and-system-identifiers: a non-quote char is
+    // a parse error with force-quirks ON and bogus-doctype skip — the
+    // counterpart of the batch-4 after-SYSTEM case where quirks stays off
+    check("<!doctype html public \"p\" x>y",
+      "doctype(html|p|<none>|quirks=true)", "text[Data](y)", "eof")
+  }
+
+  test("'=' opening an attribute NAME keeps collecting name characters") {
+    // before-attribute-name '=' -> unexpected-equals-sign error, the
+    // char STARTS the name; 'b' continues it -> attr named '=b', no value
+    // (distinct from the batch-1 '<a ==x>' case, where the SECOND '='
+    // terminates the one-char name and 'x' becomes the value)
+    check("<a =b>x", "start(a|=b=|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("self-closing slash on a foreign END tag still closes the subtree") {
+    // '/' on an end tag reaches self-closing-start and '>' sets a flag
+    // the spec ignores for end tags; the svg subtree is exited either way
+    check("<svg></svg/>x",
+      "start(svg||sc=false|ns=1)", "end(svg)", "text[Data](x)", "eof")
   }
 }
