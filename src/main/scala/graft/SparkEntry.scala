@@ -466,6 +466,24 @@ object SparkEntry {
       RangeJoin.pointInInterval(ev, "cents", bands, "lo", "hi", 512L)
         .select(col("event_id"), col("cents"), col("band_id"))
     }),
+    // r11: quantile SKETCH (the t15 pattern for order statistics) —
+    // approx_percentile's rank error is <= 1/accuracy = 1% here, so the
+    // sketch median must land inside the exact [p45, p55] value window
+    // regardless of partitioning/merge order; the emitted columns are
+    // the exact median (oracle-matchable) + that deterministic verdict.
+    // At 100 TB the sketch is one pass + KB of state per group where
+    // exact percentile sorts the column.
+    "r11_quantile_sketch" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 100)").as("approx"),
+          expr("percentile(l_quantity, 0.45)").as("lo"),
+          expr("percentile(l_quantity, 0.55)").as("hi"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_rank_bound"))
+    }),
     // t15: sketch-based distinct counting — HLL++ approx_count_distinct
     // of the token vocabulary per source, gated like e2/e3's recall rows:
     // the emitted column is the EXACT count (oracle-matchable) plus a
@@ -944,6 +962,10 @@ object SparkEntry {
         "(SELECT CAST(k AS BIGINT) AS band_id, CAST(k * 500 AS BIGINT) AS lo, " +
         "CAST(k * 500 + 1200 AS BIGINT) AS hi FROM range(0, 100) t(k)) b " +
         "ON floor(e.value * 100) >= b.lo AND floor(e.value * 100) < b.hi"),
+
+    "r11_quantile_sketch" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact, " +
+        "TRUE AS within_rank_bound FROM lineitem GROUP BY 1"),
 
     "t15_hll_tokens" ->
       ("SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens, TRUE AS within_5pct " +
