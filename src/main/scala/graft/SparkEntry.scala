@@ -33,6 +33,22 @@ object SparkEntry {
   private def docsTable(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The t10/t16 deterministic URL synthesis (mirrored in UrlNormCte's
+    * `u` CTE): scheme-case, default/explicit ports, empty paths, utm
+    * params, unsorted params, and fragments all vary by doc_id. */
+  private def syntheticUrl(did: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    when(pmod(did, lit(4L)) === 0, lit("HTTP")).otherwise(lit("HtTpS")),
+    lit("://"), source, lit(".Example.COM"),
+    when(pmod(did, lit(7L)) === 0, lit(":8080"))
+      .when(pmod(did, lit(4L)) === 0, lit(":80")).otherwise(lit(":443")),
+    when(pmod(did, lit(5L)) === 0, lit(""))
+      .otherwise(concat(lit("/Docs/"), did.cast("string"))),
+    when(pmod(did, lit(6L)) === 0, lit("?utm_medium=x"))
+      .otherwise(concat(lit("?utm_source=t"), pmod(did, lit(3L)).cast("string"),
+        lit("&b=2&a="), pmod(did, lit(5L)).cast("string"))),
+    lit("#s"), did.cast("string"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction engine ----
     "x1_extract_text" -> ((s, dir) => {
@@ -187,20 +203,24 @@ object SparkEntry {
     "t10_url_norm" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val did = col("doc_id")
-      val url = concat(
-        when(pmod(did, lit(4L)) === 0, lit("HTTP")).otherwise(lit("HtTpS")),
-        lit("://"), col("source"), lit(".Example.COM"),
-        when(pmod(did, lit(7L)) === 0, lit(":8080"))
-          .when(pmod(did, lit(4L)) === 0, lit(":80")).otherwise(lit(":443")),
-        when(pmod(did, lit(5L)) === 0, lit(""))
-          .otherwise(concat(lit("/Docs/"), did.cast("string"))),
-        when(pmod(did, lit(6L)) === 0, lit("?utm_medium=x"))
-          .otherwise(concat(lit("?utm_source=t"), pmod(did, lit(3L)).cast("string"),
-            lit("&b=2&a="), pmod(did, lit(5L)).cast("string"))),
-        lit("#s"), did.cast("string"))
+      val url = syntheticUrl(did, col("source"))
       val norm = TextOps.normalizeUrl(url)
       docs.select(did, url.as("url"), norm.as("url_norm"),
         md5(encode(norm, "UTF-8")).as("url_key"))
+    }),
+    // t16: URL-level dedup APPLY composed on t10's canonicalization —
+    // order-parameter/port/scheme-case variants collapse to one key and
+    // only the min-doc_id holder of each canonical URL is kept. One
+    // exchange (window partitioned by url_norm, no orderBy => plain
+    // per-partition aggregate window) — the C4/RefinedWeb first-stage
+    // dedup at crawl scale.
+    "t16_url_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val norm = TextOps.normalizeUrl(syntheticUrl(did, col("source")))
+      val w = Window.partitionBy(col("url_norm"))
+      docs.select(did, norm.as("url_norm"))
+        .withColumn("kept", col("doc_id") === min(col("doc_id")).over(w))
     }),
     // t6: PII redaction (emails / dotted-quad IPs / phone numbers) over
     // deterministically planted PII; counts + scrubbed text under oracle
@@ -372,6 +392,10 @@ object SparkEntry {
     // recomputed by the oracle
     "m8_wav_decode" -> ((s, dir) =>
       MultimodalOps.wavDecode(MultimodalOps.wavAssets(s, dir))),
+    // m10: header-only WAV probe (the m9 pattern for audio) — format and
+    // frame count from codegen'd byte peeks, no decoder touched
+    "m10_wav_header" -> ((s, dir) =>
+      MultimodalOps.wavHeaderProbe(MultimodalOps.wavAssets(s, dir))),
 
     // ---- stock relational coverage ----
     "r1_lineitem_agg" -> ((s, dir) => {
@@ -920,7 +944,18 @@ object SparkEntry {
         "array_to_string(tk[chunk_id * 112 + 1 : least(chunk_id * 112 + 128, n)], ' ') AS chunk_text, " +
         "CAST(least(chunk_id * 112 + 128, n) - chunk_id * 112 AS INT) AS n_tokens FROM c"),
 
-    "t10_url_norm" ->
+    "t10_url_norm" -> (UrlNormCte +
+        "SELECT doc_id, url, url_norm, md5(url_norm) AS url_key FROM n2"),
+
+    // t16: URL-level dedup APPLY over the t10 normalization — the first
+    // (min doc_id) holder of each canonical URL is kept
+    "t16_url_dedup" -> (UrlNormCte +
+        "SELECT doc_id, url_norm, doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS kept FROM n2")
+  ) ++ oracleSqlCont
+
+  // the t10/t16 shared normalization pipeline (url synthesis + canonical
+  // form) — factored so the two oracles can never drift apart
+  private val UrlNormCte =
       ("WITH u AS (SELECT doc_id, " +
         "(CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'HtTpS' END) || '://' || source || '.Example.COM' || " +
         "(CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 4 = 0 THEN ':80' ELSE ':443' END) || " +
@@ -938,9 +973,9 @@ object SparkEntry {
         "(CASE WHEN port != '' AND NOT (scheme = 'https' AND port = '443') " +
         "AND NOT (scheme = 'http' AND port = '80') THEN ':' || port ELSE '' END) || " +
         "(CASE WHEN path = '' THEN '/' ELSE path END) || " +
-        "(CASE WHEN params != '' THEN '?' || params ELSE '' END) AS url_norm FROM n) " +
-        "SELECT doc_id, url, url_norm, md5(url_norm) AS url_key FROM n2"),
+        "(CASE WHEN params != '' THEN '?' || params ELSE '' END) AS url_norm FROM n) ")
 
+  private def oracleSqlCont: Map[String, String] = Map(
     "t9_mixture" ->
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +
@@ -1106,6 +1141,9 @@ object SparkEntry {
         "24 + (label % 5) * 12 AS h FROM embeddings)"),
     // m8 sample probes: s(i) = ((vec_id*13 + i*7) % 65536) - 32768 over
     // n = 64 + vec_id % 100 frames of mono 16 kHz PCM16
+    "m10_wav_header" ->
+      ("SELECT vec_id, TRUE AS is_wav, 1 AS channels, 16000 AS sample_rate, " +
+        "16 AS bits, CAST(64 + vec_id % 100 AS INT) AS n_frames FROM embeddings"),
     "m8_wav_decode" ->
       ("SELECT vec_id, 16000 AS sample_rate, 1 AS channels, 16 AS bits, " +
         "CAST(64 + vec_id % 100 AS INT) AS n_frames, " +

@@ -281,6 +281,33 @@ object MultimodalOps {
       .toDF("vec_id", "wav")
   }
 
+  /** m10: header-only WAV probe — the m9 pattern for audio. Canonical
+    * 44-byte RIFF/WAVE PCM header (what javax.sound writes): channels at
+    * byte 22 (LE16), sample rate at 24 (LE32), block align at 32 (LE16),
+    * bits at 34 (LE16), data size at 40 (LE32); n_frames = data size /
+    * block align. Pure codegen'd byte peeks (hex + substring + integer
+    * arithmetic) over the binary column — projection-only plan, so
+    * duration/format filtering at 100 TB never feeds a single container
+    * through a decoder.
+    */
+  def wavHeaderProbe(wavDf: DataFrame): DataFrame = {
+    def u8(off1: Int) =
+      conv(hex(substring(col("wav"), off1, 1)), 16, 10).cast("long")
+    def le16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
+    def le32(off1: Int) = le16(off1) + le16(off1 + 2) * 65536L
+    wavDf.select(col("vec_id"),
+        (hex(substring(col("wav"), 1, 4)) === lit("52494646") && // "RIFF"
+          hex(substring(col("wav"), 9, 4)) === lit("57415645"))  // "WAVE"
+          .as("is_wav"),
+        le16(23).cast("int").as("channels"),
+        le32(25).cast("int").as("sample_rate"),
+        le16(35).cast("int").as("bits"),
+        le16(33).as("block_align"), le32(41).as("data_size"))
+      .select(col("vec_id"), col("is_wav"), col("channels"),
+        col("sample_rate"), col("bits"),
+        expr("CAST(data_size div block_align AS INT)").as("n_frames"))
+  }
+
   /** m8: REAL audio decode — javax.sound parses the WAV container; emit
     * the decoded format (rate/channels/bits), frame count, and the first
     * and last PCM samples. All oracle-recomputable from the generation

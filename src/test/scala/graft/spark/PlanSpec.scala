@@ -271,6 +271,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("partial(approx_count_distinct"), p)
   }
 
+  test("t16 url dedup: ONE exchange on the canonical key, no join-back") {
+    val df = graft.SparkEntry.queries("t16_url_dedup")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), fin)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(fin).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$fin")
+  }
+
+  test("m9/m10 header probes are projection-only: no Exchange, no decoder") {
+    for (q <- Seq("m9_png_header", "m10_wav_header")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+    }
+  }
+
   test("t9 mixture sampling is map-only: no Exchange, scan prunes to id+source") {
     val df = graft.SparkEntry.queries("t9_mixture")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
