@@ -256,6 +256,19 @@ object SparkEntry {
     // cosine verify over planted same-direction duplicates
     "d7_embdup_pairs" -> ((s, dir) =>
       DedupOps.embCosineDupPairs(DedupOps.withEmbVariants(s, dir), 0.9)),
+    // e4: SemDeDup-style semantic dedup — d7's embedding-cosine pairs
+    // fed through d9's large-star/small-star components; the min-id
+    // member of each semantic cluster survives. Same 100-TB shape as
+    // d9/d10 (sign-blocked candidate generation, O(log n) star rounds,
+    // no pair-list materialization beyond the capped buckets).
+    "e4_semantic_dedup" -> ((s, dir) => {
+      val base = DedupOps.withEmbVariants(s, dir)
+      val pairs = DedupOps.embCosineDupPairs(base, 0.9)
+        .select(col("id_a"), col("id_b"))
+      DedupOps.clusterIdsStar(base.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("survivor"))
+    }),
     // d8: connected-component cluster assignment over the near-dup pair
     // list (min-id label propagation to fixpoint)
     "d8_dedup_clusters" -> ((s, dir) => {
@@ -1069,6 +1082,20 @@ object SparkEntry {
       (SimhashCte + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
         "FROM sig a, sig b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"),
+
+    "e4_semantic_dedup" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500 " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding " +
+        "FROM embeddings WHERE vec_id < 500), " +
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM d a JOIN d b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9), " +
+        "sym AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b AS a, id_a AS b FROM p), " +
+        "r(id, lab) AS (SELECT vec_id, vec_id FROM e " +
+        "UNION SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.id) " +
+        "SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id, " +
+        "min(lab) = id AS survivor FROM r GROUP BY id"),
 
     "d7_embdup_pairs" ->
       ("WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500 " +
