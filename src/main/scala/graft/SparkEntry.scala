@@ -341,6 +341,34 @@ object SparkEntry {
     // runs — near-dup cluster representatives (d9/d10), quality filters
     // (length + repetition), then deterministic split assignment: every
     // stage is individually oracle-gated; this gates their composition
+    // p3: MULTI-SIGNAL curation — MinHash text pairs and embedding-cosine
+    // semantic pairs UNION into one duplicate graph (the real
+    // SemDeDup+MinHash production shape: one CC pass over all signals,
+    // one representative per multi-signal cluster), then quality floor +
+    // split. Each doc's embedding is assigned deterministically
+    // (doc_id % 250, base docs only) so semantic duplicates CROSS-CUT
+    // the textual variant pairs — each component {k, k+250, 1e6+k,
+    // 1e6+k+250} needs BOTH signals to form, so both bite — and the
+    // oracle replays the semantic edges as exact key equality (identical
+    // vectors cosine 1.0; cross-key max measured 0.48 << 0.9 at both sf).
+    "p3_curate_multisignal" -> ((s, dir) => {
+      val base = DedupOps.withVariants(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 250).select(col("vec_id"), col("embedding"))
+      val docsEmb = base.where(col("doc_id") < 1000000L)
+        .select(col("doc_id"), expr("doc_id % 250").as("emb_key"))
+        .join(broadcast(emb), col("emb_key") === col("vec_id"))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val semPairs = DedupOps.embCosineDupPairs(docsEmb, 0.9)
+        .select(col("id_a"), col("id_b"))
+      val textPairs = DedupOps.minhashLshPairs(base, 0.6)
+        .select(col("id_a"), col("id_b"))
+      val clusters = DedupOps.clusterIdsStar(base.select(col("doc_id")),
+        textPairs.unionByName(semPairs))
+      val reps = clusters.where(col("doc_id") === col("cluster_id")).select("doc_id")
+      val kept = base.join(reps, "doc_id").where(length(col("text")) >= 50)
+      TextOps.deterministicSplit(kept)
+    }),
     "p1_curate" -> ((s, dir) => {
       val base = DedupOps.withVariants(s, dir)
       val clusters = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
@@ -741,7 +769,31 @@ object SparkEntry {
       "WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
       "FROM kept"
 
+  // p3: multi-signal duplicate graph = jaccard pairs UNION same-embedding
+  // pairs, one CC, min-id reps, length floor, split
+  private val P3Sql =
+    "WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") +
+      ", jp AS (SELECT id_a, id_b FROM pairs JOIN sizes sa ON sa.doc_id = id_a " +
+      "JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6), " +
+      "ek AS (SELECT doc_id, doc_id % 250 AS k FROM base WHERE doc_id < 1000000), " +
+      "sem AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ek a JOIN ek b " +
+      "ON a.k = b.k AND a.doc_id < b.doc_id), " +
+      "alle AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM sem), " +
+      "sym AS (SELECT id_a AS a, id_b AS b FROM alle UNION ALL SELECT id_b AS a, id_a AS b FROM alle), " +
+      "r(id, lab) AS (SELECT doc_id, doc_id FROM base " +
+      "UNION SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.id), " +
+      "cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY 1), " +
+      "reps AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id), " +
+      "kept AS (SELECT b.doc_id FROM base b JOIN reps ON b.doc_id = reps.doc_id " +
+      "WHERE length(b.text) >= 50) " +
+      "SELECT doc_id, CAST(((doc_id & 2147483647) * 2654435761) % 1000 AS INT) AS split_bucket, " +
+      "CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 900 THEN 'train' " +
+      "WHEN ((doc_id & 2147483647) * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split " +
+      "FROM kept"
+
   def oracleSql: Map[String, String] = Map(
+    "p3_curate_multisignal" -> P3Sql,
     "p1_curate" -> CurateSql,
     "d8_dedup_clusters" -> ClustersSql,
     "d9_cc_star" -> ClustersSql,
