@@ -184,6 +184,10 @@ object SparkEntry {
     // (N*1e6 div df) so both engines rank bit-identically (no libm log)
     "t14_keywords" -> ((s, dir) =>
       TextOps.keywords(s.read.parquet(s"$dir/documents.parquet"))),
+    // t17: lexical-rarity score (integer perplexity proxy) — sum of
+    // tf * idf-surrogate per doc, the KenLM-style quality signal
+    "t17_rarity" -> ((s, dir) =>
+      TextOps.rarityScore(s.read.parquet(s"$dir/documents.parquet"))),
     // t12: banned-phrase content-policy scan — plan-literal phrase list,
     // pipe-joined matches + keep verdict, map-only HOF (one phrase
     // deliberately matches nothing)
@@ -1071,6 +1075,15 @@ object SparkEntry {
       ("SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens, TRUE AS within_5pct " +
         "FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token " +
         "FROM documents) GROUP BY source"),
+
+    "t17_rarity" ->
+      ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents) " +
+        "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS ntok, " +
+        "CAST(sum(tf.tf * ((n.n * 1000000) // dfq.df)) AS BIGINT) AS rarity " +
+        "FROM tf, dfq, n WHERE tf.token = dfq.token GROUP BY tf.doc_id"),
 
     "r9_asof" ->
       ("SELECT e.event_id, e.user_id, e.event_type, p.event_id AS purch_id, " +

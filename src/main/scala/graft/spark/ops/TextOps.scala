@@ -416,6 +416,28 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rank"))
   }
 
+  /** t17: lexical-rarity scoring — the integer perplexity proxy: each
+    * document's total token "surprise" under the corpus unigram
+    * distribution, scored as sum over tokens of tf * ((N * 1_000_000)
+    * div df) with the same exact integer idf surrogate as [[keywords]]
+    * (no libm log, so both engines agree bit-for-bit). High-rarity docs
+    * are OOV/noise-heavy; low-rarity docs are boilerplate — the classic
+    * KenLM-window filter, with the model derived from the corpus itself
+    * in the same two aggregates t14 already pays for.
+    */
+  def rarityScore(df: DataFrame): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("w", expr("tf * ((n * 1000000) div df)"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("tf")).as("ntok"),
+        sum(col("w")).as("rarity"))
+  }
+
   /** t12: banned-phrase scan — content-policy filtering against a small
     * plan-literal phrase list: per document, the pipe-joined sorted list
     * of phrases found (substring match), their count, and a keep verdict.
