@@ -36,18 +36,18 @@ object AsofJoin {
       rightPayload: Seq[String],
       strict: Boolean = true): DataFrame = {
     val lCols = left.columns.toSeq
-    def packed(df: DataFrame, cols: Seq[String]): Column = struct(cols.map(col): _*)
-    val lType = left.select(packed(left, lCols).as("s")).schema("s").dataType
-    val rType = right.select(packed(right, rightPayload).as("s")).schema("s").dataType
+    def packed(cols: Seq[String]): Column = struct(cols.map(col): _*)
+    val lType = left.select(packed(lCols).as("s")).schema("s").dataType
+    val rType = right.select(packed(rightPayload).as("s")).schema("s").dataType
     // At equal time: strict => left first (right invisible to it);
     // non-strict => right first (visible).
     val (lOrd, rOrd) = if (strict) (0, 1) else (1, 0)
     val lt = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(lOrd).as("__s"),
-      packed(left, lCols).as("__l"), lit(null).cast(rType).as("__r"))
+      packed(lCols).as("__l"), lit(null).cast(rType).as("__r"))
     val rt = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(rOrd).as("__s"),
-      lit(null).cast(lType).as("__l"), packed(right, rightPayload).as("__r"))
+      lit(null).cast(lType).as("__l"), packed(rightPayload).as("__r"))
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__s"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lt.unionByName(rt)
