@@ -180,6 +180,12 @@ object SparkEntry {
     // vocab-sized aggregate
     "t13_vocab" -> ((s, dir) =>
       TextOps.vocabTopK(s.read.parquet(s"$dir/documents.parquet"))),
+    // t18: count-min-sketch token-frequency estimation — one-pass native
+    // count_min_sketch aggregate gated by the exact top-50 counts
+    // (CMS cells SUM under merge, so the verdict is partitioning-
+    // independent; estimate >= count is structural, upper gate = eps*N)
+    "t18_cms_freq" -> ((s, dir) =>
+      TextOps.cmsFrequency(s.read.parquet(s"$dir/documents.parquet"))),
     // t14: per-doc TF-IDF keywords — integer-only idf surrogate
     // (N*1e6 div df) so both engines rank bit-identically (no libm log)
     "t14_keywords" -> ((s, dir) =>
@@ -1075,6 +1081,13 @@ object SparkEntry {
       ("SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens, TRUE AS within_5pct " +
         "FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token " +
         "FROM documents) GROUP BY source"),
+
+    "t18_cms_freq" ->
+      ("SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank, TRUE AS cms_ok FROM (" +
+        "SELECT token, count(*) AS cnt, " +
+        "row_number() OVER (ORDER BY count(*) DESC, token) AS rank FROM (" +
+        "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token " +
+        "FROM documents) GROUP BY token) WHERE rank <= 50"),
 
     "t17_rarity" ->
       ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token FROM documents), " +

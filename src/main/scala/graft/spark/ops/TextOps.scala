@@ -386,6 +386,43 @@ object TextOps {
       .select(col("token"), col("cnt"), col("rank"))
   }
 
+  /** t18: count-min-sketch frequency estimation — the point-frequency
+    * member of the sketch trio (t15 HLL = distinct cardinality, r11
+    * approx_percentile = order statistics). The sketch is built by Spark's
+    * native `count_min_sketch` aggregate in ONE pass with width*depth
+    * counters of state regardless of corpus size; the exact top-k counts
+    * exist only to GATE it (the e2/t15 recall-gate style — the emitted
+    * columns are the oracle-matchable exact counts plus a deterministic
+    * sketch verdict). Determinism: CMS merge SUMS cells, so unlike most
+    * sketches the estimate is identical under any partitioning/merge
+    * order for a fixed seed; `estimate >= count` is a structural CMS
+    * guarantee (cells only ever over-count) and the upper gate is the
+    * formal eps*N error bound. The 100 TB story: point frequency of any
+    * token from KB of state vs a full-vocabulary shuffle — and the
+    * sketch column is mergeable across shards/days for incremental
+    * corpus monitoring.
+    */
+  def cmsFrequency(df: DataFrame, k: Int = 50, eps: Double = 1e-4): DataFrame = {
+    val toks = df.select(
+      explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("cms"),
+      count(lit(1)).as("n")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val bound = math.ceil(row.getLong(1) * eps).toLong
+    val est = udf((t: String) => sketch.estimateCount(t))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .withColumn("est", est(col("token")))
+      .select(col("token"), col("cnt"), col("rank"),
+        (col("est") >= col("cnt") &&
+          col("est") - col("cnt") <= lit(bound)).as("cms_ok"))
+  }
+
   /** t14: per-document TF-IDF keywords — the top-k tokens of each document
     * by tf * idf, where idf is the INTEGER-ONLY surrogate
     * `(N * 1_000_000) div df` (N = corpus doc count, df = number of docs

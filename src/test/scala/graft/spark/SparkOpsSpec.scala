@@ -566,6 +566,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("cms frequency: sketch never undercounts, gated verdicts, partition-invariant") {
+    val sp = spark; import sp.implicits._
+    // skewed corpus: "alpha" dominates, long tail of unique tokens
+    val docs = (0 until 400).map { i =>
+      val tail = s"tok$i uniq${i}x w${i % 7}"
+      (i.toLong, if (i % 2 == 0) s"alpha alpha beta $tail" else s"alpha gamma $tail")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.cmsFrequency(df, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .sortBy(_._3).toList
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      List(("alpha", 600L, 1), ("beta", 200L, 2), ("gamma", 200L, 3),
+        ("w0", 58L, 4), ("w1", 57L, 5)), out.toString)
+    assert(out.forall(_._4), s"cms verdict failed: $out")
+    // merge-order determinism: CMS cells SUM, so a different input
+    // partitioning must yield byte-identical verdict rows
+    val out2 = TextOps.cmsFrequency(df.repartition(13), k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .sortBy(_._3).toList
+    assert(out2 == out)
+  }
+
   test("banned phrases: sorted substring matches, clean docs kept, map-only plan") {
     val sp = spark; import sp.implicits._
     val df = Seq(
