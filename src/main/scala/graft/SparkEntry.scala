@@ -312,6 +312,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       DedupOps.decontaminate(DedupOps.withVariants(s, dir), benchmark)
     }),
+    // d15: Bloom-filter decontamination — d11's scale path: the eval-set
+    // gram filter built by Catalyst's BloomFilterAggregate, probed as a
+    // foldable literal (no corpus-side join); exact verdict computed
+    // alongside as the gate (bits OR under merge => deterministic)
+    "d15_bloom_decon" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val benchmark = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
+        .select(col("doc_id"), col("text"))
+      DedupOps.decontaminateBloom(DedupOps.withVariants(s, dir), benchmark)
+    }),
     // d14: incremental ingest dedup — the planted variants play the
     // incoming crawl batch, the originals the existing corpus; one
     // verdict row per batch doc with its best corpus match
@@ -819,6 +829,19 @@ object SparkEntry {
         "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)) " +
         "SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated " +
         "FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id"),
+    "d15_bloom_decon" ->
+      (BaseCte + ", bg AS (SELECT DISTINCT unnest(list_transform(" +
+        "range(1, greatest(len(string_split(text, ' ')) - 11, 1)), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))) AS g " +
+        "FROM documents WHERE doc_id % 50 = 0), " +
+        "cg AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(string_split(text, ' ')) - 11, 1)), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+12], ' ')))) AS g FROM base), " +
+        "hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)) " +
+        "SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated, " +
+        "(h.doc_id IS NOT NULL) AS bloom_hit, TRUE AS no_false_neg " +
+        "FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id"),
+
     "d12_span_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 11, 1)), " +

@@ -125,6 +125,75 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
   }
 
+  /** d15: Bloom-filter decontamination — [[decontaminate]]'s scale path
+    * for when the eval-set n-gram table outgrows a broadcast hash set
+    * (multi-benchmark suites at 100 TB). The filter is built DISTRIBUTED
+    * by Catalyst's own `BloomFilterAggregate` (the expression behind
+    * Spark's runtime row-group filtering) over xxhash64(gram); only the
+    * finished bit array (KB-MB) returns to the driver and is re-injected
+    * as a foldable literal under `BloomFilterMightContain` — exactly how
+    * Spark injects its runtime filters, so the probe is codegen'd inside
+    * the corpus scan with NO join and NO shuffle on the corpus side.
+    *
+    * Determinism/gating (the t18 logic): Bloom merge ORs bits, so the
+    * filter is identical under any partitioning for fixed sizing; "no
+    * false negatives" is structural, and the emitted `bloom_hit` column
+    * equals the exact verdict whenever the sized false-positive rate
+    * (~1e-9 at the default 2^22 bits for eval-scale gram counts) doesn't
+    * fire — the exact side is computed alongside purely as the gate.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      estItems: Long = 1L << 19, numBits: Long = 1L << 22): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, ngramSet(t, n)) })
+      .toDF("doc_id", "grams")
+    val bGrams = grams(benchmark).select(explode(col("grams")).as("g")).distinct()
+    val bloom = evalGramBloom(benchmark, n, estItems, numBits)
+    val probed = grams(corpus)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("bh", call_function("graft_bloom_might", lit(bloom), xxhash64(col("g"))))
+      .join(broadcast(bGrams.withColumn("ex", lit(true))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(coalesce(col("ex"), lit(false))).as("ex"), max(col("bh")).as("bh"))
+    corpus.select(col("doc_id")).join(probed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ex"), lit(false)).as("contaminated"),
+        coalesce(col("bh"), lit(false)).as("bloom_hit"),
+        (coalesce(col("bh"), lit(false)) ||
+          !coalesce(col("ex"), lit(false))).as("no_false_neg"))
+  }
+
+  /** The distributed eval-set Bloom build shared by [[decontaminateBloom]]
+    * and the streaming probe: distinct row-local grams -> xxhash64 ->
+    * BloomFilterAggregate; only the finished bit array (KB-MB) reaches
+    * the driver.
+    */
+  def evalGramBloom(benchmark: DataFrame, n: Int,
+      estItems: Long, numBits: Long): Array[Byte] = {
+    val spark = benchmark.sparkSession
+    registerBloom(spark)
+    import spark.implicits._
+    benchmark.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (_, t) => ngramSet(t, n) })
+      .toDF("grams")
+      .select(explode(col("grams")).as("g")).distinct()
+      .select(xxhash64(col("g")).as("h"))
+      .agg(expr(s"graft_bloom_agg(h, ${estItems}L, ${numBits}L)"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  private def registerBloom(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_might",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+  }
+
   /** The shingled corpus (doc_id, text, sh), persisted and memoized by the
     * base plan's semantic hash: MinHash verification and the inverted
     * index each consume it from several subtrees, and an unpersisted

@@ -566,6 +566,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("bloom decontamination: exact==bloom verdicts, structural no-false-neg, literal probe") {
+    val sp = spark; import sp.implicits._
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november"
+    val docs = Seq(
+      (1L, "contaminated doc shares " + evalText + " plus trailing words here"),
+      (2L, "totally clean document with enough words one two three four five six seven eight nine ten"),
+      (3L, "short doc")) ++ (4 to 40).map(i =>
+      (i.toLong, s"filler doc $i with its own unique run of words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i w${i}j w${i}k"))
+    val corpus = docs.toDF("doc_id", "text")
+    val benchmark = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateBloom(corpus, benchmark)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == ((true, true, true)), rows(1L).toString)
+    assert(rows(2L) == ((false, false, true)))
+    assert(rows(3L) == ((false, false, true))) // < n tokens: zero grams
+    assert(rows.size == docs.size && rows.valuesIterator.forall(_._3))
+    assert(rows.valuesIterator.forall(v => v._1 == v._2), "bloom false positive at spec scale")
+    // partition invariance: bloom bits OR under merge
+    val rows2 = DedupOps.decontaminateBloom(corpus.repartition(7), benchmark.repartition(3))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(rows2 == rows.map { case (k, v) => k -> ((v._1, v._2)) })
+    // the probe is a codegen'd literal expression in the corpus scan, not a join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle-join the eval set")
+  }
+
   test("cms frequency: sketch never undercounts, gated verdicts, partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "alpha" dominates, long tail of unique tokens
@@ -821,6 +849,42 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val accepted = spark.read.parquet(acceptedDir).select("doc_id").collect().map(_.getLong(0))
     assert(accepted.toSeq == Seq(2000L), accepted.mkString(","))
     DedupOps.clearShingleCache()
+  }
+
+  test("streaming decontamination equals the d15 bloom verdicts (file stream, map-only)") {
+    val sp = spark; import sp.implicits._
+    import graft.streaming.StreamingDecontaminate
+    val tmp = java.nio.file.Files.createTempDirectory("sdecon").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+    val evalText = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val docs = Seq(
+      (1L, "prefix words " + evalText + " suffix words"),
+      (2L, "clean document " + Array.tabulate(20)(i => s"c$i").mkString(" ")),
+      (3L, "tiny")) ++ (4 to 30).map(i =>
+      (i.toLong, Array.tabulate(15)(j => s"u${i}w$j").mkString(" ")))
+    val docsDf = docs.toDF("doc_id", "text")
+    docsDf.write.parquet(inDir)
+    val benchmark = Seq((100L, evalText)).toDF("doc_id", "text")
+    val probe = StreamingDecontaminate.buildProbe(benchmark)
+    val q = StreamingDecontaminate.verdicts(
+      sp.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+        .as[StreamingDecontaminate.Doc], probe)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // bit-identical to the batch d15 bloom_hit column (same grams, same
+    // XXH64 seed, same bit array)
+    val batch = DedupOps.decontaminateBloom(docsDf, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed(1L) && !streamed(2L) && !streamed(3L))
+    // the apply form drops exactly the flagged docs
+    val kept = StreamingDecontaminate.clean(
+      docsDf.as[StreamingDecontaminate.Doc], probe).collect().map(_.doc_id).toSet
+    assert(kept == docs.map(_._1).toSet - 1L)
   }
 
   test("salted rebalance evens out a pathologically skewed input") {
