@@ -194,6 +194,11 @@ object SparkEntry {
     // tf * idf-surrogate per doc, the KenLM-style quality signal
     "t17_rarity" -> ((s, dir) =>
       TextOps.rarityScore(s.read.parquet(s"$dir/documents.parquet"))),
+    // t19: Gopher n-gram repetition suite — top-2/3-gram character share
+    // + duplicated-5-gram fraction, entirely row-local HOFs (map-only,
+    // nothing leaves the row); kept = all three under their thresholds
+    "t19_gopher_rep" -> ((s, dir) =>
+      TextOps.gopherRepetition(s.read.parquet(s"$dir/documents.parquet"))),
     // t12: banned-phrase content-policy scan — plan-literal phrase list,
     // pipe-joined matches + keep verdict, map-only HOF (one phrase
     // deliberately matches nothing)
@@ -1120,6 +1125,37 @@ object SparkEntry {
         "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS ntok, " +
         "CAST(sum(tf.tf * ((n.n * 1000000) // dfq.df)) AS BIGINT) AS rarity " +
         "FROM tf, dfq, n WHERE tf.token = dfq.token GROUP BY tf.doc_id"),
+
+    "t19_gopher_rep" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+        "i -> array_to_string(tk[i:i+1], ' '))) AS g FROM t WHERE len(tk) >= 2), " +
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "t2 AS (SELECT doc_id, g, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), " +
+        "i -> array_to_string(tk[i:i+2], ' '))) AS g FROM t WHERE len(tk) >= 3), " +
+        "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "t3 AS (SELECT doc_id, g, c FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c3) WHERE rn = 1), " +
+        "d5 AS (SELECT doc_id, len(l) AS tot, len(list_distinct(l)) AS dst FROM " +
+        "(SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 1)), " +
+        "i -> array_to_string(tk[i:i+4], ' ')) AS l FROM t)), " +
+        "j AS (SELECT t.doc_id, coalesce(t2.g, '') AS top2_gram, " +
+        "CAST(coalesce(t2.c, 0) AS INT) AS top2_cnt, " +
+        "CASE WHEN t2.c IS NOT NULL AND len(t.text) > 0 THEN " +
+        "CAST(t2.c * len(t2.g) AS DOUBLE) / len(t.text) ELSE 0.0 END AS top2_share, " +
+        "coalesce(t3.g, '') AS top3_gram, " +
+        "CAST(coalesce(t3.c, 0) AS INT) AS top3_cnt, " +
+        "CASE WHEN t3.c IS NOT NULL AND len(t.text) > 0 THEN " +
+        "CAST(t3.c * len(t3.g) AS DOUBLE) / len(t.text) ELSE 0.0 END AS top3_share, " +
+        "CASE WHEN d5.tot > 0 THEN CAST(d5.tot - d5.dst AS DOUBLE) / d5.tot " +
+        "ELSE 0.0 END AS dup5_frac " +
+        "FROM t LEFT JOIN t2 ON t.doc_id = t2.doc_id " +
+        "LEFT JOIN t3 ON t.doc_id = t3.doc_id JOIN d5 ON t.doc_id = d5.doc_id) " +
+        "SELECT *, (top2_share <= 0.20 AND top3_share <= 0.18 AND dup5_frac <= 0.30) " +
+        "AS kept FROM j"),
 
     "r9_asof" ->
       ("SELECT e.event_id, e.user_id, e.event_type, p.event_id AS purch_id, " +

@@ -475,6 +475,80 @@ object TextOps {
         sum(col("w")).as("rarity"))
   }
 
+  /** t19: Gopher-style n-gram repetition suite (Rae et al. 2021, table A1)
+    * — the three repetition rules [[repetitionRatio]]/[[topTokenShare]]
+    * don't cover: the character share of the most frequent word 2-gram
+    * and 3-gram, and the fraction of duplicated 5-gram occurrences.
+    * Boilerplate and spam score high on all three; the `kept` verdict
+    * ANDs the per-signal thresholds (documents EXCEEDING any are
+    * dropped, the Gopher direction).
+    *
+    * Definitions (the NeMo-Curator/Dolma convention): `topN_share` =
+    * count(top gram) * chars(top gram) / chars(doc) — overlapping
+    * occurrences are all counted, so degenerate runs ("w w w w") can
+    * exceed 1.0, which only strengthens the verdict; ties on count
+    * resolve to the lexicographically smallest gram. `dup5_frac` =
+    * duplicated 5-gram occurrences / total 5-gram occurrences.
+    *
+    * Shape: entirely row-local Catalyst HOFs — grams via
+    * transform(sequence)+slice, the top gram via one aggregate() fold
+    * over the SORTED gram array (the [[topTokenShare]] run-length trick,
+    * extended to carry the winning gram; the lambda touches only its own
+    * state and element, so the interpreted-HOF re-evaluation gotcha does
+    * not apply). Map-only: no explode, no shuffle, nothing leaves the
+    * row. The DuckDB oracle replays the same integer arithmetic with a
+    * per-doc rank window, and the single int/int->double division is
+    * correctly-rounded IEEE in both engines.
+    */
+  def gopherRepetition(df: DataFrame, top2Max: Double = 0.20,
+      top3Max: Double = 0.18, dup5Max: Double = 0.30): DataFrame = {
+    val t = tokens(col("text"))
+    val nChars = length(col("text"))
+    def grams(n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
+    // (cnt, gram) of the most frequent n-gram: longest equal-run of the
+    // sorted gram array; strict > keeps the FIRST (lex-smallest) gram
+    // reaching the maximum
+    def top(gs: Column): Column = aggregate(array_sort(gs),
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit("").as("bestg")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        val better = run > st.getField("best")
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(st.getField("best")).as("best"),
+          when(better, g).otherwise(st.getField("bestg")).as("bestg"))
+      },
+      st => struct(st.getField("best").as("cnt"), st.getField("bestg").as("gram")))
+    def share(topc: Column): Column =
+      when(topc.getField("cnt") > 0 && nChars > 0,
+        (topc.getField("cnt") * length(topc.getField("gram"))).cast("double") /
+          nChars.cast("double"))
+        .otherwise(lit(0.0))
+    val g5 = grams(5)
+    val dup5 = when(size(g5) > 0,
+      (size(g5) - size(array_distinct(g5))).cast("double") / size(g5).cast("double"))
+      .otherwise(lit(0.0))
+    val out = df
+      .withColumn("t2", top(grams(2)))
+      .withColumn("t3", top(grams(3)))
+      .select(col("doc_id"),
+        col("t2").getField("gram").as("top2_gram"),
+        col("t2").getField("cnt").cast("int").as("top2_cnt"),
+        share(col("t2")).as("top2_share"),
+        col("t3").getField("gram").as("top3_gram"),
+        col("t3").getField("cnt").cast("int").as("top3_cnt"),
+        share(col("t3")).as("top3_share"),
+        dup5.as("dup5_frac"))
+    out.withColumn("kept",
+      col("top2_share") <= top2Max && col("top3_share") <= top3Max &&
+        col("dup5_frac") <= dup5Max)
+  }
+
   /** t12: banned-phrase scan — content-policy filtering against a small
     * plan-literal phrase list: per document, the pipe-joined sorted list
     * of phrases found (substring match), their count, and a keep verdict.

@@ -594,6 +594,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle-join the eval set")
   }
 
+  test("gopher repetition: hand-computed n-gram shares, lex-smallest ties, map-only") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),                    // "a b"x3, 3-gram tie -> lex smallest
+      (2L, (1 to 30).map(i => f"tok$i%02d").mkString(" ")), // all-unique, long enough to keep
+      (3L, "solo"),                            // no grams at all
+      (4L, "w w w w w w w w")                  // degenerate run: share > 1, dup5 high
+    ).toDF("doc_id", "text")
+    val out = graft.spark.ops.TextOps.gopherRepetition(docs)
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: len=11; top2 ("a b",3) share 9/11; 3-grams "a b a"x2 == "b a b"x2
+    // tie -> lex smallest; 5-grams both unique
+    assert(m(1L).getString(1) == "a b" && m(1L).getInt(2) == 3)
+    assert(m(1L).getDouble(3) == 9.0 / 11)
+    assert(m(1L).getString(4) == "a b a" && m(1L).getInt(5) == 2)
+    assert(m(1L).getDouble(6) == 10.0 / 11)
+    assert(m(1L).getDouble(7) == 0.0 && !m(1L).getBoolean(8))
+    // doc 2: every gram count 1, all signals under threshold
+    assert(m(2L).getInt(2) == 1 && m(2L).getInt(5) == 1)
+    assert(m(2L).getDouble(7) == 0.0 && m(2L).getBoolean(8))
+    // doc 3: single token -> empty grams, zero shares, kept
+    assert(m(3L).getString(1) == "" && m(3L).getInt(2) == 0 &&
+      m(3L).getDouble(3) == 0.0 && m(3L).getDouble(7) == 0.0 && m(3L).getBoolean(8))
+    // doc 4: len=15; overlapping occurrences all count -> share 7*3/15 > 1;
+    // 5-grams: 4 occurrences, 1 distinct
+    assert(m(4L).getString(1) == "w w" && m(4L).getDouble(3) == 21.0 / 15)
+    assert(m(4L).getDouble(6) == 30.0 / 15)
+    assert(m(4L).getDouble(7) == 3.0 / 4 && !m(4L).getBoolean(8))
+    // row-local: nothing leaves the row -> no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("cms frequency: sketch never undercounts, gated verdicts, partition-invariant") {
     val sp = spark; import sp.implicits._
     // skewed corpus: "alpha" dominates, long tail of unique tokens
