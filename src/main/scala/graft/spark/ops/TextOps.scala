@@ -502,13 +502,17 @@ object TextOps {
     */
   def gopherRepetition(df: DataFrame, top2Max: Double = 0.20,
       top3Max: Double = 0.18, dup5Max: Double = 0.30): DataFrame = {
-    val t = tokens(col("text"))
     val nChars = length(col("text"))
-    def grams(n: Int): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - lit(n - 1)),
-          i => array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(typedLit(Seq.empty[String]))
+    // positional n-grams via arrays_zip over n shifted slices (the
+    // DedupOps.shingles pattern): the per-element lambda touches only its
+    // zip struct — a lambda referencing the token array would re-evaluate
+    // the split() subtree per gram (interpreted HOFs)
+    def grams(n: Int): Column = {
+      val t = col("tk")
+      val m = greatest(size(t) - lit(n - 1), lit(0))
+      val z = arrays_zip((1 to n).map(j => slice(t, lit(j), m)): _*)
+      transform(z, s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
+    }
     // (cnt, gram) of the most frequent n-gram: longest equal-run of the
     // sorted gram array; strict > keeps the FIRST (lex-smallest) gram
     // reaching the maximum
@@ -529,11 +533,17 @@ object TextOps {
         (topc.getField("cnt") * length(topc.getField("gram"))).cast("double") /
           nChars.cast("double"))
         .otherwise(lit(0.0))
-    val g5 = grams(5)
+    // tokens and the 5-gram array are real projected columns: each is
+    // consumed by several expressions, and CollapseProject keeps a
+    // multi-referenced non-cheap alias materialized instead of inlining
+    // the gram build once per consumer
+    val g5 = col("g5")
     val dup5 = when(size(g5) > 0,
       (size(g5) - size(array_distinct(g5))).cast("double") / size(g5).cast("double"))
       .otherwise(lit(0.0))
     val out = df
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("g5", grams(5))
       .withColumn("t2", top(grams(2)))
       .withColumn("t3", top(grams(3)))
       .select(col("doc_id"),
