@@ -180,6 +180,11 @@ object SparkEntry {
     // vocab-sized aggregate
     "t13_vocab" -> ((s, dir) =>
       TextOps.vocabTopK(s.read.parquet(s"$dir/documents.parquet"))),
+    // t20: exact-k deterministic corpus sample — bottom-k by decorrelated
+    // Knuth hash; plans as TakeOrderedAndProject (per-partition bounded
+    // heaps + a k-row driver merge, no global sort)
+    "t20_bottomk_sample" -> ((s, dir) =>
+      TextOps.bottomKSample(s.read.parquet(s"$dir/documents.parquet"))),
     // t18: count-min-sketch token-frequency estimation — one-pass native
     // count_min_sketch aggregate gated by the exact top-50 counts
     // (CMS cells SUM under merge, so the verdict is partitioning-
@@ -1125,6 +1130,11 @@ object SparkEntry {
         "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS ntok, " +
         "CAST(sum(tf.tf * ((n.n * 1000000) // dfq.df)) AS BIGINT) AS rarity " +
         "FROM tf, dfq, n WHERE tf.token = dfq.token GROUP BY tf.doc_id"),
+
+    "t20_bottomk_sample" ->
+      ("SELECT doc_id, source, " +
+        "(doc_id & 2147483647) * 2971215073 % 1000000007 AS okey " +
+        "FROM documents ORDER BY okey, doc_id LIMIT 50"),
 
     "t19_gopher_rep" ->
       ("WITH t AS (SELECT doc_id, text, " +

@@ -366,6 +366,30 @@ object TextOps {
         col("rate_permille"), (bucket < col("rate_permille")).as("kept"))
   }
 
+  /** t20: exact-k deterministic corpus sample — "bottom-k by hash": the k
+    * documents with the smallest decorrelated Knuth-hash keys are an
+    * exact uniform-without-replacement sample (carving an eval/audit set
+    * out of a 100 TB corpus in one pass). Rerun- and repartition-stable,
+    * engine-replicable (the oracle replays the identical integer
+    * arithmetic), and NESTED by construction: bottom-k is a subset of
+    * bottom-(k+m), so growing the sample never resamples.
+    *
+    * Scale shape: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * a bounded k-element heap per partition and one k-row merge on the
+    * driver. No global sort, no shuffle of the corpus; the exact
+    * distributed top-k the t5 quota op hand-builds per group, for free on
+    * the global key. Ties on the hash break by doc_id so the sample is a
+    * total order in every engine.
+    */
+  val SampleHashMultiplier = 2971215073L // decorrelated from split/mix/temperature multipliers
+
+  def bottomKSample(df: DataFrame, k: Int = 50): DataFrame = {
+    val okey = pmod(hid * lit(SampleHashMultiplier), lit(1000000007L))
+    df.select(col("doc_id"), col("source"), okey.as("okey"))
+      .orderBy(col("okey"), col("doc_id"))
+      .limit(k)
+  }
+
   /** t13: corpus vocabulary stats — the top-K tokens by total count with
     * a deterministic rank (count desc, token asc). Plan shape: explode +
     * hash-aggregate WITH map-side partial aggregation (the exchange

@@ -594,6 +594,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle-join the eval set")
   }
 
+  test("bottom-k sample: exact k, brute-force equal, nested, stable, TakeOrdered plan") {
+    val sp = spark; import sp.implicits._
+    import graft.spark.ops.TextOps
+    val docs = (1L to 300L).map(i => (i, s"src${i % 5}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val s50 = TextOps.bottomKSample(docs, 50).collect()
+    assert(s50.length == 50)
+    // equals the brute-force total order (okey asc, doc_id asc)
+    val expect = (1L to 300L)
+      .map(i => i -> ((i & 2147483647L) * 2971215073L % 1000000007L))
+      .sortBy { case (id, key) => (key, id) }.take(50).map(_._1)
+    assert(s50.map(_.getLong(0)).toSeq.sorted == expect.sorted)
+    // nested by construction: bottom-50 is a subset of bottom-60
+    val s60 = TextOps.bottomKSample(docs, 60).collect().map(_.getLong(0)).toSet
+    assert(s50.map(_.getLong(0)).forall(s60.contains))
+    // repartition-stable
+    val re = TextOps.bottomKSample(docs.repartition(13), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == s50.map(_.getLong(0)).toSet)
+    // the scale shape: per-partition bounded heaps, no global sort
+    val plan = TextOps.bottomKSample(docs, 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("gopher repetition: hand-computed n-gram shares, lex-smallest ties, map-only") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
