@@ -185,6 +185,11 @@ object SparkEntry {
     // heaps + a k-row driver merge, no global sort)
     "t20_bottomk_sample" -> ((s, dir) =>
       TextOps.bottomKSample(s.read.parquet(s"$dir/documents.parquet"))),
+    // t21: per-source length winsorization at the exact integer-rank p95
+    // — order statistic on a projection-only pass, per-source cut joined
+    // back by broadcast, corpus touched map-only
+    "t21_winsorize" -> ((s, dir) =>
+      TextOps.winsorizeLengths(s.read.parquet(s"$dir/documents.parquet"))),
     // t18: count-min-sketch token-frequency estimation — one-pass native
     // count_min_sketch aggregate gated by the exact top-50 counts
     // (CMS cells SUM under merge, so the verdict is partitioning-
@@ -1135,6 +1140,17 @@ object SparkEntry {
       ("SELECT doc_id, source, " +
         "(doc_id & 2147483647) * 2971215073 % 1000000007 AS okey " +
         "FROM documents ORDER BY okey, doc_id LIMIT 50"),
+
+    "t21_winsorize" ->
+      ("WITH ranked AS (SELECT source, n_chars, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM documents), " +
+        "p AS (SELECT source, n_chars AS p95_len FROM ranked " +
+        "WHERE rn = (n * 950 + 999) // 1000) " +
+        "SELECT d.doc_id, d.source, d.n_chars, p.p95_len, " +
+        "LEAST(d.n_chars, p.p95_len) AS clipped_len, " +
+        "CAST(CASE WHEN d.n_chars > p.p95_len THEN 1 ELSE 0 END AS INTEGER) AS is_outlier " +
+        "FROM documents d JOIN p USING (source)"),
 
     "t19_gopher_rep" ->
       ("WITH t AS (SELECT doc_id, text, " +

@@ -390,6 +390,40 @@ object TextOps {
       .limit(k)
   }
 
+  /** t21: per-source length winsorization at an EXACT integer-rank p95 —
+    * the length-outlier trimming step (truncate the pathological tail —
+    * concatenated crawls, minified blobs — before token budgeting skews
+    * toward it). Deliberately NOT the interpolating percentile: the
+    * cut is the rank-ceil(n*95/100) smallest `n_chars` per source, pure
+    * integer arithmetic on both engines (Spark's `percentile` and
+    * DuckDB's `quantile_cont` interpolate with different float formulas
+    * — a ULP trap; r11 handles the sketched variant with a tolerance
+    * gate instead).
+    *
+    * Scale shape: the order statistic runs on a PROJECTION-ONLY pass
+    * (source, n_chars, doc_id — never the text), one exchange by source
+    * + per-source sort; the resulting stats table is one row per source
+    * so the apply joins it back by BROADCAST — the corpus itself is
+    * touched map-only. Ties in n_chars break by doc_id so the rank is a
+    * total order in every engine.
+    */
+  def winsorizeLengths(df: DataFrame, permille: Int = 950): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = df.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    // rank = ceil(n * permille / 1000) in pure longs
+    val stats = ranked
+      .filter(col("rn") === expr(s"(n * $permille + 999) div 1000"))
+      .select(col("source"), col("n_chars").as("p95_len"))
+    df.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p95_len"),
+        least(col("n_chars"), col("p95_len")).as("clipped_len"),
+        (col("n_chars") > col("p95_len")).cast("int").as("is_outlier"))
+  }
+
   /** t13: corpus vocabulary stats — the top-K tokens by total count with
     * a deterministic rank (count desc, token asc). Plan shape: explode +
     * hash-aggregate WITH map-side partial aggregation (the exchange

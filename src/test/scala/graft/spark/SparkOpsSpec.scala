@@ -618,6 +618,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("winsorize: exact integer-rank p95, ties by doc_id, broadcast apply") {
+    val sp = spark; import sp.implicits._
+    import graft.spark.ops.TextOps
+    // srcA: 20 docs, lengths 10..200 step 10 → rank ceil(20*.95)=19 → p95=190
+    // srcB: ties — five docs all length 7 → rank ceil(5*.95)=5 → p95=7
+    // srcC: singleton → rank 1 → p95 = its own length
+    val rows =
+      (1L to 20L).map(i => (i, "srcA", i * 10)) ++
+        (21L to 25L).map(i => (i, "srcB", 7L)) ++
+        Seq((26L, "srcC", 123L))
+    val docs = rows.toDF("doc_id", "source", "n_chars")
+    val out = TextOps.winsorizeLengths(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out.size == 26)
+    // srcA: p95=190; doc 20 (len 200) is the only outlier, clipped to 190
+    assert(out(20L) == ((190L, 190L, 1)))
+    assert(out(19L) == ((190L, 190L, 0)))
+    assert(out(1L) == ((190L, 10L, 0)))
+    // srcB: all equal → p95=7, nothing clipped
+    (21L to 25L).foreach(i => assert(out(i) == ((7L, 7L, 0))))
+    // srcC singleton: p95 = own length
+    assert(out(26L) == ((123L, 123L, 0)))
+    // the apply must broadcast the per-source stats, never shuffle the corpus
+    val plan = TextOps.winsorizeLengths(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "stats join must broadcast")
+  }
+
   test("gopher repetition: hand-computed n-gram shares, lex-smallest ties, map-only") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
