@@ -461,6 +461,11 @@ object SparkEntry {
     // generator formulas + the PNG writer's fixed 8-bit truecolor header
     "m9_png_header" -> ((s, dir) =>
       MultimodalOps.pngHeaderProbe(MultimodalOps.pngAssets(s, dir))),
+    // m11: JPEG SOF marker-walk probe — the variable-length-header
+    // sibling of m9/m10: dimensions recovered by folding over the
+    // APPn/DQT segment chain to the SOF frame header, projection-only
+    "m11_jpeg_header" -> ((s, dir) =>
+      MultimodalOps.jpegSofProbe(MultimodalOps.jpegAssets(s, dir))),
     "m7_png_resize" -> ((s, dir) =>
       MultimodalOps.pngResizeProbe(MultimodalOps.pngAssets(s, dir))),
     // m8: the REAL audio codec branch — javax.sound WAV containers with
@@ -1315,6 +1320,10 @@ object SparkEntry {
       ("SELECT vec_id, TRUE AS is_png, CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
         "CAST(24 + (label % 5) * 12 AS INT) AS height, " +
         "CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type FROM embeddings"),
+    "m11_jpeg_header" ->
+      ("SELECT vec_id, TRUE AS is_jpeg, CAST(192 AS INT) AS sof_marker, " +
+        "CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
+        "CAST(24 + (label % 5) * 12 AS INT) AS height FROM embeddings"),
     "m6_png_decode" ->
       ("SELECT vec_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CAST((vec_id % 256) * 65536 + (label % 256) * 256 + ((vec_id * 7) % 256) AS INT) AS px00, " +

@@ -1,6 +1,6 @@
 package graft.spark.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video assets ride as opaque
@@ -306,6 +306,78 @@ object MultimodalOps {
       .select(col("vec_id"), col("is_wav"), col("channels"),
         col("sample_rate"), col("bits"),
         expr("CAST(data_size div block_align AS INT)").as("n_frames"))
+  }
+
+  // ---- real JPEG branch: SOF marker-walk probe ----
+
+  /** Encode one REAL JPEG via javax.imageio (same dimension formulas as
+    * the PNG branch). Pixels are a flat gray — JPEG is lossy so only the
+    * HEADER GEOMETRY is probe-gatable; the oracle recomputes dimensions
+    * from the formulas, never pixels.
+    */
+  def encodeJpeg(vecId: Long, label: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val w = 32 + (vecId % 7).toInt * 16
+    val h = 24 + (label % 5) * 12
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The real-JPEG assets table: (vec_id, label, jpg binary). */
+  def jpegAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)]
+      .map { case (id, label) => (id, label, encodeJpeg(id, label)) }
+      .toDF("vec_id", "label", "jpg")
+  }
+
+  /** m11: JPEG geometry without a decoder. PNG/WAV headers sit at FIXED
+    * offsets (m9/m10 peek them directly); a JPEG header is a marker LIST
+    * of variable-length segments (APPn/DQT/... before the SOF frame
+    * header), so the probe WALKS it: one `aggregate()` fold over a
+    * 16-step sequence, each step a couple of 1–2-byte `substr` peeks —
+    * at a segment boundary `off`, byte off+1 is the marker; SOFn
+    * (0xC0–0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carries
+    * height@off+5, width@off+7 (big-endian), anything else is skipped
+    * via its length@off+2. Still projection-only and UDF-free: the fold
+    * state is a 4-int struct and the walk never touches entropy-coded
+    * data, so format/dimension filtering at 100 TB reads tens of header
+    * bytes per image, not the image.
+    */
+  def jpegSofProbe(jpegDf: DataFrame): DataFrame = {
+    def be(off: Column, len: Int): Column =
+      conv(hex(col("jpg").substr(off, lit(len))), 16, 10).cast("int")
+    val walk = aggregate(sequence(lit(1), lit(16)),
+      struct(lit(3).as("off"), lit(-1).as("sof"),
+        lit(-1).as("w"), lit(-1).as("h")),
+      (st, _) => {
+        val off = st.getField("off")
+        val marker = be(off + 1, 1)
+        val isSof = marker.between(192, 207) &&
+          marker =!= 196 && marker =!= 200 && marker =!= 204
+        when(st.getField("w") >= 0, st).otherwise(
+          when(isSof,
+            struct(off.as("off"), marker.as("sof"),
+              be(off + 7, 2).as("w"), be(off + 5, 2).as("h")))
+            .otherwise(struct((off + be(off + 2, 2) + 2).as("off"),
+              lit(-1).as("sof"), lit(-1).as("w"), lit(-1).as("h"))))
+      },
+      st => st)
+    jpegDf.select(col("vec_id"),
+        (hex(substring(col("jpg"), 1, 2)) === lit("FFD8")).as("is_jpeg"),
+        walk.as("walk"))
+      .select(col("vec_id"), col("is_jpeg"),
+        col("walk.sof").as("sof_marker"),
+        col("walk.w").as("width"), col("walk.h").as("height"))
   }
 
   /** m8: REAL audio decode — javax.sound parses the WAV container; emit

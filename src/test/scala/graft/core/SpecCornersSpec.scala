@@ -1589,4 +1589,38 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<svg></svg/>x",
       "start(svg||sc=false|ns=1)", "end(svg)", "text[Data](x)", "eof")
   }
+
+  // ---- batch 17 ----
+
+  test("appropriate end tag matches case-insensitively, lexeme keeps raw case") {
+    // 'appropriate end tag' compares the LOWERCASED name against the last
+    // start tag; the lexeme itself is raw, so </TITLE> both exits RCDATA
+    // and prints with its original case
+    check("<title>x</TITLE>y",
+      "start(title||sc=false|ns=0)", "text[RCData](x)",
+      "end(TITLE)", "text[Data](y)", "eof")
+  }
+
+  test("whitespace on both sides of '=' still binds the value") {
+    // attribute-name -> after-attribute-name (ws) -> '=' ->
+    // before-attribute-value (ws skipped) -> unquoted value
+    check("<a b = c>x", "start(a|b=c|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("breakout from a re-entered foreign subtree stops at the integration point") {
+    // stack: svg(foreign) > desc(HTML integration point) > svg(foreign);
+    // <b> is in the breakout list, pops ONLY the inner svg (the pop walks
+    // until an integration point or HTML element), so b is created under
+    // desc's HTML dispatch — the breakout twin of batch 10's <g> case
+    check("<svg><desc><svg><b>x",
+      "start(svg||sc=false|ns=1)", "start(desc||sc=false|ns=0)",
+      "start(svg||sc=false|ns=1)", "start(b||sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  test("EOF inside a question-mark bogus comment emits the collected data") {
+    // '<?' -> bogus comment (the '?' reconsumed into the data); EOF in
+    // bogus-comment emits the comment as collected, then EOF
+    check("a<?xy", "text[Data](a)", "comment(?xy)", "eof")
+  }
 }

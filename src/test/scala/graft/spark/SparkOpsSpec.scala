@@ -744,6 +744,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
   }
 
+  test("jpeg SOF walk: segment fold equals a real decode, no decoder in the plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
+      (id, label, MultimodalOps.encodeJpeg(id, label))
+    }.toDF("vec_id", "label", "jpg")
+    val rows = MultimodalOps.jpegSofProbe(df).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    for ((id, label) <- Seq((5L, 3), (6L, 0), (13L, 4))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodeJpeg(id, label)))
+      // the walk crossed the APPn/DQT segments and read the true frame
+      // header: baseline SOF0 (0xC0) with the real decode's dimensions
+      assert(rows(id) == ((true, 192, img.getWidth, img.getHeight)), rows(id).toString)
+    }
+    // a non-JPEG payload is flagged, not crashed on
+    val bad = Seq((99L, 0, "definitely not a jpeg, but long enough".getBytes("UTF-8")))
+      .toDF("vec_id", "label", "jpg")
+    assert(!MultimodalOps.jpegSofProbe(bad).collect()(0).getBoolean(1))
+    // the fold is a pure projection: no object serialization / lambda task
+    val plan = MultimodalOps.jpegSofProbe(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
   test("multimodal: encode/decode stub roundtrip with real schema") {
     val meta = MultimodalOps.decodeMeta(MultimodalOps.assets(spark, sf)).collect()
     assert(meta.length == 500)
