@@ -1623,4 +1623,64 @@ class SpecCornersSpec extends AnyFunSuite {
     // bogus-comment emits the comment as collected, then EOF
     check("a<?xy", "text[Data](a)", "comment(?xy)", "eof")
   }
+
+  // ---- batch 18 ----
+
+  test("SYSTEM keyword matches case-insensitively; system-only doctype is not quirks") {
+    // after-doctype-name compares the next six chars case-insensitively;
+    // a well-formed system-only doctype never sets the tokenizer's
+    // force-quirks flag (quirks from ID VALUES is a tree-construction
+    // decision, not a tokenizer one)
+    check("<!doctype html SyStEm \"s\">y",
+      "doctype(html|<none>|s|quirks=false)", "text[Data](y)", "eof")
+  }
+
+  test("a CDATA-looking run inside RCDATA is plain text") {
+    // '<' in RCDATA only matters before '/'; '<!' has no markup meaning
+    // there, so the whole bracket run is RCDATA text (contrast: bogus
+    // comment in Data state, real CDATA in foreign content)
+    check("<title><![CDATA[x]]></title>y",
+      "start(title||sc=false|ns=0)", "text[RCData](<![CDATA[x]]>)",
+      "end(title)", "text[Data](y)", "eof")
+  }
+
+  test("svg re-entered from a MathML TEXT integration point, then breakout") {
+    // mi's children are HTML-dispatched (text integration point), so its
+    // <svg> child opens a NEW foreign subtree; <b> is a breakout tag and
+    // pops only that inner svg — the MathML twin of batch 17's desc case
+    check("<math><mi><svg><b>x",
+      "start(math||sc=false|ns=2)", "start(mi||sc=false|ns=0)",
+      "start(svg||sc=false|ns=1)", "start(b||sc=false|ns=0)",
+      "text[Data](x)", "eof")
+  }
+
+  test("<svg> under annotation-xml enters SVG even WITHOUT the encoding attr") {
+    // SPEC TRAP (first-guess expectation was ns=2 — the ENGINE was
+    // right): the foreign-content rules carry an EXPLICIT carve-out —
+    // "if the adjusted current node is a MathML annotation-xml element
+    // and the token is a start tag named svg", the element is inserted
+    // in the SVG namespace. This is independent of the encoding
+    // attribute (which only decides the HTML integration point).
+    check("<math><annotation-xml><svg>x",
+      "start(math||sc=false|ns=2)",
+      "start(annotation-xml||sc=false|ns=2)",
+      "start(svg||sc=false|ns=1)", "text[Data](x)", "eof")
+  }
+
+  test("an <svg> START TAG in plain MathML foreign content enters SVG (reference parity)") {
+    // ADJUDICATED to the reference convention (full-spec answer differs):
+    // per §13.2.6.5 a non-breakout start tag under mrow (no integration
+    // point, no annotation-xml carve-out) is created in the ADJUSTED
+    // CURRENT namespace — an element NAMED svg in the MathML ns. The
+    // reference's tree_builder_simulator has no tree: it dispatches on
+    // the tag NAME before the foreign-content rules (mod.rs:134 —
+    // `if tag_name == Tag::Svg { enter_ns(Svg) }` unconditionally), so
+    // any <svg> start tag enters the SVG namespace. The downstream
+    // decisions the simulator exists for (text modes, CDATA gating,
+    // integration points) come out the same either way; we match the
+    // reference, as with batch 14's mtext adjudication.
+    check("<math><mrow><svg>x",
+      "start(math||sc=false|ns=2)", "start(mrow||sc=false|ns=2)",
+      "start(svg||sc=false|ns=1)", "text[Data](x)", "eof")
+  }
 }
