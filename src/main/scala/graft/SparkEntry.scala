@@ -404,6 +404,31 @@ object SparkEntry {
       val kept = base.join(reps, "doc_id").where(length(col("text")) >= 50)
       TextOps.deterministicSplit(kept)
     }),
+    // p4: RELEASE ASSEMBLY — the publish-side composition of the round-6
+    // ops: t16 URL-level dedup (min-doc_id keeper per canonical URL) ->
+    // t21 length floor (drop per-source p95 outliers, cut computed over
+    // the SURVIVORS) -> t20 exact-50 eval carve-out (bottom-k by hash,
+    // nested so a later k-bump never resamples) -> t4 split for the rest.
+    // One url_norm exchange + one source exchange; the 50-row eval set
+    // joins back by broadcast; the split is an inline expression.
+    "p4_release" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val norm = TextOps.normalizeUrl(syntheticUrl(did, col("source")))
+      val w = Window.partitionBy(col("url_norm"))
+      val kept = docs.select(did, col("source"), col("n_chars"), norm.as("url_norm"))
+        .withColumn("kept", did === min(did).over(w))
+        .where(col("kept")).select("doc_id", "source", "n_chars")
+      val floored = TextOps.winsorizeLengths(kept)
+        .where(col("is_outlier") === 0).select("doc_id", "source")
+      val evalIds = TextOps.bottomKSample(floored, 50)
+        .select(col("doc_id").as("eval_id"))
+      TextOps.withSplit(floored)
+        .join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("eval_id").isNotNull, lit("eval"))
+            .otherwise(col("split")).as("bucket"))
+    }),
     "p1_curate" -> ((s, dir) => {
       val base = DedupOps.withVariants(s, dir)
       val clusters = DedupOps.clusterIdsStar(base, DedupOps.minhashLshPairs(base, 0.6))
@@ -1068,7 +1093,29 @@ object SparkEntry {
     // t16: URL-level dedup APPLY over the t10 normalization — the first
     // (min doc_id) holder of each canonical URL is kept
     "t16_url_dedup" -> (UrlNormCte +
-        "SELECT doc_id, url_norm, doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS kept FROM n2")
+        "SELECT doc_id, url_norm, doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS kept FROM n2"),
+
+    // p4: release assembly — t16 keepers -> t21 p95 floor over the
+    // survivors -> t20 bottom-50 eval carve -> t4 split; every stage's
+    // arithmetic is the same CTE the standalone row uses
+    "p4_release" -> (UrlNormCte +
+        ", keep AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS kept FROM n2)" +
+        ", k1 AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d " +
+        "JOIN keep USING (doc_id) WHERE keep.kept)" +
+        ", ranked AS (SELECT source, n_chars, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM k1)" +
+        ", p AS (SELECT source, n_chars AS p95 FROM ranked WHERE rn = (n * 950 + 999) // 1000)" +
+        ", k2 AS (SELECT k1.doc_id, k1.source FROM k1 JOIN p USING (source) " +
+        "WHERE k1.n_chars <= p.p95)" +
+        ", ev AS (SELECT doc_id FROM k2 " +
+        "ORDER BY (doc_id & 2147483647) * 2971215073 % 1000000007, doc_id LIMIT 50) " +
+        "SELECT k2.doc_id, k2.source, " +
+        "CASE WHEN ev.doc_id IS NOT NULL THEN 'eval' " +
+        "WHEN (k2.doc_id & 2147483647) * 2654435761 % 1000 < 900 THEN 'train' " +
+        "WHEN (k2.doc_id & 2147483647) * 2654435761 % 1000 < 950 THEN 'val' " +
+        "ELSE 'test' END AS bucket " +
+        "FROM k2 LEFT JOIN ev ON k2.doc_id = ev.doc_id")
   ) ++ oracleSqlCont
 
   // the t10/t16 shared normalization pipeline (url synthesis + canonical

@@ -744,6 +744,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
   }
 
+  test("p4 release assembly: every stage bites, exactly 50 eval docs, broadcast carve") {
+    val sp = spark
+    val docs = sp.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val df = graft.SparkEntry.queries("p4_release")(sp, sf)
+    val rows = df.collect()
+    val byBucket = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // the eval carve is EXACTLY k, and every survivor lands in a bucket
+    assert(byBucket("eval") == 50, byBucket.toString)
+    assert(byBucket.keySet.subsetOf(Set("eval", "train", "val", "test")))
+    // url dedup + p95 floor both bite: survivors < keepers < total
+    assert(rows.length < total, s"${rows.length} vs $total")
+    // eval ids are the bottom-50 sample of the floored survivors: they
+    // must be disjoint from train/val/test and unique
+    val evalIds = rows.filter(_.getString(2) == "eval").map(_.getLong(0))
+    assert(evalIds.distinct.length == 50)
+    // the 50-row eval set joins back by broadcast, never a shuffle join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("jpeg SOF walk: segment fold equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
