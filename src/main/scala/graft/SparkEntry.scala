@@ -447,6 +447,11 @@ object SparkEntry {
     // oracle-expressible property of an approximate operator
     "e2_ann_recall" -> ((s, dir) =>
       SimOps.annRecallGate(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
+    // e5: cluster-balanced sampling — nearest-centroid assignment as a
+    // MAP-ONLY argmax over a collected literal codebook (e3 pattern),
+    // then the t5 skew-immune per-cluster quota
+    "e5_cluster_balance" -> ((s, dir) =>
+      SimOps.clusterBalance(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 3L, 100)),
     "e3_ivf_recall" -> ((s, dir) =>
       SimOps.ivfRecallGate(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 10)),
 
@@ -1322,6 +1327,24 @@ object SparkEntry {
         "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos " +
         "FROM d a JOIN d b ON a.vec_id < b.vec_id " +
         "WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9"),
+
+    // e5: the argmax replays cosine exactly (list_dot_product over
+    // DOUBLE[] == the Spark sequential fold, same division shape), the
+    // quota replays t5's hash-order window
+    "e5_cluster_balance" ->
+      ("WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce " +
+        "FROM embeddings WHERE vec_id <= 3), " +
+        "s AS (SELECT e.vec_id, c.cent_id, " +
+        "list_dot_product(c.ce, CAST(e.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(c.ce, c.ce)) * " +
+        "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim " +
+        "FROM embeddings e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY sim DESC, cent_id ASC) AS r FROM s), " +
+        "asg AS (SELECT vec_id, 'c' || CAST(cent_id AS VARCHAR) AS cluster FROM a WHERE r = 1), " +
+        "q AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY ((vec_id & 2147483647) * 2654435761) % 1000000007, vec_id) AS rn FROM asg) " +
+        "SELECT vec_id, cluster, CAST(rn AS INT) AS rn FROM q WHERE rn <= 100"),
 
     "e1_cosine_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10), " +

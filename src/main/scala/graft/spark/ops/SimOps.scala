@@ -374,4 +374,39 @@ object SimOps {
                     minRecall: Double = 0.9): DataFrame =
     recallGate(bruteForceTopK(emb, queryIds, k),
       annTopK(emb, queryIds, k), k, minRecall)
+
+  /** e5: cluster-balanced sampling — the D4/DoReMi-style semantic
+    * diversity step: assign every embedding to its nearest centroid
+    * (cosine argmax, ties to the lowest centroid id) and keep at most
+    * `k` per cluster in the deterministic t5 hash order, so no topic
+    * region dominates the mixture.
+    *
+    * Scale shape: the centroids come from designated corpus vectors and
+    * are COLLECTED (a few KB — the e3 codebook pattern), so assignment
+    * is a MAP-ONLY argmax over literal vectors: no cross join, no
+    * assignment exchange. Dot products use [[cosine]]'s sequential
+    * double fold (bit-compatible with DuckDB's list_dot_product), so
+    * the oracle replays the argmax exactly. The per-cluster cap reuses
+    * [[TextOps.domainQuota]]'s skew-immune two-phase top-k — a giant
+    * cluster never funnels into one window task.
+    */
+  def clusterBalance(emb: DataFrame, centroidIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb.where(col("vec_id").isInCollection(centroidIds))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    // argmax via array_max over (sim, -cent_id) structs: larger sim wins,
+    // equal sims fall to the LOWEST centroid id (negation flips the order)
+    val cand = cents.map { case (cid, v) =>
+      struct(cosine(typedLit(v.toSeq), col("embedding")).as("sim"),
+        lit(-cid).as("nid"))
+    }
+    val best = array_max(array(cand.toIndexedSeq: _*))
+    val assigned = emb.select(
+      concat(lit("c"), (-best.getField("nid")).cast("string")).as("source"),
+      col("vec_id").as("doc_id"))
+    TextOps.domainQuota(assigned, k)
+      .select(col("doc_id").as("vec_id"), col("source").as("cluster"), col("rn"))
+  }
 }

@@ -744,6 +744,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
   }
 
+  test("e5 cluster balance: hand-checked argmax, low-id ties, hash-order quota, no join") {
+    val sp = spark; import sp.implicits._
+    import graft.spark.ops.SimOps
+    def v(fs: Float*): Array[Float] = fs.toArray
+    // centroids 0/1/2 = unit axes; members scaled copies; vec 9 ties c0/c1
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(0, 1, 0, 0), 0), (2L, v(0, 0, 1, 0), 0),
+      (3L, v(5, 0, 0, 0), 0), (4L, v(0, 3, 0, 0), 0), (5L, v(0, 0, 7, 0), 0),
+      (6L, v(2, 0.1f, 0, 0), 0), (7L, v(0.1f, 2, 0, 0), 0),
+      (9L, v(1, 1, 0, 0), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimOps.clusterBalance(emb, Seq(0L, 1L, 2L), 100).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(3L)._1 == "c0" && out(6L)._1 == "c0")
+    assert(out(4L)._1 == "c1" && out(7L)._1 == "c1")
+    assert(out(5L)._1 == "c2")
+    // exact tie between c0 and c1 falls to the LOWER centroid id
+    assert(out(9L)._1 == "c0")
+    // quota order replays the t5 hash arithmetic (okey asc, id asc)
+    val c0 = Seq(0L, 3L, 6L, 9L)
+      .sortBy(id => ((id & 2147483647L) * 2654435761L % 1000000007L, id))
+    c0.zipWithIndex.foreach { case (id, i) => assert(out(id) == (("c0", i + 1))) }
+    // cap bites: k=2 keeps only the first two of c0's four members
+    val capped = SimOps.clusterBalance(emb, Seq(0L, 1L, 2L), 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(c0.take(2).toSet.subsetOf(capped) && !capped.contains(c0(2)))
+    // assignment is map-only: literal codebook, no join operator of any kind
+    val plan = SimOps.clusterBalance(emb, Seq(0L, 1L, 2L), 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("p4 release assembly: every stage bites, exactly 50 eval docs, broadcast carve") {
     val sp = spark
     val docs = sp.read.parquet(s"$sf/documents.parquet")
@@ -787,6 +819,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fold is a pure projection: no object serialization / lambda task
     val plan = MultimodalOps.jpegSofProbe(df).queryExecution.executedPlan.toString
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
+  test("jpeg SOF walk: arbitrary bytes never fail the fold (nulls, not exceptions)") {
+    val sp = spark; import sp.implicits._
+    // seeded RNG: adversarial-but-deterministic payloads, incl. ones that
+    // start FFD8 by construction so the walk runs off into random markers
+    val rnd = new scala.util.Random(42)
+    val payloads = (1L to 60L).map { i =>
+      val n = 2 + rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 3 == 0) { b(0) = 0xFF.toByte; if (n > 1) b(1) = 0xD8.toByte }
+      (i, 0, b)
+    }
+    val rows = MultimodalOps.jpegSofProbe(payloads.toDF("vec_id", "label", "jpg")).collect()
+    assert(rows.length == 60)
+    // every row evaluates; truncated/garbage walks surface as -1 or null
+    // width, never a task failure
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      if (!r.isNullAt(3)) assert(r.getInt(3) >= -1)
+    }
   }
 
   test("multimodal: encode/decode stub roundtrip with real schema") {
