@@ -1683,4 +1683,32 @@ class SpecCornersSpec extends AnyFunSuite {
       "start(math||sc=false|ns=2)", "start(mrow||sc=false|ns=2)",
       "start(svg||sc=false|ns=1)", "text[Data](x)", "eof")
   }
+
+  // ---- batch 19 ----
+
+  test("'--!>' does NOT exit script-data-escaped (unlike comments)") {
+    // comment-end-bang has a '>' arm that closes a COMMENT; the script
+    // escape's dash-dash state only exits on '>', so '!' falls back to
+    // script-data-escaped and the '>' after it is plain text — the run
+    // ends at the appropriate end tag, not at '--!>'
+    check("<script><!--x--!>y</script>z",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--x--!>y)",
+      "end(script)", "text[Data](z)", "eof")
+  }
+
+  test("an end tag named p breaks out of foreign content") {
+    // the foreign-content breakout rule covers END tags br/p as well as
+    // the start-tag list (reference should_leave_ns, mod.rs:160-171):
+    // </p> pops the svg subtree and is reprocessed as an HTML end tag
+    check("<svg></p>x",
+      "start(svg||sc=false|ns=1)", "end(p)", "text[Data](x)", "eof")
+  }
+
+  test("a double quote inside an UNQUOTED attribute value is a value character") {
+    // attribute-value-unquoted: '\"', ''', '<', '=', '`' are
+    // unexpected-character-in-unquoted-attribute-value errors but are
+    // APPENDED to the value, not terminators
+    check("<a b=c\"d>x",
+      "start(a|b=c\"d|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
 }
