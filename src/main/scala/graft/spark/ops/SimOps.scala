@@ -396,14 +396,25 @@ object SimOps {
     val cents = emb.where(col("vec_id").isInCollection(centroidIds))
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // hoist the row norm (shared by every candidate — interpreted HOFs
+    // see no codegen CSE) and fold each centroid's norm to a driver-side
+    // constant with the SAME sequential double accumulation, so the
+    // expression keeps [[cosine]]'s exact arithmetic shape
+    // dot / (sqrt(dot(c,c)) * sqrt(dot(b,b))) and the oracle still
+    // replays it bit-for-bit.
+    val withNorm = emb.withColumn("nb", sqrt(dot(col("embedding"), col("embedding"))))
     // argmax via array_max over (sim, -cent_id) structs: larger sim wins,
     // equal sims fall to the LOWEST centroid id (negation flips the order)
     val cand = cents.map { case (cid, v) =>
-      struct(cosine(typedLit(v.toSeq), col("embedding")).as("sim"),
+      val cn = math.sqrt(v.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble))
+      struct((dot(typedLit(v.toSeq), col("embedding")) / (lit(cn) * col("nb"))).as("sim"),
         lit(-cid).as("nid"))
     }
     val best = array_max(array(cand.toIndexedSeq: _*))
-    val assigned = emb.select(
+    val assigned = withNorm.select(
       concat(lit("c"), (-best.getField("nid")).cast("string")).as("source"),
       col("vec_id").as("doc_id"))
     TextOps.domainQuota(assigned, k)
