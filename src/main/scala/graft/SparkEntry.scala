@@ -496,6 +496,11 @@ object SparkEntry {
     // APPn/DQT segment chain to the SOF frame header, projection-only
     "m11_jpeg_header" -> ((s, dir) =>
       MultimodalOps.jpegSofProbe(MultimodalOps.jpegAssets(s, dir))),
+    // m12: REAL multi-frame container (animated GIF via the JDK's
+    // sequence writer) — frame count + m4's every-Nth keyframe stride
+    // with per-frame pixel probes, all formula-recomputable
+    "m12_gif_frames" -> ((s, dir) =>
+      MultimodalOps.gifFrameSample(MultimodalOps.gifAssets(s, dir))),
     "m7_png_resize" -> ((s, dir) =>
       MultimodalOps.pngResizeProbe(MultimodalOps.pngAssets(s, dir))),
     // m8: the REAL audio codec branch — javax.sound WAV containers with
@@ -1394,6 +1399,18 @@ object SparkEntry {
       ("SELECT vec_id, TRUE AS is_jpeg, CAST(192 AS INT) AS sof_marker, " +
         "CAST(32 + (vec_id % 7) * 16 AS INT) AS width, " +
         "CAST(24 + (label % 5) * 12 AS INT) AS height FROM embeddings"),
+    // m12: gray g => rgb g*65793; stride-2 keyframes from 0, last
+    // sampled frame = ((n_frames-1) // 2) * 2
+    "m12_gif_frames" ->
+      ("SELECT vec_id, TRUE AS is_gif, " +
+        "CAST(3 + vec_id % 4 AS INT) AS n_frames, " +
+        "CAST(16 + (vec_id % 5) * 8 AS INT) AS width, " +
+        "CAST(12 + (label % 4) * 6 AS INT) AS height, " +
+        "CAST((3 + vec_id % 4 + 1) // 2 AS INT) AS n_sampled, " +
+        "CAST(((vec_id * 31 + label * 17) % 256) * 65793 AS INT) AS px_first, " +
+        "CAST(((vec_id * 31 + label * 17 + (16 + (vec_id % 5) * 8 - 1) * 3 + " +
+        "(12 + (label % 4) * 6 - 1) * 5 + (((3 + vec_id % 4 - 1) // 2) * 2) * 7) % 256) " +
+        "* 65793 AS INT) AS px_last FROM embeddings"),
     "m6_png_decode" ->
       ("SELECT vec_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "CAST((vec_id % 256) * 65536 + (label % 256) * 256 + ((vec_id * 7) % 256) AS INT) AS px00, " +

@@ -308,6 +308,103 @@ object MultimodalOps {
         expr("CAST(data_size div block_align AS INT)").as("n_frames"))
   }
 
+  // ---- real multi-frame (video-ish) branch: animated GIF ----
+
+  /** 256-entry grayscale palette: every 8-bit sample IS its own exact
+    * RGB gray, so an indexed encode/decode roundtrip is lossless and the
+    * oracle can recompute any probed pixel from the generation formula.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic gray value at (x, y) of frame `f` for asset `vecId`/
+    * `label` — shared by the encoder and the oracle. */
+  @inline def gifGray(vecId: Long, label: Int, x: Int, y: Int, f: Int): Int =
+    ((vecId * 31 + label * 17 + x * 3 + y * 5 + f * 7) % 256).toInt
+
+  /** Encode one REAL animated GIF via the JDK's multi-frame ImageIO
+    * sequence writer: 3–6 full-size frames of indexed grayscale pixels.
+    * The closest in-JDK stand-in for a video container — frames decode
+    * independently and exactly (indexed palette, LZW is lossless).
+    */
+  def encodeGif(vecId: Long, label: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val w = 16 + (vecId % 5).toInt * 8
+    val h = 12 + (label % 4) * 6
+    val frames = 3 + (vecId % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gifGray(vecId, label, x, y, f)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** The real-GIF assets table: (vec_id, label, gif binary). */
+  def gifAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)]
+      .map { case (id, label) => (id, label, encodeGif(id, label)) }
+      .toDF("vec_id", "label", "gif")
+  }
+
+  /** m12: REAL multi-frame decode + keyframe sampling — the video dual
+    * of m6/m8: the ImageIO GIF reader counts the frames, and the m4
+    * every-Nth keyframe stride (here N=2) probes one pixel per sampled
+    * frame. Emits (vec_id, signature flag, n_frames, width, height,
+    * sampled-frame count, first/last sampled-frame probe pixels) — all
+    * oracle-recomputable from the generation formulas, so container
+    * mis-parsing (frame count, frame independence, palette mapping)
+    * mismatches.
+    */
+  def gifFrameSample(gifDf: DataFrame, everyN: Int = 2): DataFrame = {
+    val spark = gifDf.sparkSession
+    import spark.implicits._
+    gifDf.select(col("vec_id"), col("gif"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map { case (id, bytes) =>
+          val isGif = bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+            bytes(2) == 'F' && bytes(3) == '8'
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          val sampled = (0 until n by everyN).toArray
+          val first = reader.read(sampled.head)
+          val last = reader.read(sampled.last)
+          val w = first.getWidth; val h = first.getHeight
+          (id, isGif, n, w, h, sampled.length,
+            first.getRGB(0, 0) & 0xffffff,
+            last.getRGB(w - 1, h - 1) & 0xffffff)
+        }
+      }
+      .toDF("vec_id", "is_gif", "n_frames", "width", "height",
+        "n_sampled", "px_first", "px_last")
+  }
+
   // ---- real JPEG branch: SOF marker-walk probe ----
 
   /** Encode one REAL JPEG via javax.imageio (same dimension formulas as

@@ -842,6 +842,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gif multi-frame: every frame decodes to the formula, stride sampling exact") {
+    val sp = spark; import sp.implicits._
+    // frame independence + losslessness: decode EVERY frame of one asset
+    // and compare every pixel to the generation formula
+    val bytes = MultimodalOps.encodeGif(7L, 2)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = reader.getNumImages(true)
+    assert(n == 3 + (7 % 4), s"frames $n")
+    for (f <- 0 until n) {
+      val img = reader.read(f)
+      assert(img.getWidth == 16 + (7 % 5) * 8 && img.getHeight == 12 + (2 % 4) * 6)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val g = MultimodalOps.gifGray(7L, 2, x, y, f)
+        assert((img.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+          s"f=$f x=$x y=$y")
+      }
+    }
+    // the Spark op: stride-2 keyframe sampling over a small asset table
+    val df = Seq((5L, 3), (6L, 0), (13L, 1)).map { case (id, label) =>
+      (id, label, MultimodalOps.encodeGif(id, label))
+    }.toDF("vec_id", "label", "gif")
+    val rows = MultimodalOps.gifFrameSample(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))))
+      .toMap
+    for ((id, label) <- Seq((5L, 3), (6L, 0), (13L, 1))) {
+      val w = 16 + (id % 5).toInt * 8; val h = 12 + (label % 4) * 6
+      val nf = 3 + (id % 4).toInt
+      val sampled = (0 until nf by 2)
+      def px(x: Int, y: Int, f: Int) = {
+        val g = MultimodalOps.gifGray(id, label, x, y, f); (g << 16) | (g << 8) | g
+      }
+      assert(rows(id) == ((true, nf, w, h, sampled.length,
+        px(0, 0, sampled.head), px(w - 1, h - 1, sampled.last))), rows(id).toString)
+    }
+  }
+
   test("multimodal: encode/decode stub roundtrip with real schema") {
     val meta = MultimodalOps.decodeMeta(MultimodalOps.assets(spark, sf)).collect()
     assert(meta.length == 500)
