@@ -273,6 +273,18 @@ object SparkEntry {
       DedupOps.ngramJaccardPairsCapped(DedupOps.withVariants(s, dir), 0.6)),
     "d3_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashLshPairs(DedupOps.withVariants(s, dir), 0.6)),
+    // t22: split-leakage audit — near-dup pairs whose endpoints land in
+    // DIFFERENT t4 splits (a test doc with a train near-dup = eval
+    // contamination). The split is a pure function of the id
+    // (TextOps.splitNameOf == withSplit's arithmetic), so the audit is
+    // MAP-ONLY over the memoized d3 pair list: no join-backs.
+    "t22_split_leakage" -> ((s, dir) => {
+      val pairs = DedupOps.minhashLshPairs(DedupOps.withVariants(s, dir), 0.6)
+      pairs.select(col("id_a"), col("id_b"),
+        TextOps.splitNameOf(col("id_a")).as("split_a"),
+        TextOps.splitNameOf(col("id_b")).as("split_b"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+    }),
     "d4_simhash" -> ((s, dir) =>
       DedupOps.simhashSketch(DedupOps.withVariants(s, dir))),
     "d5_simhash_pairs" -> ((s, dir) =>
@@ -1302,6 +1314,20 @@ object SparkEntry {
     // ground truth at this threshold; recall is deterministic and checked
     // locally (banding: 32 bands x 2 rows)
     "d3_minhash_pairs" -> JaccardPairsSql,
+
+    // t22: d3's pair semantics + the t4 split arithmetic re-derived per
+    // endpoint — leaky = the endpoints fall in different splits
+    "t22_split_leakage" -> (ShinglesCte +
+      ", jp AS (SELECT id_a, id_b FROM pairs " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6)" +
+      ", sp AS (SELECT id_a, id_b, " +
+      "CASE WHEN (id_a & 2147483647) * 2654435761 % 1000 < 900 THEN 'train' " +
+      "WHEN (id_a & 2147483647) * 2654435761 % 1000 < 950 THEN 'val' ELSE 'test' END AS split_a, " +
+      "CASE WHEN (id_b & 2147483647) * 2654435761 % 1000 < 900 THEN 'train' " +
+      "WHEN (id_b & 2147483647) * 2654435761 % 1000 < 950 THEN 'val' ELSE 'test' END AS split_b " +
+      "FROM jp) " +
+      "SELECT id_a, id_b, split_a, split_b, split_a != split_b AS leaky FROM sp"),
     "d4_simhash" -> (SimhashCte + " SELECT doc_id, simhash FROM sig"),
     "d5_simhash_pairs" ->
       (SimhashCte + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +

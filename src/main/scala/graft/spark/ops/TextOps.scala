@@ -139,14 +139,24 @@ object TextOps {
     * composed pipelines don't need a join-back by doc_id to recover
     * their other columns.
     */
-  def withSplit(df: DataFrame, trainPct: Int = 900, valPct: Int = 50): DataFrame = {
-    val bucket = pmod(hid * lit(2654435761L), lit(1000L))
-    df.withColumn("split_bucket", bucket.cast("int"))
-      .withColumn("split",
-        when(bucket < trainPct, "train")
-          .when(bucket < trainPct + valPct, "val")
-          .otherwise("test"))
+  /** The split decision as a pure function of an arbitrary id column —
+    * the single source of the t4 arithmetic, so audits that re-derive a
+    * document's split from a pair/edge id (t22) can never drift from
+    * [[withSplit]].
+    */
+  def splitBucketOf(id: Column): Column =
+    pmod(id.bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L))
+
+  def splitNameOf(id: Column, trainPct: Int = 900, valPct: Int = 50): Column = {
+    val bucket = splitBucketOf(id)
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  def withSplit(df: DataFrame, trainPct: Int = 900, valPct: Int = 50): DataFrame =
+    df.withColumn("split_bucket", splitBucketOf(col("doc_id")).cast("int"))
+      .withColumn("split", splitNameOf(col("doc_id"), trainPct, valPct))
 
   /** Per-domain quota sampling — the C4/RefinedWeb-style per-source cap:
     * keep at most `k` documents per source, chosen by a deterministic

@@ -776,6 +776,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("t22 split leakage: re-derived splits equal the joined form, leaks exist") {
+    val sp = spark
+    import graft.spark.ops.{DedupOps, TextOps}
+    val audit = graft.SparkEntry.queries("t22_split_leakage")(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(audit.nonEmpty)
+    // the arithmetic re-derivation must equal an explicit join against
+    // withSplit (the form the helper refactor replaced)
+    val base = DedupOps.withVariants(sp, sf)
+    val splits = TextOps.withSplit(base).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    audit.foreach { case ((a, b), (sa, sb, leaky)) =>
+      assert(splits(a) == sa && splits(b) == sb, s"($a,$b)")
+      assert(leaky == (sa != sb))
+    }
+    // the planted variant pairs make both verdicts non-degenerate
+    assert(audit.values.exists(_._3) && audit.values.exists(!_._3))
+  }
+
   test("p4 release assembly: every stage bites, exactly 50 eval docs, broadcast carve") {
     val sp = spark
     val docs = sp.read.parquet(s"$sf/documents.parquet")
