@@ -396,6 +396,8 @@ object SimOps {
     val cents = emb.where(col("vec_id").isInCollection(centroidIds))
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"clusterBalance: none of the centroid ids ${centroidIds.take(8)} exist in the table")
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
