@@ -1711,4 +1711,16 @@ class SpecCornersSpec extends AnyFunSuite {
     check("<a b=c\"d>x",
       "start(a|b=c\"d|sc=false|ns=0)", "text[Data](x)", "eof")
   }
+
+  // ---- batch 20 ----
+
+  test("appropriate end tag exits from script-data-escaped-DASH (one pending dash)") {
+    // '<!--x' lands in script-data-escaped; the single '-' moves to
+    // escaped-dash, whose '<' arm reaches the end-tag path — the
+    // single-escape sibling of the covered double-escape '-</script>'
+    // case; the pending dash stays in the text
+    check("<script><!--x-</script>y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--x-)",
+      "end(script)", "text[Data](y)", "eof")
+  }
 }
