@@ -125,6 +125,12 @@ object SparkEntry {
     // three branches via template arithmetic
     "x15_bailout_rewrite" -> ((s, dir) => HtmlClean.bailoutRewrite(s, dir)),
 
+    // x16: absolute-URL rebasing of a[href]/img[src] against a base page
+    // (the canonical HTMLRewriter production use) — scheme-qualified and
+    // #fragment refs pass through raw, //protocol-relative, /rooted and
+    // bare-relative refs resolve; the oracle replays the template
+    "x16_rebase_links" -> ((s, dir) => HtmlClean.rebaseLinks(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -215,6 +221,25 @@ object SparkEntry {
     "t12_banned" -> ((s, dir) =>
       TextOps.bannedPhrases(s.read.parquet(s"$dir/documents.parquet"),
         BannedPhraseList)),
+    // t23: C4 line-level cleaning over a synthesized multi-line corpus —
+    // every rule bites somewhere: two planted lines fail (javascript
+    // mention; under 5 words), one fails terminal punctuation, and the
+    // %11 / %13 residues plant the lorem-ipsum / curly-brace document
+    // kills. Map-only.
+    "t23_c4_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val multiline = concat(
+        lit("document "), did.cast("string"), lit(" begins here with several words.\n"),
+        col("text"), lit(".\n"),
+        lit("enable javascript to view this content now.\n"),
+        lit("short line\n"),
+        lit("this line has many words but no terminal punctuation at all"),
+        when(did % 11 === 0, lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(did % 13 === 0, lit("\nvar config = { mode: 1 };")).otherwise(lit("")),
+        lit("\nthe footer mentions privacy and cookies today."))
+      TextOps.c4LineFilter(docs.select(did, multiline.as("text")))
+    }),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
     // sqrt/division are correctly-rounded IEEE in both engines, so the
@@ -574,6 +599,19 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
           grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"))
+    }),
+    // r12: pivot (conditional cross-tabulation) — per-source document
+    // counts spread across the FIXED language set. The pivot values are
+    // a literal list, so Catalyst plans ONE partial-aggregated groupBy
+    // (no driver-side distinct-values job — the trap of the 2-arg pivot
+    // at 100 TB); empty cells are coalesced to 0 to match the oracle's
+    // FILTERed counts.
+    "r12_pivot" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = docs.groupBy(col("source")).pivot("lang", langs).count()
+      p.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
     }),
     "r7_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (sort-based) per group
@@ -1163,6 +1201,50 @@ object SparkEntry {
         "(CASE WHEN params != '' THEN '?' || params ELSE '' END) AS url_norm FROM n) ")
 
   private def oracleSqlCont: Map[String, String] = Map(
+    // t23 replays the line construction, then the identical C4 rules via
+    // list_filter; clean_text joins kept lines with chr(10) (coalesce:
+    // duckdb array_to_string([]) is NULL where Spark array_join is '')
+    "t23_c4_filter" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "'document ' || CAST(doc_id AS VARCHAR) || ' begins here with several words.' || chr(10) || " +
+        "text || '.' || chr(10) || " +
+        "'enable javascript to view this content now.' || chr(10) || " +
+        "'short line' || chr(10) || " +
+        "'this line has many words but no terminal punctuation at all' || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var config = { mode: 1 };' ELSE '' END || " +
+        "chr(10) || 'the footer mentions privacy and cookies today.' AS text FROM documents), " +
+        "k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines, " +
+        "list_filter(string_split(text, chr(10)), l -> " +
+        "len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?\"]$') " +
+        "AND NOT contains(l, 'javascript')) AS kl FROM p) " +
+        "SELECT doc_id, CAST(len(lines) AS INT) AS n_lines, CAST(len(kl) AS INT) AS n_kept, " +
+        "coalesce(array_to_string(kl, chr(10)), '') AS clean_text, " +
+        "(NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum') AND len(kl) >= 3) AS kept " +
+        "FROM k"),
+
+    // r12: conditional aggregation is the ANSI twin of pivot
+    "r12_pivot" ->
+      ("SELECT source, " +
+        "CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de, " +
+        "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en, " +
+        "CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es, " +
+        "CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr, " +
+        "CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh " +
+        "FROM documents GROUP BY source"),
+
+    // x16: the rebased output recomputed by template arithmetic — only
+    // the /rooted, bare-relative and //protocol-relative refs change
+    "x16_rebase_links" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'<html><body><a href=\"https://example.org/p/' || CAST(doc_id AS VARCHAR) || '\">r</a>' || " +
+        "'<a href=\"https://example.org/dir/img/' || CAST(doc_id AS VARCHAR) || '?q=1\">s</a>' || " +
+        "'<a href=\"https://other.example/abs/' || CAST(doc_id AS VARCHAR) || '\">t</a>' || " +
+        "'<a href=\"#sec-' || CAST(doc_id AS VARCHAR) || '\">u</a>' || " +
+        "'<a href=\"https://cdn.example/lib.js\">v</a>' || " +
+        "'<img src=\"https://example.org/dir/img/' || CAST(doc_id AS VARCHAR) || '.png\"></body></html>' " +
+        "AS rewritten FROM documents"),
+
     "t9_mixture" ->
       ("SELECT doc_id, source, CAST(((doc_id & 2147483647) * 2246822519) % 1000 AS INT) AS mix_bucket, " +
         s"CAST($MixRateCase AS INT) AS rate_permille, " +

@@ -416,6 +416,60 @@ object HtmlClean {
       .toDF("doc_id", "rewritten", "bail_error")
   }
 
+  /** x16: absolute-URL rebasing of `a[href]` / `img[src]` against a base
+    * page URL — the canonical production use of the reference engine
+    * (Cloudflare Workers' HTMLRewriter attribute rewriting). RFC-3986
+    * lite resolution: scheme-qualified and fragment-only references pass
+    * through untouched (their raw tag bytes are NOT re-serialized —
+    * setAttribute is only called when the value changes),
+    * protocol-relative `//host/…` takes the base scheme, root-relative
+    * `/…` takes the base origin, everything else is joined to the base
+    * directory. Per-row map-only; the engine instance is reused across
+    * the partition (S3 arena contract).
+    */
+  def rebaseLinks(spark: SparkSession, sfDir: String,
+                  base: String = "https://example.org/dir/page.html"): DataFrame = {
+    import spark.implicits._
+    val schemeEnd = base.indexOf("://")
+    require(schemeEnd > 0, s"base must be absolute: $base")
+    val scheme = base.substring(0, schemeEnd)
+    val origin = base.substring(0, base.indexOf('/', schemeEnd + 3) match {
+      case -1 => base.length
+      case i  => i
+    })
+    val dirUrl = base.substring(0, base.lastIndexOf('/') + 1)
+    def resolve(u: String): String =
+      if (u.isEmpty || u.startsWith("#") || u.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) u
+      else if (u.startsWith("//")) scheme + ":" + u
+      else if (u.startsWith("/")) origin + u
+      else dirUrl + u
+    def rebaser(attr: String): ElementHandlers = ElementHandlers(element = el => {
+      val v = el.attr(attr)
+      if (v != null) {
+        val r = resolve(v)
+        if (r != v) el.setAttribute(attr, r)
+      }
+    })
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .mapPartitions { it =>
+        val rw = new Rewriter(Seq(
+          "a[href]" -> rebaser("href"),
+          "img[src]" -> rebaser("src")), strict = false)
+        it.map { id =>
+          val html = s"""<html><body><a href="/p/$id">r</a>""" +
+            s"""<a href="img/$id?q=1">s</a>""" +
+            s"""<a href="https://other.example/abs/$id">t</a>""" +
+            s"""<a href="#sec-$id">u</a>""" +
+            s"""<a href="//cdn.example/lib.js">v</a>""" +
+            s"""<img src="img/$id.png"></body></html>"""
+          (id, rw.rewrite(html))
+        }
+      }
+      .toDF("doc_id", "rewritten")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

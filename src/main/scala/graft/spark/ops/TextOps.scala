@@ -693,6 +693,38 @@ object TextOps {
     * deterministic, rerun-stable. Returns (doc_id, chunk_id, chunk_text,
     * n_tokens).
     */
+  /** t23: C4-style line-level cleaning (Raffel et al. 2020, §2.2 "we
+    * only retained lines that ended in a terminal punctuation mark",
+    * the javascript-line rule and the lorem-ipsum / curly-brace
+    * document rules). A line survives iff it has at least `minWords`
+    * space-separated words, ends in terminal punctuation (. ! ? ") and
+    * does not mention "javascript"; the DOCUMENT survives iff it
+    * contains no '{', no "lorem ipsum", and at least `minKeptLines`
+    * lines survived. Returns (doc_id, n_lines, n_kept, clean_text,
+    * kept) with clean_text the surviving lines re-joined by newline.
+    *
+    * Map-only (one projection, no shuffle — every rule is row-local),
+    * whole-stage-codegen-free HOF lambdas are fine here: the filter
+    * binds only its own element, no outer-subtree re-evaluation (the
+    * round-1 lambda gotcha does not apply). The oracle replays the
+    * identical rules via DuckDB list_filter.
+    */
+  def c4LineFilter(df: DataFrame, minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, l =>
+      size(split(l, " ")) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        !l.contains("javascript"))
+    val docOk = !col("text").contains("{") &&
+      !col("text").contains("lorem ipsum")
+    df.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(keptLines).as("n_kept"),
+      array_join(keptLines, "\n").as("clean_text"),
+      (docOk && size(keptLines) >= minKeptLines).as("kept"))
+  }
+
   def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
     require(maxTokens > overlap && overlap >= 0,
       s"need maxTokens > overlap >= 0; got $maxTokens/$overlap")

@@ -718,6 +718,72 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("c4 line filter: every rule bites, doc verdict, map-only plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // 3 good lines + a javascript line + a short line + a no-punct line
+      (1L, "alpha beta gamma delta epsilon.\nthis one also has five words!\n" +
+        "a third keeper line ends here.\nenable javascript to view now.\n" +
+        "short line\nno terminal punctuation on this long line"),
+      // only 2 keepers -> doc dropped by minKeptLines
+      (2L, "alpha beta gamma delta epsilon.\nthis one also has five words!"),
+      // lorem ipsum kills the doc even with 3 keepers
+      (3L, "alpha beta gamma delta epsilon.\nthis one also has five words!\n" +
+        "a third keeper line ends here.\nlorem ipsum dolor sit amet."),
+      // curly brace kills the doc
+      (4L, "alpha beta gamma delta epsilon.\nthis one also has five words!\n" +
+        "a third keeper line ends here.\nvar config = { mode: 1 };"),
+      // quote counts as terminal punctuation
+      (5L, "he said \"five words are here\"\nanother keeper sentence sits here.\n" +
+        "a third keeper line ends here.")).toDF("doc_id", "text")
+    val out = graft.spark.ops.TextOps.c4LineFilter(df)
+    val m = out.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(m(1L) == ((6, 3, "alpha beta gamma delta epsilon.\nthis one also has five words!\n" +
+      "a third keeper line ends here.", true)))
+    assert(m(2L) == ((2, 2, "alpha beta gamma delta epsilon.\nthis one also has five words!", false)))
+    // the lorem line itself passes the LINE rules (5 words, '.') but the doc dies
+    assert(m(3L)._2 == 4 && !m(3L)._4)
+    // the brace line fails the line rules (';' is not terminal punct) AND kills the doc
+    assert(m(4L)._2 == 3 && !m(4L)._4)
+    assert(m(5L) == ((3, 3, "he said \"five words are here\"\nanother keeper sentence sits here.\n" +
+      "a third keeper line ends here.", true)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("r12 pivot: literal value list, zero-filled cells, one aggregate exchange") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce}
+    val docs = Seq(
+      (1L, "en", "s0"), (2L, "en", "s0"), (3L, "de", "s0"),
+      (4L, "zh", "s1")).toDF("doc_id", "lang", "source")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = docs.groupBy(col("source")).pivot("lang", langs).count()
+    val out = p.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("s0") == ((1L, 2L, 0L, 0L, 0L)))
+    assert(out("s1") == ((0L, 0L, 0L, 0L, 1L)))
+    // fixed pivot values => exactly one shuffle (partial+final agg), no
+    // extra distinct-values job in the plan
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") >= 1)
+  }
+
+  test("x16 rebase: scheme/fragment raw passthrough, rooted/relative/protocol-relative resolve") {
+    val out = HtmlClean.rebaseLinks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val id = out.keys.head
+    assert(out(id) ==
+      s"""<html><body><a href="https://example.org/p/$id">r</a>""" +
+        s"""<a href="https://example.org/dir/img/$id?q=1">s</a>""" +
+        s"""<a href="https://other.example/abs/$id">t</a>""" +
+        s"""<a href="#sec-$id">u</a>""" +
+        s"""<a href="https://cdn.example/lib.js">v</a>""" +
+        s"""<img src="https://example.org/dir/img/$id.png"></body></html>""")
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
