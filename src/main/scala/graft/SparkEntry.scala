@@ -131,6 +131,11 @@ object SparkEntry {
     // bare-relative refs resolve; the oracle replays the template
     "x16_rebase_links" -> ((s, dir) => HtmlClean.rebaseLinks(s, dir)),
 
+    // x17: head-metadata extraction (canonical/OpenGraph/robots) — the
+    // `^=` prefix attribute operator under the oracle; %9 residue plants
+    // the noindex branch
+    "x17_head_meta" -> ((s, dir) => HtmlClean.headMeta(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -1232,6 +1237,14 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr, " +
         "CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh " +
         "FROM documents GROUP BY source"),
+
+    "x17_head_meta" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'https://example.org/c/' || CAST(doc_id AS VARCHAR) AS canonical, " +
+        "'Doc ' || CAST(doc_id AS VARCHAR) AS og_title, " +
+        "'article' AS og_type, " +
+        "CASE WHEN doc_id % 9 = 0 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots, " +
+        "doc_id % 9 != 0 AS indexable FROM documents"),
 
     // x16: the rebased output recomputed by template arithmetic — only
     // the /rooted, bare-relative and //protocol-relative refs change

@@ -470,6 +470,56 @@ object HtmlClean {
       .toDF("doc_id", "rewritten")
   }
 
+  /** x17: head-metadata extraction (canonical URL, OpenGraph properties,
+    * robots directives) — the crawl-pipeline companion to x4's link
+    * extraction, and the query that puts the `^=` prefix attribute
+    * operator under the oracle gate (`meta[property^="og:"]` must fire
+    * for og:* and stay silent for every other meta). Match-only
+    * (produceOutput=false => scan-mode eligible); per-row fields are
+    * reset before each document, so a missing tag yields null.
+    */
+  def headMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .mapPartitions { it =>
+        var canonical: String = null
+        var ogTitle: String = null
+        var ogType: String = null
+        var robots: String = null
+        val rw = new Rewriter(Seq(
+          "link[rel=\"canonical\"]" -> ElementHandlers(
+            element = el => canonical = el.attr("href")),
+          "meta[property^=\"og:\"]" -> ElementHandlers(element = el => {
+            el.attr("property") match {
+              case "og:title" => ogTitle = el.attr("content")
+              case "og:type"  => ogType = el.attr("content")
+              case _          => ()
+            }
+          }),
+          "meta[name=\"robots\"]" -> ElementHandlers(
+            element = el => robots = el.attr("content"))),
+          strict = false, produceOutput = false)
+        it.map { id =>
+          canonical = null; ogTitle = null; ogType = null; robots = null
+          val idNum = id.toLong
+          val robotsContent =
+            if (idNum % 9 == 0) "noindex,nofollow" else "index,follow"
+          val html =
+            s"""<html><head><link rel="canonical" href="https://example.org/c/$id">""" +
+              s"""<meta property="og:title" content="Doc $id">""" +
+              s"""<meta property="og:type" content="article">""" +
+              s"""<meta property="vid:tag" content="not og">""" +
+              s"""<meta name="robots" content="$robotsContent">""" +
+              s"""</head><body><p>page $id</p></body></html>"""
+          rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, canonical, ogTitle, ogType, robots, !robots.contains("noindex"))
+        }
+      }
+      .toDF("doc_id", "canonical", "og_title", "og_type", "robots", "indexable")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -784,6 +784,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"""<img src="https://example.org/dir/img/$id.png"></body></html>""")
   }
 
+  test("x17 head meta: prefix operator fires only for og:*, missing tags yield null") {
+    val out = HtmlClean.headMeta(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5)))).toMap
+    val id9 = out.keys.map(_.toLong).filter(_ % 9 == 0).head.toString
+    val idN = out.keys.map(_.toLong).filter(_ % 9 != 0).head.toString
+    assert(out(id9) == ((s"https://example.org/c/$id9", s"Doc $id9", "article",
+      "noindex,nofollow", false)))
+    assert(out(idN) == ((s"https://example.org/c/$idN", s"Doc $idN", "article",
+      "index,follow", true)))
+    // engine-level corner: a doc with NO canonical / NO og metas and a
+    // meta whose property does not start with "og:" — nothing may fire
+    var canonical: String = null
+    var og = 0
+    val rw = new graft.rewrite.Rewriter(Seq(
+      "link[rel=\"canonical\"]" -> graft.rewrite.ElementHandlers(
+        element = el => canonical = el.attr("href")),
+      "meta[property^=\"og:\"]" -> graft.rewrite.ElementHandlers(
+        element = _ => og += 1)), strict = false, produceOutput = false)
+    rw.rewriteToBytes(
+      """<html><head><meta property="vid:og" content="x"><meta property="o" content="y"></head></html>"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(canonical == null && og == 0)
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
