@@ -1723,4 +1723,64 @@ class SpecCornersSpec extends AnyFunSuite {
       "start(script||sc=false|ns=0)", "text[ScriptData](<!--x-)",
       "end(script)", "text[Data](y)", "eof")
   }
+
+  // ---- batch 21 ----
+
+  test("'<' inside an attribute NAME is a literal name character") {
+    // attribute-name state: '<' is unexpected-character-in-attribute-name
+    // (parse error) but collected like any other — sibling of the
+    // covered quote-in-name case
+    check("<a x<y=1>z", "start(a|x<y=1|sc=false|ns=0)", "text[Data](z)", "eof")
+  }
+
+  test("EOF in comment-end state emits the comment without the pending dashes") {
+    // comment-end: the two dashes were consumed but never appended to
+    // the data (they only join on '-' or anything-else continuations);
+    // EOF -> eof-in-comment, emit what was collected
+    check("<!--x--", "comment(x)", "eof")
+  }
+
+  test("EOF in comment-end-dash state emits the comment without the pending dash") {
+    check("<!--x-", "comment(x)", "eof")
+  }
+
+  test("EOF in comment-end-bang state emits the comment without '--!'") {
+    // comment-end-bang: '--!' joins the data only on a '-' or
+    // anything-else continuation; EOF emits the bare collected data
+    check("<!--x--!", "comment(x)", "eof")
+  }
+
+  test("escaped less-than followed by a non-letter stays in script text") {
+    // script-data-escaped-less-than-sign: '4' is neither '/' nor a
+    // letter -> the '<' is plain text, reconsume; '-->' then exits the
+    // escape and the end tag closes from plain script data
+    check("<script><!--<4--></script>y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<4-->)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("escaped less-than followed by another '<' re-enters the less-than path") {
+    // first '<' (after the dash-dash run) parks in escaped-less-than;
+    // the second '<' is anything-else -> reconsume, then '/' opens the
+    // appropriate end tag
+    check("<script><!--<</script>y",
+      "start(script||sc=false|ns=0)", "text[ScriptData](<!--<)",
+      "end(script)", "text[Data](y)", "eof")
+  }
+
+  test("quote right after a quoted value starts an attribute NAMED with quotes") {
+    // after-attribute-value-quoted: ''' is missing-whitespace-between-
+    // attributes (parse error), reconsume into before-attribute-name —
+    // the quotes become name characters, so the attr is named 'd'
+    // (quotes included) with no value
+    check("<a b=\"c\"'d'>x",
+      "start(a|b=c,'d'=|sc=false|ns=0)", "text[Data](x)", "eof")
+  }
+
+  test("PUBLIC keyword is matched case-insensitively") {
+    // after-doctype-name compares the six chars ASCII-case-insensitively
+    // (the batch-18 SYSTEM fold's sibling)
+    check("<!doctype html PuBlIc \"p\" \"s\">y",
+      "doctype(html|p|s|quirks=false)", "text[Data](y)", "eof")
+  }
 }
