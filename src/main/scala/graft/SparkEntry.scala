@@ -303,6 +303,12 @@ object SparkEntry {
       DedupOps.ngramJaccardPairsCapped(DedupOps.withVariants(s, dir), 0.6)),
     "d3_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashLshPairs(DedupOps.withVariants(s, dir), 0.6)),
+    // d16: MinHash estimator accuracy gate — the signature-agreement
+    // estimate must land within a 5-sigma band of the exact Jaccard for
+    // every d3 pair (t15/e2 verdict-gate style; pair list memoized,
+    // corpus never shuffled)
+    "d16_minhash_gate" -> ((s, dir) =>
+      DedupOps.minhashEstimateGate(DedupOps.withVariants(s, dir), 0.6)),
     // t22: split-leakage audit — near-dup pairs whose endpoints land in
     // DIFFERENT t4 splits (a test doc with a train near-dup = eval
     // contamination). The split is a pure function of the id
@@ -1409,6 +1415,14 @@ object SparkEntry {
     // ground truth at this threshold; recall is deterministic and checked
     // locally (banding: 32 bands x 2 rows)
     "d3_minhash_pairs" -> JaccardPairsSql,
+    // d16: exact Jaccard recomputed; the estimator verdict must be TRUE
+    // for every pair (deterministic — fixed corpus, fixed seeds)
+    "d16_minhash_gate" ->
+      (ShinglesCte +
+        " SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 4) AS jaccard, " +
+        "TRUE AS est_in_band " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"),
 
     // t22: d3's pair semantics + the t4 split arithmetic re-derived per
     // endpoint — leaky = the endpoints fall in different splits

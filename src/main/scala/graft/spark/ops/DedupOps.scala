@@ -1001,6 +1001,42 @@ object DedupOps {
                             bucketCap: Int = DefaultLshBucketCap): DataFrame =
     minhashLshPairsFromShingled(stagedShingles(spark, dir), threshold, bucketCap)
 
+  /** d16: MinHash ESTIMATOR accuracy gate — for every verified d3 pair,
+    * the signature-agreement estimate (fraction of the 64 slots where
+    * the two signatures coincide, the textbook unbiased Jaccard
+    * estimator) must land within `tol` of the exact Jaccard. The
+    * estimate is a DETERMINISTIC function of the fixed corpus and the
+    * fixed seed set, so the verdict column is oracle-gatable the same
+    * way t15 gates HLL and e2 gates ANN recall (the oracle recomputes
+    * the exact Jaccard and expects TRUE). At 64 permutations the
+    * standard error is sqrt(J(1-J)/64) <= 0.062, so `tol` = 0.3 is a
+    * ~5-sigma band: a real estimator regression (seed drift, slot
+    * corruption, band packing bug) trips it, sampling noise cannot.
+    *
+    * Plan shape: the pair list rides the session memo (shared with
+    * d6/d8/d9/d10/p1); signatures are recomputed row-locally from the
+    * memoized shingle table and joined to the BROADCAST pair list —
+    * the corpus is never shuffled.
+    */
+  def minhashEstimateGate(base: DataFrame, threshold: Double,
+                          tol: Double = 0.3): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val pairs = minhashLshPairs(base, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sigs = shingled(base).select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .map { case (id, sh) => (id, signature(sh)) }
+      .toDF("doc_id", "sig")
+    val withA = sigs.join(broadcast(pairs), col("doc_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("sig").as("sig_a"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig"), (a, b) => a === b),
+      x => x)).cast("double") / NumHashes
+    sigs.join(broadcast(withA), col("doc_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (abs(est - col("jaccard")) <= tol).as("est_in_band"))
+  }
+
   private def minhashLshPairsFromShingled(withSh: DataFrame, threshold: Double,
                                           bucketCap: Int): DataFrame = {
     val spark = withSh.sparkSession

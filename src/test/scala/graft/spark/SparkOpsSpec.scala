@@ -809,6 +809,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonical == null && og == 0)
   }
 
+  test("d16 minhash gate: estimator in band for every pair, broadcast join-back") {
+    val sp = spark; import sp.implicits._
+    val base = DedupOps.withVariants(sp, sf)
+    val out = DedupOps.minhashEstimateGate(base, 0.6)
+    val rows = out.collect()
+    val d3n = DedupOps.minhashLshPairs(base, 0.6).count()
+    assert(rows.length.toLong == d3n && rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)),
+      rows.filterNot(_.getBoolean(3)).take(5).mkString(","))
+    // identical docs: signatures coincide slot-for-slot -> est exactly 1
+    val ident = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val one = DedupOps.minhashEstimateGate(ident, 0.6).collect()
+    assert(one.length == 1 && one.head.getDouble(2) == 1.0 && one.head.getBoolean(3))
+    // the corpus-side joins must broadcast the (small) pair list
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "pair join-back must broadcast")
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
