@@ -245,6 +245,20 @@ object SparkEntry {
         lit("\nthe footer mentions privacy and cookies today."))
       TextOps.c4LineFilter(docs.select(did, multiline.as("text")))
     }),
+    // t24: Gopher duplicate-line signals — the text split into two
+    // distinct halves plus doc_id%4 copies of a boilerplate line, so
+    // docs carry 0..3 duplicates and the 0.30/0.20 thresholds bite
+    "t24_dup_lines" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val half = floor(length(col("text")) / 2).cast("int")
+      val boiler = concat(lit("\nall rights reserved to "), col("source"), lit("."))
+      val ml = concat(
+        col("text").substr(lit(1), half), lit("\n"),
+        col("text").substr(half + 1, length(col("text"))),
+        call_function("repeat", boiler, (did % 4).cast("int")))
+      TextOps.gopherDupLines(docs.select(did, ml.as("text")))
+    }),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
     // sqrt/division are correctly-rounded IEEE in both engines, so the
@@ -556,6 +570,10 @@ object SparkEntry {
     // recomputed by the oracle
     "m8_wav_decode" -> ((s, dir) =>
       MultimodalOps.wavDecode(MultimodalOps.wavAssets(s, dir))),
+    // m13: real audio downsample — stride-2 decimation re-encoded at
+    // 8 kHz and RE-DECODED; probes recomputed from the sample formula
+    "m13_wav_downsample" -> ((s, dir) =>
+      MultimodalOps.wavDownsample(MultimodalOps.wavAssets(s, dir))),
     // m10: header-only WAV probe (the m9 pattern for audio) — format and
     // frame count from codegen'd byte peeks, no decoder touched
     "m10_wav_header" -> ((s, dir) =>
@@ -623,6 +641,16 @@ object SparkEntry {
       val p = docs.groupBy(col("source")).pivot("lang", langs).count()
       p.select(col("source") +:
         langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+    }),
+    // r13: CUBE — all four grouping combinations in one pass (ROLLUP's
+    // sibling, r6); integer-cents sums, grouping() indicators
+    "r13_cube" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
     }),
     "r7_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (sort-based) per group
@@ -1234,6 +1262,33 @@ object SparkEntry {
         "(NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum') AND len(kl) >= 3) AS kept " +
         "FROM k"),
 
+    "r13_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2 " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+
+    // t24 replays the two-halves + repeated-boilerplate construction;
+    // the dup set is computed the DIRECT quadratic way (count per line)
+    // — provably equal to the Spark side's sorted-run fold
+    "t24_dup_lines" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "substr(text, 1, len(text)//2) || chr(10) || substr(text, len(text)//2 + 1) || " +
+        "repeat(chr(10) || 'all rights reserved to ' || source || '.', CAST(doc_id % 4 AS INT)) AS text " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM p), " +
+        "k AS (SELECT doc_id, lines, " +
+        "list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1) AS dl FROM s), " +
+        "c AS (SELECT doc_id, len(lines) AS n_lines, len(dl) AS n_dup, " +
+        "coalesce(list_sum(list_transform(lines, l -> len(l))), 0) AS tot_c, " +
+        "coalesce(list_sum(list_transform(dl, l -> len(l))), 0) AS dup_c FROM k), " +
+        "f AS (SELECT doc_id, n_lines, n_dup, " +
+        "CASE WHEN n_lines > 0 THEN round(CAST(n_dup AS DOUBLE) / n_lines, 4) ELSE 0.0 END AS dlf, " +
+        "CASE WHEN tot_c > 0 THEN round(CAST(dup_c AS DOUBLE) / tot_c, 4) ELSE 0.0 END AS dcf FROM c) " +
+        "SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(n_dup AS INT) AS n_dup_lines, " +
+        "dlf AS dup_line_frac, dcf AS dup_char_frac, " +
+        "(dlf <= 0.30 AND dcf <= 0.20) AS kept FROM f"),
+
     // r12: conditional aggregation is the ANSI twin of pivot
     "r12_pivot" ->
       ("SELECT source, " +
@@ -1571,6 +1626,14 @@ object SparkEntry {
         "CAST((vec_id * 13) % 65536 - 32768 AS INT) AS s_first, " +
         "CAST((vec_id * 13 + (64 + vec_id % 100 - 1) * 7) % 65536 - 32768 AS INT) AS s_last " +
         "FROM embeddings"),
+    // m13: stride-2 decimation — output frame j carries input sample 2j;
+    // n_out = ceil(n/2), last output probes input index 2*(n_out-1)
+    "m13_wav_downsample" ->
+      ("SELECT vec_id, CAST(n AS INT) AS n_in, CAST((n + 1) // 2 AS INT) AS n_out, " +
+        "8000 AS rate_out, " +
+        "CAST((vec_id * 13) % 65536 - 32768 AS INT) AS s0, " +
+        "CAST((vec_id * 13 + 2 * ((n + 1) // 2 - 1) * 7) % 65536 - 32768 AS INT) AS s_last " +
+        "FROM (SELECT vec_id, 64 + vec_id % 100 AS n FROM embeddings)"),
     "m5_multimodal_features" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +

@@ -504,6 +504,57 @@ object MultimodalOps {
       .toDF("vec_id", "sample_rate", "channels", "bits", "n_frames", "s_first", "s_last")
   }
 
+  /** m13: REAL audio downsample — the m3/m7 transform pattern on the
+    * real codec: decode the 16 kHz WAV, keep every SECOND frame
+    * (stride-2 decimation, no filter — deterministic integer semantics),
+    * re-encode at 8 kHz through javax.sound, then RE-DECODE the result
+    * and emit probes the oracle recomputes from [[wavSample]]'s formula:
+    * output frame j carries input sample 2j, so s0 = sample(id, 0) and
+    * s_last = sample(id, 2*(ceil(n/2)-1)). Per-row map-only; the full
+    * encode->decimate->re-encode->re-decode chain is under the gate, so
+    * a header-arithmetic or byte-order bug anywhere in the chain
+    * mismatches.
+    */
+  def wavDownsample(wavDf: DataFrame): DataFrame = {
+    val spark = wavDf.sparkSession
+    import spark.implicits._
+    wavDf.select(col("vec_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = in.readAllBytes()
+          val n = in.getFrameLength.toInt
+          val nOut = (n + 1) / 2
+          val outPcm = new Array[Byte](nOut * 2)
+          var j = 0
+          while (j < nOut) {
+            outPcm(j * 2) = pcm(4 * j)
+            outPcm(j * 2 + 1) = pcm(4 * j + 1)
+            j += 1
+          }
+          val fmt8k = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val bos = new java.io.ByteArrayOutputStream(44 + outPcm.length)
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(outPcm), fmt8k, nOut.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          // re-decode the re-encoded container: the probes must survive
+          // the full roundtrip, not just the in-memory decimation
+          val in2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val pcm2 = in2.readAllBytes()
+          val n2 = in2.getFrameLength.toInt
+          def sample(k: Int): Int =
+            ((pcm2(k * 2) & 0xff) | (pcm2(k * 2 + 1).toInt << 8))
+          (id, n, n2, in2.getFormat.getSampleRate.toInt,
+            sample(0), sample(n2 - 1))
+        }
+      }
+      .toDF("vec_id", "n_in", "n_out", "rate_out", "s0", "s_last")
+  }
+
   /** Feature extraction over the decoded payload: per-asset mean and L2
     * norm of the float components, accumulated sequentially in double
     * precision (bit-compatible with DuckDB's list_reduce /

@@ -725,6 +725,51 @@ object TextOps {
       (docOk && size(keptLines) >= minKeptLines).as("kept"))
   }
 
+  /** t24: Gopher duplicate-LINE quality signals (Rae et al. 2021 table
+    * A1 — the line-level family next to t19's n-gram shares): the
+    * fraction of lines that are duplicates of another line in the same
+    * document, and the fraction of characters contained in such lines
+    * (ALL copies count — a 3x-repeated boilerplate line contributes all
+    * three). Drop thresholds follow the paper: dup_line_frac > 0.30 or
+    * dup_char_frac > 0.20. Entirely row-local (no explode, no shuffle);
+    * the per-line occurrence count uses the same quadratic-in-lines HOF
+    * shape as t3's top-token count — lines per document are few, and
+    * nothing leaves the row, so this is map-only at any corpus scale.
+    */
+  def gopherDupLines(df: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    // one fold over the SORTED line array (the t19/topTokenShare shape:
+    // the lambda touches only its own state + element, so no outer
+    // Column subtree is re-evaluated per element): a line in an
+    // equal-run of length >= 2 is a duplicate; when a run REACHES 2 the
+    // first copy is credited retroactively
+    val folded = aggregate(array_sort(lines),
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("dup_n"), lit(0).as("dup_c"), lit(0).as("tot_c")),
+      (st, l) => {
+        val run = when(l === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        val add = when(run === 2, lit(2)).when(run > 2, lit(1)).otherwise(lit(0))
+        struct(l.as("prev"), run.as("run"),
+          (st.getField("dup_n") + add).as("dup_n"),
+          (st.getField("dup_c") + add * length(l)).as("dup_c"),
+          (st.getField("tot_c") + length(l)).as("tot_c"))
+      })
+    val nL = size(lines)
+    val dupN = folded.getField("dup_n")
+    val dupFrac = when(nL > 0,
+      round(dupN.cast("double") / nL, 4)).otherwise(0.0)
+    val charFrac = when(folded.getField("tot_c") > 0,
+      round(folded.getField("dup_c").cast("double") / folded.getField("tot_c"), 4))
+      .otherwise(0.0)
+    df.select(col("doc_id"),
+      nL.as("n_lines"),
+      dupN.as("n_dup_lines"),
+      dupFrac.as("dup_line_frac"),
+      charFrac.as("dup_char_frac"),
+      (dupFrac <= 0.30 && charFrac <= 0.20).as("kept"))
+  }
+
   def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
     require(maxTokens > overlap && overlap >= 0,
       s"need maxTokens > overlap >= 0; got $maxTokens/$overlap")

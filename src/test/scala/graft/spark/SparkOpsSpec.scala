@@ -829,6 +829,43 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), "pair join-back must broadcast")
   }
 
+  test("t24 gopher dup lines: sorted-run fold equals hand counts, map-only") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "a\nb\nc"),                 // no dups
+      (2L, "xx\nxx\nyy"),              // one run of 2: 2 dup lines, 4 of 6 chars
+      (3L, "aaaa\nb\naaaa\nb\nc"),     // two runs: 4 dup lines, 10 of 11 chars
+      (4L, "solo"),                     // single line
+      (5L, "")).toDF("doc_id", "text") // empty text -> one empty line
+    val out = graft.spark.ops.TextOps.gopherDupLines(df)
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(m(1L) == ((3, 0, 0.0, 0.0, true)))
+    assert(m(2L) == ((3, 2, 0.6667, 0.6667, false)))
+    assert(m(3L) == ((5, 4, 0.8, 0.9091, false)))
+    assert(m(4L) == ((1, 0, 0.0, 0.0, true)))
+    assert(m(5L) == ((1, 0, 0.0, 0.0, true)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("m13 wav downsample: full re-encode roundtrip matches the sample formula") {
+    val sp = spark; import sp.implicits._
+    // n = 64 + id%100: id=1 -> 65 (odd, last output probes input 64),
+    // id=2 -> 66 (even, probes 64 too), id=37 -> 101 (odd, probes 100)
+    val ids = Seq(1L, 2L, 37L, 150L)
+    val df = ids.map(id => (id, MultimodalOps.encodeWav(id))).toDF("vec_id", "wav")
+    val rows = MultimodalOps.wavDownsample(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    for (id <- ids) {
+      val n = 64 + (id % 100).toInt
+      val nOut = (n + 1) / 2
+      val expected = ((n, nOut, 8000,
+        MultimodalOps.wavSample(id, 0), MultimodalOps.wavSample(id, 2 * (nOut - 1))))
+      assert(rows(id) == expected, s"id=$id got ${rows(id)} want $expected")
+    }
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
