@@ -136,6 +136,10 @@ object SparkEntry {
     // the noindex branch
     "x17_head_meta" -> ((s, dir) => HtmlClean.headMeta(s, dir)),
 
+    // x18: structured table extraction — tr row frames + th/td cell
+    // capture; the decoy nav list and boilerplate must contribute nothing
+    "x18_table_extract" -> ((s, dir) => HtmlClean.tableExtract(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -258,6 +262,27 @@ object SparkEntry {
         col("text").substr(half + 1, length(col("text"))),
         call_function("repeat", boiler, (did % 4).cast("int")))
       TextOps.gopherDupLines(docs.select(did, ml.as("text")))
+    }),
+    // t25: Gopher document-level quality battery — doc_id%8 selects a
+    // pollution that trips exactly one rule family (ellipsis lines,
+    // bullet lines, '#' symbols, numeric words, too short, too long,
+    // over-long words) against a clean residue
+    "t25_gopher_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val r = (did % 8).cast("int")
+      val ell = "\nto be continued soon..."
+      val bl = "- item line with the words"
+      val ml = when(r === 1, concat(col("text"), lit(ell + ell + ell)))
+        .when(r === 2, concat(repeat(lit(bl + "\n"), 9), lit(bl)))
+        .when(r === 3, concat(col("text"), repeat(lit(" #"), 30)))
+        .when(r === 4, concat(col("text"), repeat(lit(" 12345"), 30)))
+        .when(r === 5, lit("tiny doc only"))
+        .when(r === 6, concat(col("text"), repeat(lit(" filler"), 100)))
+        .when(r === 7, concat(lit("the that"),
+          repeat(lit(" pneumonoultramicroscopic"), 19)))
+        .otherwise(col("text"))
+      TextOps.gopherQualityRules(docs.select(did, ml.as("text")))
     }),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
@@ -574,6 +599,10 @@ object SparkEntry {
     // 8 kHz and RE-DECODED; probes recomputed from the sample formula
     "m13_wav_downsample" -> ((s, dir) =>
       MultimodalOps.wavDownsample(MultimodalOps.wavAssets(s, dir))),
+    // m14: header-only GIF probe — logical-screen-descriptor byte peeks,
+    // dims recomputed by the oracle from the encoder formulas
+    "m14_gif_header" -> ((s, dir) =>
+      MultimodalOps.gifHeaderProbe(MultimodalOps.gifAssets(s, dir))),
     // m10: header-only WAV probe (the m9 pattern for audio) — format and
     // frame count from codegen'd byte peeks, no decoder touched
     "m10_wav_header" -> ((s, dir) =>
@@ -1289,6 +1318,42 @@ object SparkEntry {
         "dlf AS dup_line_frac, dcf AS dup_char_frac, " +
         "(dlf <= 0.30 AND dcf <= 0.20) AS kept FROM f"),
 
+    // t25 replays the doc_id%8 pollution table, then recomputes every
+    // Gopher signal with DuckDB list functions over the same word/line
+    // splits; kept compares the same ROUNDED ratios
+    "t25_gopher_quality" ->
+      ("WITH p AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INT) " +
+        "WHEN 1 THEN text || repeat(chr(10) || 'to be continued soon...', 3) " +
+        "WHEN 2 THEN repeat('- item line with the words' || chr(10), 9) || '- item line with the words' " +
+        "WHEN 3 THEN text || repeat(' #', 30) " +
+        "WHEN 4 THEN text || repeat(' 12345', 30) " +
+        "WHEN 5 THEN 'tiny doc only' " +
+        "WHEN 6 THEN text || repeat(' filler', 100) " +
+        "WHEN 7 THEN 'the that' || repeat(' pneumonoultramicroscopic', 19) " +
+        "ELSE text END AS text FROM documents), " +
+        "w AS (SELECT doc_id, regexp_split_to_array(text, '[ \\n]+') AS ws, " +
+        "string_split(text, chr(10)) AS ls FROM p), " +
+        "c AS (SELECT doc_id, len(ws) AS nw, len(ls) AS nl, " +
+        "list_sum(list_transform(ws, x -> len(x))) AS wc, " +
+        "len(list_filter(ws, x -> x = '#' OR contains(x, '...'))) AS nsym, " +
+        "len(list_filter(ls, l -> starts_with(l, '- '))) AS nbul, " +
+        "len(list_filter(ls, l -> ends_with(l, '...'))) AS nell, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha, " +
+        "len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS nstop " +
+        "FROM w), " +
+        "f AS (SELECT doc_id, CAST(nw AS INT) AS n_words, " +
+        "round(CAST(wc AS DOUBLE) / nw, 4) AS mean_wlen, " +
+        "round(CAST(nsym AS DOUBLE) / nw, 4) AS sym_frac, " +
+        "round(CAST(nbul AS DOUBLE) / nl, 4) AS bullet_frac, " +
+        "round(CAST(nell AS DOUBLE) / nl, 4) AS ellipsis_frac, " +
+        "round(CAST(nalpha AS DOUBLE) / nw, 4) AS alpha_frac, " +
+        "CAST(nstop AS INT) AS n_stop FROM c) " +
+        "SELECT doc_id, n_words, mean_wlen, sym_frac, bullet_frac, " +
+        "ellipsis_frac, alpha_frac, n_stop, " +
+        "(n_words BETWEEN 15 AND 90 AND mean_wlen >= 3.0 AND mean_wlen <= 10.0 " +
+        "AND sym_frac <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 " +
+        "AND alpha_frac >= 0.8 AND n_stop >= 2) AS kept FROM f"),
+
     // r12: conditional aggregation is the ANSI twin of pivot
     "r12_pivot" ->
       ("SELECT source, " +
@@ -1306,6 +1371,14 @@ object SparkEntry {
         "'article' AS og_type, " +
         "CASE WHEN doc_id % 9 = 0 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots, " +
         "doc_id % 9 != 0 AS indexable FROM documents"),
+
+    // x18: every cell recomputed from the planted-table template
+    "x18_table_extract" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, r AS row_idx, " +
+        "CASE r WHEN 0 THEN 'key|value' " +
+        "WHEN 1 THEN 'name|doc ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'score|' || CAST((doc_id * 7) % 100 AS VARCHAR) END AS cells " +
+        "FROM documents, (SELECT CAST(unnest([0, 1, 2]) AS INT) AS r)"),
 
     // x16: the rebased output recomputed by template arithmetic — only
     // the /rooted, bare-relative and //protocol-relative refs change
@@ -1634,6 +1707,12 @@ object SparkEntry {
         "CAST((vec_id * 13) % 65536 - 32768 AS INT) AS s0, " +
         "CAST((vec_id * 13 + 2 * ((n + 1) // 2 - 1) * 7) % 65536 - 32768 AS INT) AS s_last " +
         "FROM (SELECT vec_id, 64 + vec_id % 100 AS n FROM embeddings)"),
+    // m14: logical-screen dims from the m12 encoder formulas; the JDK's
+    // GIF writer emits an 89a signature and a 256-entry global table for
+    // the indexed-gray palette
+    "m14_gif_header" ->
+      ("SELECT vec_id, TRUE AS is_gif, CAST(16 + (vec_id % 5) * 8 AS INT) AS width, " +
+        "CAST(12 + (label % 4) * 6 AS INT) AS height, 256 AS gct_size FROM embeddings"),
     "m5_multimodal_features" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +

@@ -520,6 +520,63 @@ object HtmlClean {
       .toDF("doc_id", "canonical", "og_title", "og_type", "robots", "indexable")
   }
 
+  /** x18: structured TABLE extraction — the HTML-tables-to-rows step of
+    * a training-data pipeline (tables feed tabular-QA / markdown
+    * conversion). Row frames via `table tr` element handlers whose
+    * `onEndTag` closes the row; cell text is captured by `table th` /
+    * `table td` handlers scoped between the cell's start and end tag
+    * (the streaming engine builds no tree, so the template closes every
+    * cell explicitly — the reference's contract is identical). Emits one
+    * output row per `<tr>` with the cells pipe-joined; surrounding
+    * boilerplate paragraphs and a decoy `<ul>` nav must contribute
+    * nothing. Map-only; the oracle recomputes every cell from the
+    * template arithmetic.
+    */
+  def tableExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .mapPartitions { it =>
+        val rows = new scala.collection.mutable.ArrayBuffer[String]()
+        var cells: scala.collection.mutable.ArrayBuffer[String] = null
+        var cell: java.lang.StringBuilder = null
+        val cellHandlers = ElementHandlers(
+          element = el => {
+            cell = new java.lang.StringBuilder
+            el.onEndTag(_ => {
+              if (cells != null && cell != null) cells += cell.toString
+              cell = null
+            })
+          },
+          text = tc => if (cell != null) cell.append(tc.text))
+        val rw = new Rewriter(Seq(
+          "table tr" -> ElementHandlers(element = el => {
+            cells = new scala.collection.mutable.ArrayBuffer[String]()
+            el.onEndTag(_ => {
+              rows += cells.mkString("|")
+              cells = null
+            })
+          }),
+          "table th" -> cellHandlers,
+          "table td" -> cellHandlers),
+          strict = false, produceOutput = false)
+        it.flatMap { id =>
+          rows.clear(); cells = null; cell = null
+          val idNum = id.toLong
+          val html =
+            s"""<html><body><p>intro $id</p><ul><li>nav one</li><li>nav two</li></ul>""" +
+              s"""<table class="data"><tr><th>key</th><th>value</th></tr>""" +
+              s"""<tr><td>name</td><td>doc $id</td></tr>""" +
+              s"""<tr><td>score</td><td>${idNum * 7 % 100}</td></tr></table>""" +
+              s"""<p>footer $id</p></body></html>"""
+          rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          rows.toArray.zipWithIndex.map { case (r, i) => (id, i, r) }
+        }
+      }
+      .toDF("doc_id", "row_idx", "cells")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -405,6 +405,30 @@ object MultimodalOps {
         "n_sampled", "px_first", "px_last")
   }
 
+  /** m14: header-only GIF probe — completes the fixed-offset probe
+    * family (m9 PNG, m10 WAV; m11 walks JPEG's variable markers). The
+    * logical screen descriptor sits at a FIXED offset: signature bytes
+    * 1-6 ("GIF89a" — ImageIO writes the 89a version), canvas width LE16
+    * at byte 7, height at 9, packed field at 11 (bit 7 = global color
+    * table present, low 3 bits n give a 2^(n+1)-entry table). Pure
+    * codegen'd byte peeks — projection-only, so dimension filtering at
+    * 100 TB never feeds a container through a decoder.
+    */
+  def gifHeaderProbe(gifDf: DataFrame): DataFrame = {
+    def u8(off1: Int) =
+      conv(hex(substring(col("gif"), off1, 1)), 16, 10).cast("long")
+    def le16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
+    val packed = u8(11)
+    gifDf.select(col("vec_id"),
+      (hex(substring(col("gif"), 1, 6)) === lit("474946383961")) // "GIF89a"
+        .as("is_gif"),
+      le16(7).cast("int").as("width"),
+      le16(9).cast("int").as("height"),
+      when(packed >= 128, // GCT flag is bit 7
+        call_function("shiftleft", lit(2), (packed % 8).cast("int")))
+        .otherwise(lit(0)).cast("int").as("gct_size"))
+  }
+
   // ---- real JPEG branch: SOF marker-walk probe ----
 
   /** Encode one REAL JPEG via javax.imageio (same dimension formulas as

@@ -770,6 +770,45 @@ object TextOps {
       (dupFrac <= 0.30 && charFrac <= 0.20).as("kept"))
   }
 
+  /** t25: the Gopher document-level quality battery (Rae et al. 2021
+    * table A1 — the non-repetition rules; t19/t24 cover the repetition
+    * family): word-count band, mean-word-length band [3,10], symbol-word
+    * ratio <= 0.1 ('#' words or '...'-bearing words), bullet-started
+    * line fraction <= 0.9, ellipsis-ended line fraction <= 0.3,
+    * alphabetic-word fraction >= 0.8, and >= 2 hits from the paper's
+    * 8-stopword list. Every signal is row-local (word/line arrays +
+    * HOF filters, no explode, no shuffle); `kept` compares the ROUNDED
+    * ratios so the oracle's replay agrees at rule boundaries.
+    */
+  def gopherQualityRules(df: DataFrame,
+      minWords: Int = 15, maxWords: Int = 90): DataFrame = {
+    val words = split(col("text"), "[ \n]+")
+    val lines = split(col("text"), "\n")
+    val nW = size(words)
+    val nL = size(lines)
+    val wChars = aggregate(words, lit(0), (a, w) => a + length(w))
+    val nSym = size(filter(words, w => w === "#" || w.contains("...")))
+    val nBullet = size(filter(lines, l => l.startsWith("- ")))
+    val nEll = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val nStop = size(filter(words, w =>
+      w.isin("the", "be", "to", "of", "and", "that", "have", "with")))
+    def frac(n: Column, d: Column) = round(n.cast("double") / d, 4)
+    val meanW = frac(wChars, nW)
+    val symF = frac(nSym, nW)
+    val bulF = frac(nBullet, nL)
+    val ellF = frac(nEll, nL)
+    val alpF = frac(nAlpha, nW)
+    df.select(col("doc_id"),
+      nW.as("n_words"), meanW.as("mean_wlen"), symF.as("sym_frac"),
+      bulF.as("bullet_frac"), ellF.as("ellipsis_frac"),
+      alpF.as("alpha_frac"), nStop.as("n_stop"),
+      (nW >= minWords && nW <= maxWords &&
+        meanW >= 3.0 && meanW <= 10.0 && symF <= 0.1 &&
+        bulF <= 0.9 && ellF <= 0.3 && alpF >= 0.8 && nStop >= 2)
+        .as("kept"))
+  }
+
   def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
     require(maxTokens > overlap && overlap >= 0,
       s"need maxTokens > overlap >= 0; got $maxTokens/$overlap")

@@ -470,7 +470,10 @@ class SpecCornersSpec extends AnyFunSuite {
       // batch 16
       "<a b=\"c\"d=e>x", "<a b=\"c\"/>x",
       "<script><!--<a>x-->y</script>z",
-      "<!doctype html public \"p\" x>y", "<a =b>x", "<svg></svg/>x")
+      "<!doctype html public \"p\" x>y", "<a =b>x", "<svg></svg/>x",
+      // batch 22
+      "<a a\"b=c>z", "<a b==c>z", "<!--x<!--y-->z", "x</ b>y",
+      "<svg><![CDATA[a]x]]></svg>")
     val rw = new graft.rewrite.Rewriter(Nil, strict = false)
     inputs.foreach { in =>
       assert(rw.rewrite(in) == in, s"passthrough mismatch for: $in")
@@ -1782,5 +1785,53 @@ class SpecCornersSpec extends AnyFunSuite {
     // (the batch-18 SYSTEM fold's sibling)
     check("<!doctype html PuBlIc \"p\" \"s\">y",
       "doctype(html|p|s|quirks=false)", "text[Data](y)", "eof")
+  }
+
+  // ---- batch 22: attribute-name quote append, first-char '=' value,
+  // nested comment open, data-state '</ ' bogus comment, CDATA single
+  // bracket ----
+
+  test("a double quote INSIDE an attribute name is a name character") {
+    // attribute name state: '\"' is unexpected-character-in-attribute-
+    // name (parse error) but appends — distinct from batch 21's
+    // after-attribute-value-quoted case, which STARTS a new quote-named
+    // attribute
+    check("<a a\"b=c>z", "start(a|a\"b=c|sc=false|ns=0)",
+      "text[Data](z)", "eof")
+  }
+
+  test("'=' as the FIRST unquoted value character is part of the value") {
+    // before attribute value has no '=' carve-out: anything-else
+    // reconsumes into attribute-value-unquoted, so the value is '=c'
+    // (batch-1's '<a a=b=c>' covers '=' MID-value; this is the
+    // error-path first character)
+    check("<a b==c>z", "start(a|b==c|sc=false|ns=0)",
+      "text[Data](z)", "eof")
+  }
+
+  test("a nested comment open collects as comment data") {
+    // comment state: '<' and '!' append via the less-than-sign states;
+    // the two dashes route through bang-dash-dash, whose anything-else
+    // branch reconsumes in comment END — whose anything-else appends the
+    // swallowed '--' back and returns to comment data. Net: '<!--y' is
+    // all data (nested-comment parse error, nothing re-opens)
+    check("<!--x<!--y-->z", "comment(x<!--y)", "text[Data](z)", "eof")
+  }
+
+  test("'</ ' in DATA starts a bogus comment (unlike rcdata, where it is text)") {
+    // end tag open: a non-letter that is not '>' is invalid-first-
+    // character-of-tag-name -> bogus comment state with the char
+    // reconsumed, so everything to '>' becomes comment data ' b'
+    check("x</ b>y", "text[Data](x)", "comment( b)",
+      "text[Data](y)", "eof")
+  }
+
+  test("a single ']' inside CDATA stays in the section") {
+    // cdata-section-bracket: anything-else emits the ']' and reconsumes
+    // in the section (the batch-1 ']]b' case covers bracket->END->
+    // anything; this is bracket->anything directly)
+    check("<svg><![CDATA[a]x]]></svg>",
+      "start(svg||sc=false|ns=1)", "raw(<![CDATA[)",
+      "text[CDataSection](a]x)", "raw(]]>)", "end(svg)", "eof")
   }
 }

@@ -866,6 +866,60 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t25 gopher quality battery: each pollution trips its rule, hand counts") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      // clean: 16 words incl two 'the', all alpha, mean in band
+      (8L, "the quick brown fox jumps over the lazy dog near some tall green trees every day"),
+      (3L, "one two three # # #"),                 // 3/6 symbol words
+      (2L, "- a list\n- of items\nplain line"),    // 2/3 bullets (passes 0.9)
+      (1L, "read on...\nmore soon...\nthe end...") // 3/3 ellipsis ends
+    ).toDF("doc_id", "text")
+    val m = graft.spark.ops.TextOps.gopherQualityRules(df, minWords = 3, maxWords = 90)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getInt(7), r.getBoolean(8)))).toMap
+    assert(m(8L) == ((16, 4.0625, 0.0, 0.0, 0.0, 1.0, 2, true)))
+    assert(m(3L)._3 == 0.5 && !m(3L)._8)            // sym_frac trips
+    assert(m(2L)._4 == 0.6667 && m(2L)._7 == 1)     // bullets under 0.9; 'of' is the one stopword
+    assert(m(1L)._5 == 1.0 && !m(1L)._8)            // ellipsis trips
+    val plan = graft.spark.ops.TextOps.gopherQualityRules(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "t25 must be map-only")
+  }
+
+  test("x18 table extract: 3 rows per doc, template cells, decoys contribute nothing") {
+    val out = graft.spark.HtmlClean.tableExtract(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.size == 3 * nDocs, s"want 3 rows/doc, got ${out.size} for $nDocs docs")
+    for (id <- Seq(0L, 7L, 123L)) {
+      assert(out((id.toString, 0)) == "key|value")
+      assert(out((id.toString, 1)) == s"name|doc $id")
+      assert(out((id.toString, 2)) == s"score|${id * 7 % 100}")
+    }
+  }
+
+  test("m14 gif header probe: byte peeks equal a real decode, projection-only plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
+      (id, MultimodalOps.encodeGif(id, label))
+    }.toDF("vec_id", "gif")
+    val rows = MultimodalOps.gifHeaderProbe(df).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    for ((id, label) <- Seq((5L, 3), (6L, 0), (13L, 4))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodeGif(id, label)))
+      assert(rows(id) == ((true, img.getWidth, img.getHeight, 256)), rows(id).toString)
+    }
+    val bad = Seq((99L, "definitely not a gif payload".getBytes("UTF-8")))
+      .toDF("vec_id", "gif")
+    assert(!MultimodalOps.gifHeaderProbe(bad).collect()(0).getBoolean(1))
+    val plan = MultimodalOps.gifHeaderProbe(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
