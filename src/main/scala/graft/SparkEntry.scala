@@ -140,6 +140,10 @@ object SparkEntry {
     // capture; the decoy nav list and boilerplate must contribute nothing
     "x18_table_extract" -> ((s, dir) => HtmlClean.tableExtract(s, dir)),
 
+    // x19: HTML -> Markdown — one in-order streaming pass, markers
+    // injected around a single body-text capture
+    "x19_markdown" -> ((s, dir) => HtmlClean.markdownConvert(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -248,6 +252,40 @@ object SparkEntry {
         when(did % 13 === 0, lit("\nvar config = { mode: 1 };")).otherwise(lit("")),
         lit("\nthe footer mentions privacy and cookies today."))
       TextOps.c4LineFilter(docs.select(did, multiline.as("text")))
+    }),
+    // p5: composed QUALITY FUNNEL — C4 line cleaning -> the Gopher
+    // document battery AND dup-line signals over the CLEANED text, all
+    // via the column-level signal builders so the whole three-stage
+    // pipeline is ONE map-only projection (no join-back per stage).
+    // Construction: t23's lines + doc_id%4 surviving boilerplate copies,
+    // so C4 kills (%11 lorem), the battery kills (word count > 90 on
+    // long docs) and dup-lines kill (%4 >= 2) each bite independently
+    "p5_quality_funnel" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val boiler = concat(lit("all rights reserved to "), col("source"), lit(" today.\n"))
+      val ml = concat(
+        lit("document "), did.cast("string"), lit(" begins here with several words.\n"),
+        col("text"), lit(".\n"),
+        lit("enable javascript to view this content now.\n"),
+        lit("short line\n"),
+        when(did % 11 === 0, lit("lorem ipsum dolor sit amet.\n")).otherwise(lit("")),
+        call_function("repeat", boiler, (did % 4).cast("int")),
+        lit("the footer mentions privacy and cookies today."))
+      val c4 = TextOps.c4Signals(ml)
+      val step1 = docs.select(did,
+        c4.getField("clean_text").as("clean_text"),
+        c4.getField("n_kept").as("n_kept"),
+        c4.getField("kept").as("kept_c4"))
+      val gq = TextOps.gopherQualitySignals(col("clean_text"))
+      val dl = TextOps.dupLineSignals(col("clean_text"))
+      step1.select(col("doc_id"), col("n_kept"),
+        gq.getField("n_words").as("n_words"),
+        dl.getField("dup_line_frac").as("dup_line_frac"),
+        col("kept_c4"),
+        gq.getField("kept").as("kept_gq"),
+        dl.getField("kept").as("kept_dl"),
+        (col("kept_c4") && gq.getField("kept") && dl.getField("kept")).as("kept"))
     }),
     // t24: Gopher duplicate-line signals — the text split into two
     // distinct halves plus doc_id%4 copies of a boilerplate line, so
@@ -676,6 +714,20 @@ object SparkEntry {
     "r13_cube" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
+    }),
+    // r14: explicit GROUPING SETS — the general form of r6/r13; the set
+    // list skips the (linestatus-only) level so it is neither rollup nor
+    // cube, still one partial-agg pass with grouping() discriminators
+    "r14_grouping_sets" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
           grouping(col("l_returnflag")).cast("int").as("g1"),
@@ -1297,6 +1349,12 @@ object SparkEntry {
         "CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2 " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
 
+    "r14_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, " +
+        "CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2 " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"),
+
     // t24 replays the two-halves + repeated-boilerplate construction;
     // the dup set is computed the DIRECT quadratic way (count per line)
     // — provably equal to the Spark side's sorted-run fold
@@ -1317,6 +1375,52 @@ object SparkEntry {
         "SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(n_dup AS INT) AS n_dup_lines, " +
         "dlf AS dup_line_frac, dcf AS dup_char_frac, " +
         "(dlf <= 0.30 AND dcf <= 0.20) AS kept FROM f"),
+
+    // p5: the construction, the C4 rules, the full Gopher battery and
+    // the quadratic dup-line count — each stage's SQL reused verbatim
+    // from the standalone t23/t25/t24 oracles, chained over clean_text
+    "p5_quality_funnel" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "'document ' || CAST(doc_id AS VARCHAR) || ' begins here with several words.' || chr(10) || " +
+        "text || '.' || chr(10) || " +
+        "'enable javascript to view this content now.' || chr(10) || " +
+        "'short line' || chr(10) || " +
+        "CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END || " +
+        "repeat('all rights reserved to ' || source || ' today.' || chr(10), CAST(doc_id % 4 AS INT)) || " +
+        "'the footer mentions privacy and cookies today.' AS text FROM documents), " +
+        "k AS (SELECT doc_id, text, " +
+        "list_filter(string_split(text, chr(10)), l -> " +
+        "len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?\"]$') " +
+        "AND NOT contains(l, 'javascript')) AS kl FROM p), " +
+        "c AS (SELECT doc_id, CAST(len(kl) AS INT) AS n_kept, " +
+        "coalesce(array_to_string(kl, chr(10)), '') AS clean, " +
+        "(NOT contains(text, '{') AND NOT contains(text, 'lorem ipsum') AND len(kl) >= 3) AS kept_c4 FROM k), " +
+        "g AS (SELECT doc_id, n_kept, clean, kept_c4, " +
+        "regexp_split_to_array(clean, '[ \\n]+') AS ws, " +
+        "string_split(clean, chr(10)) AS ls FROM c), " +
+        "g2 AS (SELECT doc_id, n_kept, kept_c4, ls, len(ws) AS nw, " +
+        "list_sum(list_transform(ws, x -> len(x))) AS wc, " +
+        "len(list_filter(ws, x -> x = '#' OR contains(x, '...'))) AS nsym, " +
+        "len(list_filter(ls, l -> starts_with(l, '- '))) AS nbul, " +
+        "len(list_filter(ls, l -> ends_with(l, '...'))) AS nell, " +
+        "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha, " +
+        "len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS nstop, " +
+        "len(ls) AS nl FROM g), " +
+        "g3 AS (SELECT doc_id, n_kept, kept_c4, ls, CAST(nw AS INT) AS n_words, " +
+        "(nw BETWEEN 15 AND 90 AND round(CAST(wc AS DOUBLE)/nw, 4) >= 3.0 AND round(CAST(wc AS DOUBLE)/nw, 4) <= 10.0 " +
+        "AND round(CAST(nsym AS DOUBLE)/nw, 4) <= 0.1 AND round(CAST(nbul AS DOUBLE)/nl, 4) <= 0.9 " +
+        "AND round(CAST(nell AS DOUBLE)/nl, 4) <= 0.3 AND round(CAST(nalpha AS DOUBLE)/nw, 4) >= 0.8 " +
+        "AND nstop >= 2) AS kept_gq FROM g2), " +
+        "d AS (SELECT doc_id, n_kept, n_words, kept_c4, kept_gq, len(ls) AS nl, " +
+        "len(list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1)) AS ndup, " +
+        "coalesce(list_sum(list_transform(ls, l -> len(l))), 0) AS totc, " +
+        "coalesce(list_sum(list_transform(list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1), l -> len(l))), 0) AS dupc FROM g3), " +
+        "f AS (SELECT doc_id, n_kept, n_words, kept_c4, kept_gq, " +
+        "CASE WHEN nl > 0 THEN round(CAST(ndup AS DOUBLE) / nl, 4) ELSE 0.0 END AS dup_line_frac, " +
+        "(CASE WHEN nl > 0 THEN round(CAST(ndup AS DOUBLE) / nl, 4) ELSE 0.0 END <= 0.30 AND " +
+        "CASE WHEN totc > 0 THEN round(CAST(dupc AS DOUBLE) / totc, 4) ELSE 0.0 END <= 0.20) AS kept_dl FROM d) " +
+        "SELECT doc_id, n_kept, n_words, dup_line_frac, kept_c4, kept_gq, kept_dl, " +
+        "(kept_c4 AND kept_gq AND kept_dl) AS kept FROM f"),
 
     // t25 replays the doc_id%8 pollution table, then recomputes every
     // Gopher signal with DuckDB list functions over the same word/line
@@ -1371,6 +1475,17 @@ object SparkEntry {
         "'article' AS og_type, " +
         "CASE WHEN doc_id % 9 = 0 THEN 'noindex,nofollow' ELSE 'index,follow' END AS robots, " +
         "doc_id % 9 != 0 AS indexable FROM documents"),
+
+    // x19: the full markdown string rebuilt from the template
+    "x19_markdown" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'# Title ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || " +
+        "'intro with **bold ' || CAST(doc_id AS VARCHAR) || '** and *italic* words.' || chr(10) || chr(10) || " +
+        "'## Items' || chr(10) || chr(10) || " +
+        "'- alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'- beta ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) || chr(10) || " +
+        "'see [doc ' || CAST(doc_id AS VARCHAR) || '](https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ') end.' || chr(10) || chr(10) " +
+        "AS markdown FROM documents"),
 
     // x18: every cell recomputed from the planted-table template
     "x18_table_extract" ->

@@ -577,6 +577,58 @@ object HtmlClean {
       .toDF("doc_id", "row_idx", "cells")
   }
 
+  /** x19: HTML -> Markdown conversion — the html2md step of a text
+    * pipeline (markdown is the LLM-training serialization of structured
+    * pages). The streaming engine makes this a single in-order pass:
+    * ONE `body` text handler appends every text chunk exactly once in
+    * document order, and element handlers inject the markdown markers
+    * around it (`# ` heading prefixes, `**`/`*` emphasis, `- ` list
+    * items, `[text](href)` links — the href captured at the START tag
+    * and closed over by `onEndTag`). No tree is built and none is
+    * needed: marker injection interleaves with text in byte order.
+    * The oracle recomputes the full markdown string from the template.
+    */
+  def markdownConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .mapPartitions { it =>
+        val out = new java.lang.StringBuilder
+        def mark(start: String, end: String) = ElementHandlers(element = el => {
+          out.append(start)
+          el.onEndTag(_ => out.append(end))
+        })
+        val rw = new Rewriter(Seq(
+          "body" -> ElementHandlers(text = tc => out.append(tc.text)),
+          "h1" -> mark("# ", "\n\n"),
+          "h2" -> mark("## ", "\n\n"),
+          "p" -> mark("", "\n\n"),
+          "ul" -> mark("", "\n"),
+          "li" -> mark("- ", "\n"),
+          "strong" -> mark("**", "**"),
+          "em" -> mark("*", "*"),
+          "a" -> ElementHandlers(element = el => {
+            val href = el.attr("href")
+            out.append("[")
+            el.onEndTag(_ => out.append("](").append(href).append(")"))
+          })),
+          strict = false, produceOutput = false)
+        it.map { id =>
+          out.setLength(0)
+          val idNum = id.toLong
+          val html =
+            s"""<html><body><h1>Title $id</h1>""" +
+              s"""<p>intro with <strong>bold $id</strong> and <em>italic</em> words.</p>""" +
+              s"""<h2>Items</h2><ul><li>alpha $id</li><li>beta ${idNum % 10}</li></ul>""" +
+              s"""<p>see <a href="https://ex.org/d/$id">doc $id</a> end.</p></body></html>"""
+          rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, out.toString)
+        }
+      }
+      .toDF("doc_id", "markdown")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -709,20 +709,32 @@ object TextOps {
     * round-1 lambda gotcha does not apply). The oracle replays the
     * identical rules via DuckDB list_filter.
     */
-  def c4LineFilter(df: DataFrame, minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val lines = split(col("text"), "\n")
+  /** Column-level C4 signals over any text column (so composed
+    * pipelines like p5 stay ONE map-only projection — no join-back per
+    * stage). Struct fields: n_lines, n_kept, clean_text, kept.
+    */
+  def c4Signals(text: Column, minWords: Int = 5, minKeptLines: Int = 3): Column = {
+    val lines = split(text, "\n")
     val keptLines = filter(lines, l =>
       size(split(l, " ")) >= minWords &&
         l.rlike("[.!?\"]$") &&
         !l.contains("javascript"))
-    val docOk = !col("text").contains("{") &&
-      !col("text").contains("lorem ipsum")
-    df.select(
-      col("doc_id"),
+    val docOk = !text.contains("{") && !text.contains("lorem ipsum")
+    struct(
       size(lines).as("n_lines"),
       size(keptLines).as("n_kept"),
       array_join(keptLines, "\n").as("clean_text"),
       (docOk && size(keptLines) >= minKeptLines).as("kept"))
+  }
+
+  def c4LineFilter(df: DataFrame, minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val s = c4Signals(col("text"), minWords, minKeptLines)
+    df.select(
+      col("doc_id"),
+      s.getField("n_lines").as("n_lines"),
+      s.getField("n_kept").as("n_kept"),
+      s.getField("clean_text").as("clean_text"),
+      s.getField("kept").as("kept"))
   }
 
   /** t24: Gopher duplicate-LINE quality signals (Rae et al. 2021 table
@@ -736,8 +748,10 @@ object TextOps {
     * shape as t3's top-token count — lines per document are few, and
     * nothing leaves the row, so this is map-only at any corpus scale.
     */
-  def gopherDupLines(df: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n")
+  /** Column-level dup-line signals (fields: n_lines, n_dup_lines,
+    * dup_line_frac, dup_char_frac, kept). */
+  def dupLineSignals(text: Column): Column = {
+    val lines = split(text, "\n")
     // one fold over the SORTED line array (the t19/topTokenShare shape:
     // the lambda touches only its own state + element, so no outer
     // Column subtree is re-evaluated per element): a line in an
@@ -762,12 +776,22 @@ object TextOps {
     val charFrac = when(folded.getField("tot_c") > 0,
       round(folded.getField("dup_c").cast("double") / folded.getField("tot_c"), 4))
       .otherwise(0.0)
-    df.select(col("doc_id"),
+    struct(
       nL.as("n_lines"),
       dupN.as("n_dup_lines"),
       dupFrac.as("dup_line_frac"),
       charFrac.as("dup_char_frac"),
       (dupFrac <= 0.30 && charFrac <= 0.20).as("kept"))
+  }
+
+  def gopherDupLines(df: DataFrame): DataFrame = {
+    val s = dupLineSignals(col("text"))
+    df.select(col("doc_id"),
+      s.getField("n_lines").as("n_lines"),
+      s.getField("n_dup_lines").as("n_dup_lines"),
+      s.getField("dup_line_frac").as("dup_line_frac"),
+      s.getField("dup_char_frac").as("dup_char_frac"),
+      s.getField("kept").as("kept"))
   }
 
   /** t25: the Gopher document-level quality battery (Rae et al. 2021
@@ -780,10 +804,12 @@ object TextOps {
     * HOF filters, no explode, no shuffle); `kept` compares the ROUNDED
     * ratios so the oracle's replay agrees at rule boundaries.
     */
-  def gopherQualityRules(df: DataFrame,
-      minWords: Int = 15, maxWords: Int = 90): DataFrame = {
-    val words = split(col("text"), "[ \n]+")
-    val lines = split(col("text"), "\n")
+  /** Column-level Gopher battery signals (fields: n_words, mean_wlen,
+    * sym_frac, bullet_frac, ellipsis_frac, alpha_frac, n_stop, kept). */
+  def gopherQualitySignals(text: Column,
+      minWords: Int = 15, maxWords: Int = 90): Column = {
+    val words = split(text, "[ \n]+")
+    val lines = split(text, "\n")
     val nW = size(words)
     val nL = size(lines)
     val wChars = aggregate(words, lit(0), (a, w) => a + length(w))
@@ -799,7 +825,7 @@ object TextOps {
     val bulF = frac(nBullet, nL)
     val ellF = frac(nEll, nL)
     val alpF = frac(nAlpha, nW)
-    df.select(col("doc_id"),
+    struct(
       nW.as("n_words"), meanW.as("mean_wlen"), symF.as("sym_frac"),
       bulF.as("bullet_frac"), ellF.as("ellipsis_frac"),
       alpF.as("alpha_frac"), nStop.as("n_stop"),
@@ -807,6 +833,15 @@ object TextOps {
         meanW >= 3.0 && meanW <= 10.0 && symF <= 0.1 &&
         bulF <= 0.9 && ellF <= 0.3 && alpF >= 0.8 && nStop >= 2)
         .as("kept"))
+  }
+
+  def gopherQualityRules(df: DataFrame,
+      minWords: Int = 15, maxWords: Int = 90): DataFrame = {
+    val s = gopherQualitySignals(col("text"), minWords, maxWords)
+    df.select((col("doc_id") +:
+      Seq("n_words", "mean_wlen", "sym_frac", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "n_stop", "kept")
+        .map(f => s.getField(f).as(f))): _*)
   }
 
   def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {

@@ -900,6 +900,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x19 markdown: markers interleave with body text in document order") {
+    val out = graft.spark.HtmlClean.markdownConvert(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val expected =
+        s"# Title $id\n\nintro with **bold $id** and *italic* words.\n\n" +
+          s"## Items\n\n- alpha $id\n- beta ${id % 10}\n\n" +
+          s"see [doc $id](https://ex.org/d/$id) end.\n\n"
+      assert(out(id.toString) == expected,
+        s"id=$id got:\n${out(id.toString)}\nwant:\n$expected")
+    }
+  }
+
+  test("p5 quality funnel: one map-only projection, all three stages bite") {
+    val df = graft.SparkEntry.queries("p5_quality_funnel")(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "three composed stages must not add a shuffle")
+    val rows = df.collect()
+    // columns: doc_id n_kept n_words dup_line_frac kept_c4 kept_gq kept_dl kept
+    assert(rows.exists(r => !r.getBoolean(4)), "c4 stage (lorem %11) must bite")
+    assert(rows.exists(r => !r.getBoolean(5)), "gopher battery (>90 words) must bite")
+    assert(rows.exists(r => !r.getBoolean(6)), "dup-lines (%4>=2) must bite")
+    assert(rows.exists(r => r.getBoolean(7)), "some documents must survive the funnel")
+    // %4 in {2,3} plants 2-3 copies of the boilerplate line -> dup drop
+    rows.filter(r => r.getLong(0) % 4 >= 2).foreach(r =>
+      assert(!r.getBoolean(6), s"doc ${r.getLong(0)} should fail dup-lines"))
+  }
+
   test("m14 gif header probe: byte peeks equal a real decode, projection-only plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
