@@ -641,6 +641,10 @@ object SparkEntry {
     // dims recomputed by the oracle from the encoder formulas
     "m14_gif_header" -> ((s, dir) =>
       MultimodalOps.gifHeaderProbe(MultimodalOps.gifAssets(s, dir))),
+    // m15: media-type sniff router over a MIXED blob column — magic-byte
+    // classification + type-appropriate geometry in one projection
+    "m15_media_sniff" -> ((s, dir) =>
+      MultimodalOps.mediaSniff(MultimodalOps.mixedAssets(s, dir))),
     // m10: header-only WAV probe (the m9 pattern for audio) — format and
     // frame count from codegen'd byte peeks, no decoder touched
     "m10_wav_header" -> ((s, dir) =>
@@ -1828,6 +1832,19 @@ object SparkEntry {
     "m14_gif_header" ->
       ("SELECT vec_id, TRUE AS is_gif, CAST(16 + (vec_id % 5) * 8 AS INT) AS width, " +
         "CAST(12 + (label % 4) * 6 AS INT) AS height, 256 AS gct_size FROM embeddings"),
+    // m15: type from the vec_id%4 routing residue; dims from each
+    // encoder's formulas (PNG/JPEG share theirs; WAV = rate/frames)
+    "m15_media_sniff" ->
+      ("SELECT vec_id, " +
+        "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+        "WHEN 2 THEN 'gif' ELSE 'wav' END AS mtype, " +
+        "CAST(CASE CAST(vec_id % 4 AS INT) " +
+        "WHEN 0 THEN 32 + (vec_id % 7) * 16 WHEN 1 THEN 32 + (vec_id % 7) * 16 " +
+        "WHEN 2 THEN 16 + (vec_id % 5) * 8 ELSE 16000 END AS INT) AS dim1, " +
+        "CAST(CASE CAST(vec_id % 4 AS INT) " +
+        "WHEN 0 THEN 24 + (label % 5) * 12 WHEN 1 THEN 24 + (label % 5) * 12 " +
+        "WHEN 2 THEN 12 + (label % 4) * 6 ELSE 64 + vec_id % 100 END AS INT) AS dim2 " +
+        "FROM embeddings"),
     "m5_multimodal_features" ->
       ("SELECT vec_id, CAST(len(embedding) AS INT) AS n_comp, " +
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), CAST(embedding AS DOUBLE[])), (a, b) -> a + b) / len(embedding), 4) AS mean, " +

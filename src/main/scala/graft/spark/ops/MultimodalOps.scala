@@ -429,6 +429,83 @@ object MultimodalOps {
         .otherwise(lit(0)).cast("int").as("gct_size"))
   }
 
+  /** Heterogeneous blob table for m15: vec_id%4 selects the container
+    * (0 PNG, 1 JPEG, 2 GIF, 3 WAV) — the shape of a real multimodal
+    * lake, where one binary column carries mixed media.
+    */
+  def mixedAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)]
+      .map { case (id, l) =>
+        val blob = (id % 4) match {
+          case 0 => encodePng(id, l)
+          case 1 => encodeJpeg(id, l)
+          case 2 => encodeGif(id, l)
+          case _ => encodeWav(id)
+        }
+        (id, blob)
+      }
+      .toDF("vec_id", "blob")
+  }
+
+  /** m15: media-type SNIFF ROUTER — one projection-only pass over a
+    * MIXED blob column: classify by magic bytes (PNG/JPEG/GIF/RIFF-WAVE
+    * signatures), then extract the type-appropriate geometry in the
+    * same expression (PNG IHDR BE32, JPEG SOF marker walk, GIF LSD
+    * LE16, WAV rate + data/block frames). CaseWhen evaluates only the
+    * matched branch per row, so each blob pays only its own probe.
+    * dim1/dim2 = width/height for images, sample-rate/frames for audio.
+    * This is the 100 TB routing step: partition a heterogeneous lake by
+    * type and size WITHOUT feeding a single byte through a decoder.
+    */
+  def mediaSniff(df: DataFrame): DataFrame = {
+    val b = col("blob")
+    def u8(off1: Int) = conv(hex(b.substr(lit(off1), lit(1))), 16, 10).cast("long")
+    def le16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
+    def le32(off1: Int) = le16(off1) + le16(off1 + 2) * 65536L
+    def beInt(off1: Int, len: Int) =
+      conv(hex(b.substr(lit(off1), lit(len))), 16, 10).cast("int")
+    val mtype = when(hex(b.substr(lit(1), lit(8))) === lit("89504E470D0A1A0A"), "png")
+      .when(hex(b.substr(lit(1), lit(2))) === lit("FFD8"), "jpeg")
+      .when(hex(b.substr(lit(1), lit(6))) === lit("474946383961"), "gif")
+      .when(hex(b.substr(lit(1), lit(4))) === lit("52494646") &&
+        hex(b.substr(lit(9), lit(4))) === lit("57415645"), "wav")
+      .otherwise("unknown")
+    // the m11 SOF walk, parameterized on the generic blob column
+    def be(off: Column, len: Int): Column =
+      conv(hex(b.substr(off, lit(len))), 16, 10).cast("int")
+    val walk = aggregate(sequence(lit(1), lit(16)),
+      struct(lit(3).as("off"), lit(-1).as("w"), lit(-1).as("h")),
+      (st, _) => {
+        val off = st.getField("off")
+        val marker = be(off + 1, 1)
+        val isSof = marker.between(192, 207) &&
+          marker =!= 196 && marker =!= 200 && marker =!= 204
+        when(st.getField("w") >= 0, st).otherwise(
+          when(isSof,
+            struct(off.as("off"), be(off + 7, 2).as("w"), be(off + 5, 2).as("h")))
+            .otherwise(struct((off + be(off + 2, 2) + 2).as("off"),
+              lit(-1).as("w"), lit(-1).as("h"))))
+      },
+      st => st)
+    val dim1 = when(mtype === "png", beInt(17, 4))
+      .when(mtype === "jpeg", walk.getField("w"))
+      .when(mtype === "gif", le16(7).cast("int"))
+      .when(mtype === "wav", le32(25).cast("int"))
+      .otherwise(lit(-1))
+    // PCM16 mono: data size is an exact multiple of block align, so the
+    // double division is exact and the int cast is lossless
+    val wavFrames = (le32(41) / le16(33)).cast("int")
+    val dim2 = when(mtype === "png", beInt(21, 4))
+      .when(mtype === "jpeg", walk.getField("h"))
+      .when(mtype === "gif", le16(9).cast("int"))
+      .when(mtype === "wav", wavFrames)
+      .otherwise(lit(-1))
+    df.select(col("vec_id"), mtype.as("mtype"), dim1.as("dim1"), dim2.as("dim2"))
+  }
+
   // ---- real JPEG branch: SOF marker-walk probe ----
 
   /** Encode one REAL JPEG via javax.imageio (same dimension formulas as

@@ -948,6 +948,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
   }
 
+  test("m15 media sniff: mixed blobs route to the right probe, projection-only") {
+    val sp = spark; import sp.implicits._
+    // one of each container + an unknown payload
+    val df = Seq(
+      (4L, MultimodalOps.encodePng(4L, 2)),
+      (5L, MultimodalOps.encodeJpeg(5L, 1)),
+      (6L, MultimodalOps.encodeGif(6L, 3)),
+      (7L, MultimodalOps.encodeWav(7L)),
+      (99L, "not any known container format".getBytes("UTF-8"))
+    ).toDF("vec_id", "blob")
+    val m = MultimodalOps.mediaSniff(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(m(4L) == (("png", 32 + (4 % 7) * 16, 24 + (2 % 5) * 12)))
+    assert(m(5L) == (("jpeg", 32 + (5 % 7) * 16, 24 + (1 % 5) * 12)))
+    assert(m(6L) == (("gif", 16 + (6 % 5) * 8, 12 + (3 % 4) * 6)))
+    assert(m(7L) == (("wav", 16000, 64 + 7 % 100)))
+    assert(m(99L) == (("unknown", -1, -1)))
+    val plan = MultimodalOps.mediaSniff(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
