@@ -144,6 +144,10 @@ object SparkEntry {
     // injected around a single body-text capture
     "x19_markdown" -> ((s, dir) => HtmlClean.markdownConvert(s, dir)),
 
+    // x20: JSON-LD harvest — typed-script ScriptData capture only; the
+    // untyped decoy script contributes nothing
+    "x20_jsonld" -> ((s, dir) => HtmlClean.jsonLdExtract(s, dir)),
+
     // x12: DOM-heuristic main-content extraction (the north rule's third
     // branch) — link-density + length block scoring must recover the
     // document text with NO boilerplate selectors configured
@@ -1490,6 +1494,14 @@ object SparkEntry {
         "'- beta ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) || chr(10) || " +
         "'see [doc ' || CAST(doc_id AS VARCHAR) || '](https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ') end.' || chr(10) || chr(10) " +
         "AS markdown FROM documents"),
+
+    // x20: the raw JSON rebuilt from the template (documents.lang is in
+    // the payload so the capture is data-dependent, not a constant)
+    "x20_jsonld" ->
+      ("SELECT CAST(doc_id AS VARCHAR) AS doc_id, " +
+        "'{\"@type\":\"Article\",\"id\":' || CAST(doc_id AS VARCHAR) || " +
+        "',\"lang\":\"' || lang || '\",\"name\":\"doc ' || CAST(doc_id AS VARCHAR) || '\"}' " +
+        "AS ldjson FROM documents"),
 
     // x18: every cell recomputed from the planted-table template
     "x18_table_extract" ->

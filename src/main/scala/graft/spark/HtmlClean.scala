@@ -629,6 +629,40 @@ object HtmlClean {
       .toDF("doc_id", "markdown")
   }
 
+  /** x20: JSON-LD structured-data extraction — the schema.org metadata
+    * harvest every crawl pipeline runs. The attribute-valued selector
+    * `script[type="application/ld+json"]` captures ONLY the typed
+    * script's ScriptData text (the engine's text-mode states deliver
+    * script bodies raw, so embedded quotes/braces survive verbatim);
+    * a decoy untyped `<script>` on the same page must contribute
+    * nothing. Emits the raw JSON string per document; the oracle
+    * rebuilds it from the template. Match-only, no output produced.
+    */
+  def jsonLdExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("lang"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sb = new java.lang.StringBuilder
+        val rw = new Rewriter(Seq(
+          "script[type=\"application/ld+json\"]" -> ElementHandlers(
+            text = tc => sb.append(tc.text))),
+          strict = false, produceOutput = false)
+        it.map { case (id, lang) =>
+          sb.setLength(0)
+          val html =
+            s"""<html><head><script type="application/ld+json">""" +
+              s"""{"@type":"Article","id":$id,"lang":"$lang","name":"doc $id"}""" +
+              s"""</script><script>var decoy = $id; if (decoy < 0) {}</script>""" +
+              s"""</head><body><p>page $id</p></body></html>"""
+          rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, sb.toString)
+        }
+      }
+      .toDF("doc_id", "ldjson")
+  }
+
   /** The generated interleaved corpus as whole-HTML rows (text fragments
     * concatenated; media placeholders are not part of the byte stream).
     */

@@ -913,6 +913,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming quality funnel: the p5 projection runs unchanged on a stream") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.spark.ops.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    val inDir = s"$dir/in"; val outDir = s"$dir/out"; val ckDir = s"$dir/ck"
+    val docs = Seq(
+      (1L, "good line with plenty of words here.\nsecond decent line with the words.\nthird line keeps the doc over the floor."),
+      (2L, "dup line is here too.\ndup line is here too.\ndup line is here too.\nthe rest with words stays fine."),
+      (3L, "short\nno punct line here")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(inDir)
+    // the funnel is a stateless projection, so the SAME code runs in a
+    // streaming query with no watermark/state plumbing — that is the
+    // point of keeping the signals column-level
+    def funnel(df: DataFrame): DataFrame = {
+      val c4 = TextOps.c4Signals(col("text"))
+      val step = df.select(col("doc_id"),
+        c4.getField("clean_text").as("clean_text"),
+        c4.getField("kept").as("kept_c4"))
+      val gq = TextOps.gopherQualitySignals(col("clean_text"), minWords = 3)
+      val dl = TextOps.dupLineSignals(col("clean_text"))
+      step.select(col("doc_id"),
+        (col("kept_c4") && gq.getField("kept") && dl.getField("kept")).as("kept"))
+    }
+    val q = funnel(sp.readStream.schema("doc_id LONG, text STRING").parquet(inDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = funnel(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed(1L) && !streamed(2L) && !streamed(3L))
+  }
+
   test("p5 quality funnel: one map-only projection, all three stages bite") {
     val df = graft.SparkEntry.queries("p5_quality_funnel")(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
@@ -926,6 +965,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // %4 in {2,3} plants 2-3 copies of the boilerplate line -> dup drop
     rows.filter(r => r.getLong(0) % 4 >= 2).foreach(r =>
       assert(!r.getBoolean(6), s"doc ${r.getLong(0)} should fail dup-lines"))
+  }
+
+  test("x20 json-ld: typed script captured raw, untyped decoy contributes nothing") {
+    val out = graft.spark.HtmlClean.jsonLdExtract(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("string"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (id <- Seq("0", "7", "123")) {
+      val expected =
+        s"""{"@type":"Article","id":$id,"lang":"${langs(id)}","name":"doc $id"}"""
+      assert(out(id) == expected, s"id=$id got ${out(id)}")
+      assert(!out(id).contains("decoy"))
+    }
   }
 
   test("m14 gif header probe: byte peeks equal a real decode, projection-only plan") {
