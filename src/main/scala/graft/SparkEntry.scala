@@ -33,6 +33,24 @@ object SparkEntry {
   private def docsTable(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The t25/t26 pollution table: doc_id%8 selects a text mutation that
+    * trips exactly one Gopher rule family (mirrored in both oracles). */
+  private def gopherPollutedText: org.apache.spark.sql.Column = {
+    val did = col("doc_id")
+    val r = (did % 8).cast("int")
+    val ell = "\nto be continued soon..."
+    val bl = "- item line with the words"
+    when(r === 1, concat(col("text"), lit(ell + ell + ell)))
+      .when(r === 2, concat(repeat(lit(bl + "\n"), 9), lit(bl)))
+      .when(r === 3, concat(col("text"), repeat(lit(" #"), 30)))
+      .when(r === 4, concat(col("text"), repeat(lit(" 12345"), 30)))
+      .when(r === 5, lit("tiny doc only"))
+      .when(r === 6, concat(col("text"), repeat(lit(" filler"), 100)))
+      .when(r === 7, concat(lit("the that"),
+        repeat(lit(" pneumonoultramicroscopic"), 19)))
+      .otherwise(col("text"))
+  }
+
   /** The t10/t16 deterministic URL synthesis (mirrored in UrlNormCte's
     * `u` CTE): scheme-case, default/explicit ports, empty paths, utm
     * params, unsorted params, and fragments all vary by doc_id. */
@@ -311,20 +329,24 @@ object SparkEntry {
     // over-long words) against a clean residue
     "t25_gopher_quality" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val did = col("doc_id")
-      val r = (did % 8).cast("int")
-      val ell = "\nto be continued soon..."
-      val bl = "- item line with the words"
-      val ml = when(r === 1, concat(col("text"), lit(ell + ell + ell)))
-        .when(r === 2, concat(repeat(lit(bl + "\n"), 9), lit(bl)))
-        .when(r === 3, concat(col("text"), repeat(lit(" #"), 30)))
-        .when(r === 4, concat(col("text"), repeat(lit(" 12345"), 30)))
-        .when(r === 5, lit("tiny doc only"))
-        .when(r === 6, concat(col("text"), repeat(lit(" filler"), 100)))
-        .when(r === 7, concat(lit("the that"),
-          repeat(lit(" pneumonoultramicroscopic"), 19)))
-        .otherwise(col("text"))
-      TextOps.gopherQualityRules(docs.select(did, ml.as("text")))
+      TextOps.gopherQualityRules(
+        docs.select(col("doc_id"), gopherPollutedText.as("text")))
+    }),
+    // t26: per-source quality REPORT — the dashboard row: aggregate the
+    // t25 battery verdicts by source (docs, kept, rate, total words);
+    // one partial-agg groupBy over the same map-only signals
+    "t26_quality_report" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gq = TextOps.gopherQualitySignals(col("text"))
+      docs.select(col("source"), gopherPollutedText.as("text"))
+        .select(col("source"),
+          gq.getField("kept").cast("int").as("k"),
+          gq.getField("n_words").cast("long").as("nw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k")).as("n_kept"),
+          round(sum(col("k")).cast("double") / count(lit(1)), 4).as("keep_rate"),
+          sum(col("nw")).as("sum_words"))
     }),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
@@ -649,6 +671,10 @@ object SparkEntry {
     // classification + type-appropriate geometry in one projection
     "m15_media_sniff" -> ((s, dir) =>
       MultimodalOps.mediaSniff(MultimodalOps.mixedAssets(s, dir))),
+    // m16: real audio features — zero crossings / abs energy / peak over
+    // decoded PCM, every value integer-exact under the oracle
+    "m16_wav_features" -> ((s, dir) =>
+      MultimodalOps.wavFeatures(MultimodalOps.wavAssets(s, dir))),
     // m10: header-only WAV probe (the m9 pattern for audio) — format and
     // frame count from codegen'd byte peeks, no decoder touched
     "m10_wav_header" -> ((s, dir) =>
@@ -900,6 +926,30 @@ object SparkEntry {
   private[graft] val MixDefaultPermille = 500
   private[graft] val MixRates: Map[String, Int] =
     (0 until 16).map(i => s"src$i" -> (900 - 40 * (i % 10))).toMap
+
+  /** SQL mirror of [[gopherPollutedText]] (shared by t25 and t26). */
+  private val GopherPollutionCase =
+    "CASE CAST(doc_id % 8 AS INT) " +
+      "WHEN 1 THEN text || repeat(chr(10) || 'to be continued soon...', 3) " +
+      "WHEN 2 THEN repeat('- item line with the words' || chr(10), 9) || '- item line with the words' " +
+      "WHEN 3 THEN text || repeat(' #', 30) " +
+      "WHEN 4 THEN text || repeat(' 12345', 30) " +
+      "WHEN 5 THEN 'tiny doc only' " +
+      "WHEN 6 THEN text || repeat(' filler', 100) " +
+      "WHEN 7 THEN 'the that' || repeat(' pneumonoultramicroscopic', 19) " +
+      "ELSE text END"
+
+  /** The full Gopher battery keep-verdict over a CTE exposing (ws, ls)
+    * word/line arrays (shared by t25's columns and t26's aggregate). */
+  private val GopherKeptExpr =
+    "(len(ws) BETWEEN 15 AND 90 " +
+      "AND round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)/len(ws), 4) >= 3.0 " +
+      "AND round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)/len(ws), 4) <= 10.0 " +
+      "AND round(CAST(len(list_filter(ws, x -> x = '#' OR contains(x, '...'))) AS DOUBLE)/len(ws), 4) <= 0.1 " +
+      "AND round(CAST(len(list_filter(ls, l -> starts_with(l, '- '))) AS DOUBLE)/len(ls), 4) <= 0.9 " +
+      "AND round(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)/len(ls), 4) <= 0.3 " +
+      "AND round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)/len(ws), 4) >= 0.8 " +
+      "AND len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) >= 2)"
 
   private val MixRateCase =
     "CASE source " + MixRates.toSeq.sortBy(_._1).map { case (s, r) =>
@@ -1430,19 +1480,22 @@ object SparkEntry {
         "SELECT doc_id, n_kept, n_words, dup_line_frac, kept_c4, kept_gq, kept_dl, " +
         "(kept_c4 AND kept_gq AND kept_dl) AS kept FROM f"),
 
+    // t26: the same pollution + battery, aggregated per source
+    "t26_quality_report" ->
+      (s"WITH p AS (SELECT doc_id, source, $GopherPollutionCase AS text FROM documents), " +
+        "w AS (SELECT doc_id, source, regexp_split_to_array(text, '[ \\n]+') AS ws, " +
+        "string_split(text, chr(10)) AS ls FROM p), " +
+        s"v AS (SELECT source, CASE WHEN $GopherKeptExpr THEN 1 ELSE 0 END AS k, " +
+        "len(ws) AS nw FROM w) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(k) AS BIGINT) AS n_kept, " +
+        "round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS keep_rate, " +
+        "CAST(sum(nw) AS BIGINT) AS sum_words FROM v GROUP BY source"),
+
     // t25 replays the doc_id%8 pollution table, then recomputes every
     // Gopher signal with DuckDB list functions over the same word/line
     // splits; kept compares the same ROUNDED ratios
     "t25_gopher_quality" ->
-      ("WITH p AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INT) " +
-        "WHEN 1 THEN text || repeat(chr(10) || 'to be continued soon...', 3) " +
-        "WHEN 2 THEN repeat('- item line with the words' || chr(10), 9) || '- item line with the words' " +
-        "WHEN 3 THEN text || repeat(' #', 30) " +
-        "WHEN 4 THEN text || repeat(' 12345', 30) " +
-        "WHEN 5 THEN 'tiny doc only' " +
-        "WHEN 6 THEN text || repeat(' filler', 100) " +
-        "WHEN 7 THEN 'the that' || repeat(' pneumonoultramicroscopic', 19) " +
-        "ELSE text END AS text FROM documents), " +
+      (s"WITH p AS (SELECT doc_id, $GopherPollutionCase AS text FROM documents), " +
         "w AS (SELECT doc_id, regexp_split_to_array(text, '[ \\n]+') AS ws, " +
         "string_split(text, chr(10)) AS ls FROM p), " +
         "c AS (SELECT doc_id, len(ws) AS nw, len(ls) AS nl, " +
@@ -1844,6 +1897,16 @@ object SparkEntry {
     "m14_gif_header" ->
       ("SELECT vec_id, TRUE AS is_gif, CAST(16 + (vec_id % 5) * 8 AS INT) AS width, " +
         "CAST(12 + (label % 4) * 6 AS INT) AS height, 256 AS gct_size FROM embeddings"),
+    // m16: signal stats replayed exactly — correlated ranges over the
+    // sample formula; zero crossings test i-1/i products on [1, n)
+    "m16_wav_features" ->
+      ("SELECT vec_id, CAST(n AS INT) AS n_frames, " +
+        "CAST(len(list_filter(range(1, n), i -> " +
+        "((vec_id*13 + (i-1)*7) % 65536 - 32768) * ((vec_id*13 + i*7) % 65536 - 32768) < 0)) AS INT) AS zero_crossings, " +
+        "CAST(list_sum(list_transform(range(0, n), i -> abs((vec_id*13 + i*7) % 65536 - 32768))) AS BIGINT) AS abs_energy, " +
+        "CAST(list_aggregate(list_transform(range(0, n), i -> abs((vec_id*13 + i*7) % 65536 - 32768)), 'max') AS INT) AS peak " +
+        "FROM (SELECT vec_id, 64 + vec_id % 100 AS n FROM embeddings)"),
+
     // m15: type from the vec_id%4 routing residue; dims from each
     // encoder's formulas (PNG/JPEG share theirs; WAV = rate/frames)
     "m15_media_sniff" ->

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** Guarded u32 -> int: adversarial payloads can put values above
+    * Int.MaxValue in a 4-byte field, and under Spark's ANSI mode a bare
+    * `.cast("int")` then FAILS THE TASK (found by the m15 fuzz property;
+    * the bug was latent in every 4-byte probe). Out-of-range and null
+    * collapse to -1 — a header-probe "could not parse" sentinel, never
+    * an exception.
+    */
+  private def u32ToIntSafe(v: Column): Column =
+    when(v.isNotNull && v <= Int.MaxValue && v >= Int.MinValue,
+      v.cast("int")).otherwise(lit(-1))
+
   val Magic = 0x494d4730 // "IMG0"
 
   final case class AssetMeta(vec_id: Long, width: Int, height: Int,
@@ -180,7 +191,7 @@ object MultimodalOps {
     */
   def pngHeaderProbe(pngDf: DataFrame): DataFrame = {
     def beInt(off1: Int, len: Int) =
-      conv(hex(substring(col("png"), off1, len)), 16, 10).cast("int")
+      u32ToIntSafe(conv(hex(substring(col("png"), off1, len)), 16, 10).cast("long"))
     pngDf.select(col("vec_id"),
       (hex(substring(col("png"), 1, 8)) === lit("89504E470D0A1A0A")).as("is_png"),
       beInt(17, 4).as("width"), beInt(21, 4).as("height"),
@@ -300,12 +311,15 @@ object MultimodalOps {
           hex(substring(col("wav"), 9, 4)) === lit("57415645"))  // "WAVE"
           .as("is_wav"),
         le16(23).cast("int").as("channels"),
-        le32(25).cast("int").as("sample_rate"),
+        u32ToIntSafe(le32(25)).as("sample_rate"),
         le16(35).cast("int").as("bits"),
         le16(33).as("block_align"), le32(41).as("data_size"))
       .select(col("vec_id"), col("is_wav"), col("channels"),
         col("sample_rate"), col("bits"),
-        expr("CAST(data_size div block_align AS INT)").as("n_frames"))
+        // div-by-zero and int overflow both guarded (ANSI mode fails the
+        // TASK otherwise; adversarial headers can plant either)
+        expr("CASE WHEN block_align > 0 AND data_size div block_align <= 2147483647 " +
+          "THEN CAST(data_size div block_align AS INT) ELSE -1 END").as("n_frames"))
   }
 
   // ---- real multi-frame (video-ish) branch: animated GIF ----
@@ -466,7 +480,7 @@ object MultimodalOps {
     def le16(off1: Int) = u8(off1) + u8(off1 + 1) * 256L
     def le32(off1: Int) = le16(off1) + le16(off1 + 2) * 65536L
     def beInt(off1: Int, len: Int) =
-      conv(hex(b.substr(lit(off1), lit(len))), 16, 10).cast("int")
+      u32ToIntSafe(conv(hex(b.substr(lit(off1), lit(len))), 16, 10).cast("long"))
     val mtype = when(hex(b.substr(lit(1), lit(8))) === lit("89504E470D0A1A0A"), "png")
       .when(hex(b.substr(lit(1), lit(2))) === lit("FFD8"), "jpeg")
       .when(hex(b.substr(lit(1), lit(6))) === lit("474946383961"), "gif")
@@ -493,11 +507,14 @@ object MultimodalOps {
     val dim1 = when(mtype === "png", beInt(17, 4))
       .when(mtype === "jpeg", walk.getField("w"))
       .when(mtype === "gif", le16(7).cast("int"))
-      .when(mtype === "wav", le32(25).cast("int"))
+      .when(mtype === "wav", u32ToIntSafe(le32(25)))
       .otherwise(lit(-1))
     // PCM16 mono: data size is an exact multiple of block align, so the
-    // double division is exact and the int cast is lossless
-    val wavFrames = (le32(41) / le16(33)).cast("int")
+    // double division is exact and the int conversion lossless. Guarded
+    // twice for adversarial RIFF payloads: block align 0 would be an
+    // ANSI DIVIDE_BY_ZERO task failure, and data sizes can exceed int
+    val wavFrames = when(le16(33) > 0,
+      u32ToIntSafe(floor(le32(41) / le16(33)).cast("long"))).otherwise(lit(-1))
     val dim2 = when(mtype === "png", beInt(21, 4))
       .when(mtype === "jpeg", walk.getField("h"))
       .when(mtype === "gif", le16(9).cast("int"))
@@ -654,6 +671,47 @@ object MultimodalOps {
         }
       }
       .toDF("vec_id", "n_in", "n_out", "rate_out", "s0", "s_last")
+  }
+
+  /** m16: REAL audio feature extraction — the signal-level stats an
+    * audio curation pipeline computes after decode: zero-crossing count
+    * (strict sign flips), total absolute energy, and peak amplitude.
+    * All pure INTEGER arithmetic over the decoded PCM, so the oracle
+    * recomputes every value exactly from [[wavSample]]'s formula via a
+    * correlated range — no float tolerance anywhere. Decode is the real
+    * javax.sound path (m8's contract), per-row map-only.
+    */
+  def wavFeatures(wavDf: DataFrame): DataFrame = {
+    val spark = wavDf.sparkSession
+    import spark.implicits._
+    wavDf.select(col("vec_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = in.readAllBytes()
+          val n = in.getFrameLength.toInt
+          def sample(k: Int): Int =
+            ((pcm(k * 2) & 0xff) | (pcm(k * 2 + 1).toInt << 8))
+          var zc = 0
+          var energy = 0L
+          var peak = 0
+          var prev = sample(0)
+          energy += math.abs(prev.toLong); peak = math.abs(prev)
+          var i = 1
+          while (i < n) {
+            val s = sample(i)
+            if (prev.toLong * s < 0L) zc += 1
+            energy += math.abs(s.toLong)
+            if (math.abs(s) > peak) peak = math.abs(s)
+            prev = s
+            i += 1
+          }
+          (id, n, zc, energy, peak)
+        }
+      }
+      .toDF("vec_id", "n_frames", "zero_crossings", "abs_energy", "peak")
   }
 
   /** Feature extraction over the decoded payload: per-asset mean and L2

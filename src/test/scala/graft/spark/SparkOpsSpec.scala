@@ -982,6 +982,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m16 wav features: decoded-PCM stats equal the formula recomputation") {
+    val sp = spark; import sp.implicits._
+    val ids = Seq(1L, 2L, 37L, 150L)
+    val df = ids.map(id => (id, MultimodalOps.encodeWav(id))).toDF("vec_id", "wav")
+    val rows = MultimodalOps.wavFeatures(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    for (id <- ids) {
+      val n = 64 + (id % 100).toInt
+      val s = Array.tabulate(n)(i => MultimodalOps.wavSample(id, i))
+      val zc = (1 until n).count(i => s(i - 1).toLong * s(i) < 0L)
+      val energy = s.map(v => math.abs(v.toLong)).sum
+      val peak = s.map(math.abs).max
+      assert(rows(id) == ((n, zc, energy, peak)), s"id=$id got ${rows(id)}")
+    }
+  }
+
   test("m14 gif header probe: byte peeks equal a real decode, projection-only plan") {
     val sp = spark; import sp.implicits._
     val df = Seq((5L, 3), (6L, 0), (13L, 4)).map { case (id, label) =>
@@ -1021,6 +1037,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(99L) == (("unknown", -1, -1)))
     val plan = MultimodalOps.mediaSniff(df).queryExecution.executedPlan.toString
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"), plan)
+  }
+
+  test("m15 media sniff fuzz: arbitrary payloads classify or fall to unknown, never fail") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val payloads = (0 until 60).map { i =>
+      val len = 1 + rnd.nextInt(200)
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      // a third get a real magic prefix grafted onto garbage
+      if (i % 3 == 0 && len >= 12) {
+        val magic = (i % 4) match {
+          case 0 => Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+          case 1 => Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+          case 2 => "GIF89a".getBytes("ASCII")
+          case _ => "RIFFxxxxWAVE".getBytes("ASCII")
+        }
+        System.arraycopy(magic, 0, b, 0, math.min(magic.length, len))
+      }
+      (i.toLong, b)
+    }
+    val rows = MultimodalOps.mediaSniff(payloads.toDF("vec_id", "blob")).collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      assert(Set("png", "jpeg", "gif", "wav", "unknown").contains(r.getString(1)))
+      // dims are either parsed numbers or the -1/null-chain fallbacks
+      assert(r.isNullAt(2) || r.getInt(2) >= -1)
+      assert(r.isNullAt(3) || r.getInt(3) >= -1)
+    }
   }
 
   test("png header probe: byte-peek IHDR equals a real decode, no decoder in the plan") {
