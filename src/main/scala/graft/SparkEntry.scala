@@ -412,6 +412,10 @@ object SparkEntry {
     // corpus never shuffled)
     "d16_minhash_gate" -> ((s, dir) =>
       DedupOps.minhashEstimateGate(DedupOps.withVariants(s, dir), 0.6)),
+    // d17: shingle-postings skew audit — df distribution + exact pair
+    // fan-out, the pre-flight capacity numbers for the capped dedup join
+    "d17_shingle_skew" -> ((s, dir) =>
+      DedupOps.shingleSkewAudit(DedupOps.withVariants(s, dir))),
     // t22: split-leakage audit — near-dup pairs whose endpoints land in
     // DIFFERENT t4 splits (a test doc with a train near-dup = eval
     // contamination). The split is a pure function of the id
@@ -1735,6 +1739,18 @@ object SparkEntry {
         "TRUE AS est_in_band " +
         "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
         "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6"),
+
+    // d17: the same shingle CTE grouped by shingle — df distribution +
+    // the exact pairable fan-out under the operator's df cap
+    "d17_shingle_skew" ->
+      (ShinglesCte +
+        ", dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_shingles, CAST(max(df) AS INT) AS max_df, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton, " +
+        s"CAST(sum(CASE WHEN df BETWEEN 2 AND ${DedupOps.DefaultShingleDfCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_pairable, " +
+        s"CAST(sum(CASE WHEN df > ${DedupOps.DefaultShingleDfCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped, " +
+        s"CAST(sum(CASE WHEN df BETWEEN 2 AND ${DedupOps.DefaultShingleDfCap} THEN df*(df-1)//2 ELSE 0 END) AS BIGINT) AS pair_work " +
+        "FROM dfc"),
 
     // t22: d3's pair semantics + the t4 split arithmetic re-derived per
     // endpoint — leaky = the endpoints fall in different splits

@@ -719,6 +719,32 @@ object DedupOps {
     ngramJaccardPairsFromShingled(
       shingled(base).select(col("doc_id"), col("sh")), threshold, dfCap)
 
+  /** d17: shingle-postings SKEW AUDIT — the capacity-planning numbers
+    * behind the df-cap design: distinct shingles, the hottest shingle's
+    * document frequency, singleton/pairable/capped bucket counts, and
+    * `pair_work` = sum over pairable buckets of df*(df-1)/2 — the EXACT
+    * candidate-pair fan-out the capped dedup join will materialize.
+    * Run this BEFORE a 100 TB dedup pass to size the shuffle and pick
+    * the cap; reuses the memoized shingle table (no extra corpus scan),
+    * then one exchange on the shingle key + a single-row aggregate.
+    */
+  def shingleSkewAudit(base: DataFrame,
+      dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val posts = shingled(base).select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    posts.agg(
+        count(lit(1)).as("n_shingles"),
+        max(col("df")).cast("int").as("max_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("df").between(2, dfCap), 1L).otherwise(0L)).as("n_pairable"),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("df").between(2, dfCap),
+          col("df") * (col("df") - 1)).otherwise(0L)).as("pw2"))
+      .select(col("n_shingles"), col("max_df"), col("n_singleton"),
+        col("n_pairable"), col("n_capped"),
+        expr("pw2 div 2").as("pair_work"))
+  }
+
   /** d2 over a pre-staged shingle table (see [[stageShingles]]): the
     * 100 TB shape — the corpus is shingled once, resumably, and the join
     * reads the staged parquet (columnar, re-readable per consumer with no

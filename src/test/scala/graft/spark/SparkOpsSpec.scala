@@ -952,6 +952,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed(1L) && !streamed(2L) && !streamed(3L))
   }
 
+  test("d17 shingle skew audit: hand-counted df distribution and pair work") {
+    val sp = spark; import sp.implicits._
+    // distinct 3-gram shingles: doc1/doc3 -> {a b c, b c d}, doc2 ->
+    // {a b c}, doc4 (<3 words) -> none. df: "a b c"=3, "b c d"=2
+    val df = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "a b c d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val r = graft.spark.ops.DedupOps.shingleSkewAudit(df, dfCap = 2).collect()(0)
+    // cap 2: the df-3 shingle is capped out; the df-2 one contributes
+    // C(2,2)=1 candidate pair
+    assert((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 3, 0L, 1L, 1L, 1L)), r.toString)
+  }
+
   test("p5 quality funnel: one map-only projection, all three stages bite") {
     val df = graft.SparkEntry.queries("p5_quality_funnel")(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
