@@ -541,22 +541,36 @@ object HtmlClean {
         val rows = new scala.collection.mutable.ArrayBuffer[String]()
         var cells: scala.collection.mutable.ArrayBuffer[String] = null
         var cell: java.lang.StringBuilder = null
+        // implicit-close discipline (real-world tables omit </td>/</tr>
+        // constantly): a new cell/row START flushes the previous open
+        // one, and ancestor end tags pop nested frames innermost-first,
+        // so each flush fires exactly once whichever close form arrives
+        def flushCell(): Unit =
+          if (cells != null && cell != null) { cells += cell.toString; cell = null }
+        def flushRow(): Unit = {
+          flushCell()
+          if (cells != null) { rows += cells.mkString("|"); cells = null }
+        }
+        // chunk-identity dedup (the x12 pattern): with omitted cell end
+        // tags the frames NEST, so the same TextChunk is delivered once
+        // per active matched frame — append it only once
+        var lastChunk: AnyRef = null
         val cellHandlers = ElementHandlers(
           element = el => {
+            flushCell()
+            if (cells == null) cells = new scala.collection.mutable.ArrayBuffer[String]()
             cell = new java.lang.StringBuilder
-            el.onEndTag(_ => {
-              if (cells != null && cell != null) cells += cell.toString
-              cell = null
-            })
+            el.onEndTag(_ => flushCell())
           },
-          text = tc => if (cell != null) cell.append(tc.text))
+          text = tc => if (cell != null && (tc ne lastChunk)) {
+            lastChunk = tc
+            cell.append(tc.text)
+          })
         val rw = new Rewriter(Seq(
           "table tr" -> ElementHandlers(element = el => {
+            flushRow()
             cells = new scala.collection.mutable.ArrayBuffer[String]()
-            el.onEndTag(_ => {
-              rows += cells.mkString("|")
-              cells = null
-            })
+            el.onEndTag(_ => flushRow())
           }),
           "table th" -> cellHandlers,
           "table td" -> cellHandlers),
@@ -564,13 +578,23 @@ object HtmlClean {
         it.flatMap { id =>
           rows.clear(); cells = null; cell = null
           val idNum = id.toLong
-          val html =
+          // odd doc_ids use the sloppy real-world form (no cell/row end
+          // tags at all); even ids close everything explicitly — both
+          // must yield identical rows under the same oracle
+          val html = if (idNum % 2 == 1)
+            s"""<html><body><p>intro $id</p><ul><li>nav one</li><li>nav two</li></ul>""" +
+              s"""<table class="data"><tr><th>key<th>value""" +
+              s"""<tr><td>name<td>doc $id""" +
+              s"""<tr><td>score<td>${idNum * 7 % 100}</table>""" +
+              s"""<p>footer $id</p></body></html>"""
+          else
             s"""<html><body><p>intro $id</p><ul><li>nav one</li><li>nav two</li></ul>""" +
               s"""<table class="data"><tr><th>key</th><th>value</th></tr>""" +
               s"""<tr><td>name</td><td>doc $id</td></tr>""" +
               s"""<tr><td>score</td><td>${idNum * 7 % 100}</td></tr></table>""" +
               s"""<p>footer $id</p></body></html>"""
           rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          flushRow() // doc-end flush: a table that never closes at all
           rows.toArray.zipWithIndex.map { case (r, i) => (id, i, r) }
         }
       }

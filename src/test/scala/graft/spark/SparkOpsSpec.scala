@@ -893,7 +893,9 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(out.size == 3 * nDocs, s"want 3 rows/doc, got ${out.size} for $nDocs docs")
-    for (id <- Seq(0L, 7L, 123L)) {
+    // even ids close every cell/row explicitly; odd ids omit ALL
+    // </th>/</td>/</tr> (the real-world sloppy form) — identical rows
+    for (id <- Seq(0L, 7L, 123L, 42L)) {
       assert(out((id.toString, 0)) == "key|value")
       assert(out((id.toString, 1)) == s"name|doc $id")
       assert(out((id.toString, 2)) == s"score|${id * 7 % 100}")
