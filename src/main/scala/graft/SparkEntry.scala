@@ -416,6 +416,10 @@ object SparkEntry {
     // fan-out, the pre-flight capacity numbers for the capped dedup join
     "d17_shingle_skew" -> ((s, dir) =>
       DedupOps.shingleSkewAudit(DedupOps.withVariants(s, dir))),
+    // d18: pair evidence — shared-shingle count + lex-first shared
+    // shingle per near-dup pair; pair list broadcast, corpus map-side
+    "d18_pair_evidence" -> ((s, dir) =>
+      DedupOps.pairEvidence(DedupOps.withVariants(s, dir), 0.6)),
     // t22: split-leakage audit — near-dup pairs whose endpoints land in
     // DIFFERENT t4 splits (a test doc with a train near-dup = eval
     // contamination). The split is a pure function of the id
@@ -1751,6 +1755,19 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN df > ${DedupOps.DefaultShingleDfCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped, " +
         s"CAST(sum(CASE WHEN df BETWEEN 2 AND ${DedupOps.DefaultShingleDfCap} THEN df*(df-1)//2 ELSE 0 END) AS BIGINT) AS pair_work " +
         "FROM dfc"),
+
+    // d18: the same verified-pair CTE joined back to per-doc shingle
+    // lists; n_common == the pairs CTE's inter by construction
+    "d18_pair_evidence" ->
+      (ShinglesCte +
+        ", lists AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY doc_id), " +
+        "jp AS (SELECT id_a, id_b FROM pairs " +
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.6) " +
+        "SELECT id_a, id_b, " +
+        "CAST(len(list_intersect(a.shl, b.shl)) AS INT) AS n_common, " +
+        "list_aggregate(list_intersect(a.shl, b.shl), 'min') AS top_shingle " +
+        "FROM jp JOIN lists a ON a.doc_id = id_a JOIN lists b ON b.doc_id = id_b"),
 
     // t22: d3's pair semantics + the t4 split arithmetic re-derived per
     // endpoint — leaky = the endpoints fall in different splits

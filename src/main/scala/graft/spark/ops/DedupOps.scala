@@ -719,6 +719,26 @@ object DedupOps {
     ngramJaccardPairsFromShingled(
       shingled(base).select(col("doc_id"), col("sh")), threshold, dfCap)
 
+  /** d18: PAIR EVIDENCE — the dedup explainability row: for every
+    * near-dup pair, the number of shared shingles and the
+    * lexicographically first one (the "why were these deduped" answer
+    * an ops console shows). The memoized pair list is the SMALL side of
+    * both joins (broadcast), so the corpus is never shuffled — two
+    * passes over the persisted shingle table, each map-side.
+    */
+  def pairEvidence(base: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(base).select(col("doc_id"), col("sh"))
+    val pairs = minhashLshPairs(base, threshold).select(col("id_a"), col("id_b"))
+    val withA = sh.join(broadcast(pairs), col("doc_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+    val both = sh.join(broadcast(withA), col("doc_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh").as("sh_b"))
+    val common = array_intersect(col("sh_a"), col("sh_b"))
+    both.select(col("id_a"), col("id_b"),
+      size(common).as("n_common"),
+      array_min(common).as("top_shingle"))
+  }
+
   /** d17: shingle-postings SKEW AUDIT — the capacity-planning numbers
     * behind the df-cap design: distinct shingles, the hottest shingle's
     * document frequency, singleton/pairable/capped bucket counts, and

@@ -967,6 +967,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getLong(4), r.getLong(5)) == ((2L, 3, 0L, 1L, 1L, 1L)), r.toString)
   }
 
+  test("d18 pair evidence: broadcast joins only, counts equal exact intersections") {
+    val df = graft.spark.ops.DedupOps.pairEvidence(
+      graft.spark.ops.DedupOps.withVariants(spark, sf), 0.6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "pair joins must broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every variant pair shares most shingles; spot-check one exactly
+    val r = rows.minBy(_.getLong(0))
+    val sh = graft.spark.ops.DedupOps.shingleSet _
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val textA = docs(r.getLong(0))
+    val textB = docs.get(r.getLong(1) - 1000000L)
+      .map(t => t.split(" ").zipWithIndex.filter(p => (p._2 + 1) % 17 != 0).map(_._1).mkString(" "))
+      .getOrElse(docs(r.getLong(1)))
+    val common = sh(textA).toSet.intersect(sh(textB).toSet)
+    assert(r.getInt(2) == common.size && r.getString(3) == common.min, r.toString)
+  }
+
   test("p5 quality funnel: one map-only projection, all three stages bite") {
     val df = graft.SparkEntry.queries("p5_quality_funnel")(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
