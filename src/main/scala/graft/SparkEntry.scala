@@ -348,6 +348,16 @@ object SparkEntry {
           round(sum(col("k")).cast("double") / count(lit(1)), 4).as("keep_rate"),
           sum(col("nw")).as("sum_words"))
     }),
+    // t27: sentence segmentation stats over planted multi-sentence docs
+    // (base corpus text has no terminal punctuation, so the sentence
+    // boundaries are exactly the planted ones)
+    "t27_sentence_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val did = col("doc_id")
+      val ml = concat(col("text"), lit(". short one! then a question? "),
+        lit("tail sentence number "), (did % 5).cast("string"))
+      TextOps.sentenceStats(docs.select(did, ml.as("text")))
+    }),
     // t11: temperature-scaled source balancing (alpha = 0.5) — rates
     // DERIVED from per-source counts (1000*sqrt(min/count) permille);
     // sqrt/division are correctly-rounded IEEE in both engines, so the
@@ -1498,6 +1508,15 @@ object SparkEntry {
         "SELECT source, count(*) AS n_docs, CAST(sum(k) AS BIGINT) AS n_kept, " +
         "round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS keep_rate, " +
         "CAST(sum(nw) AS BIGINT) AS sum_words FROM v GROUP BY source"),
+
+    // t27: identical construction + the same character-class split
+    "t27_sentence_stats" ->
+      ("WITH p AS (SELECT doc_id, text || '. short one! then a question? ' || " +
+        "'tail sentence number ' || CAST(doc_id % 5 AS VARCHAR) AS text FROM documents), " +
+        "s AS (SELECT doc_id, regexp_split_to_array(text, '[.!?] ') AS sents FROM p) " +
+        "SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences, " +
+        "round(CAST(list_sum(list_transform(sents, x -> len(x))) AS DOUBLE) / len(sents), 4) AS mean_sent_len, " +
+        "CAST(list_aggregate(list_transform(sents, x -> len(x)), 'max') AS INT) AS max_sent_len FROM s"),
 
     // t25 replays the doc_id%8 pollution table, then recomputes every
     // Gopher signal with DuckDB list functions over the same word/line

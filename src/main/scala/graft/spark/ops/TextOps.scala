@@ -844,6 +844,24 @@ object TextOps {
         .map(f => s.getField(f).as(f))): _*)
   }
 
+  /** t27: sentence segmentation stats — the pre-tokenization pass that
+    * feeds sentence-level packing/dedup: split on terminal punctuation
+    * followed by a space (a character-class split, NOT a lookbehind —
+    * DuckDB's RE2 has no lookbehind, so the rule is chosen to mean the
+    * same thing in both engines), then count, mean length, and longest.
+    * Row-local, map-only.
+    */
+  def sentenceStats(df: DataFrame): DataFrame = {
+    val sents = split(col("text"), "[.!?] ")
+    val n = size(sents)
+    val lens = transform(sents, s => length(s))
+    val total = aggregate(lens, lit(0), (a, x) => a + x)
+    df.select(col("doc_id"),
+      n.as("n_sentences"),
+      round(total.cast("double") / n, 4).as("mean_sent_len"),
+      array_max(lens).as("max_sent_len"))
+  }
+
   def chunkDocuments(df: DataFrame, maxTokens: Int = 128, overlap: Int = 16): DataFrame = {
     require(maxTokens > overlap && overlap >= 0,
       s"need maxTokens > overlap >= 0; got $maxTokens/$overlap")

@@ -989,6 +989,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(2) == common.size && r.getString(3) == common.min, r.toString)
   }
 
+  test("t27 sentence stats: hand counts, map-only") {
+    val sp = spark; import sp.implicits._
+    // "ab cd. ef! gh" -> ["ab cd", "ef", "gh"]: lens 5/2/2, mean 3.0
+    val out = graft.spark.ops.TextOps.sentenceStats(
+      Seq((1L, "ab cd. ef! gh"), (2L, "no terminals here")).toDF("doc_id", "text"))
+    val m = out.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(m(1L) == ((3, 3.0, 5)))
+    assert(m(2L) == ((1, 17.0, 17)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("p5 quality funnel: one map-only projection, all three stages bite") {
     val df = graft.SparkEntry.queries("p5_quality_funnel")(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
