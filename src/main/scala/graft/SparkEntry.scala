@@ -855,10 +855,17 @@ object SparkEntry {
     // story: the sketch is one pass + constant memory per group where
     // the exact path shuffles the full token set.
     "t15_hll_tokens" -> ((s, dir) => {
+      // round 7: (source, token) is deduplicated FIRST, then one plain
+      // aggregate — countDistinct alongside another aggregate planned an
+      // Expand (every exploded row duplicated per aggregate group); the
+      // explicit distinct is one partial-agg exchange of vocab-sized
+      // rows, and approx_count_distinct over the distinct set builds the
+      // IDENTICAL HLL sketch (register updates are idempotent), so both
+      // emitted values are unchanged.
       val toks = s.read.parquet(s"$dir/documents.parquet").select(col("source"),
         explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("token"))
-      toks.groupBy(col("source")).agg(
-        countDistinct(col("token")).as("exact_tokens"),
+      toks.distinct().groupBy(col("source")).agg(
+        count(col("token")).as("exact_tokens"),
         approx_count_distinct(col("token"), 0.02).as("approx"))
         .select(col("source"), col("exact_tokens"),
           (abs(col("approx") - col("exact_tokens")) <=

@@ -514,7 +514,10 @@ object HtmlClean {
               s"""<meta name="robots" content="$robotsContent">""" +
               s"""</head><body><p>page $id</p></body></html>"""
           rw.rewriteToBytes(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (id, canonical, ogTitle, ogType, robots, !robots.contains("noindex"))
+          // null-guard (ADVICE r6): a document with no robots meta must
+          // yield a non-indexable=false row, not an NPE failing the task
+          (id, canonical, ogTitle, ogType, robots,
+            robots != null && !robots.contains("noindex"))
         }
       }
       .toDF("doc_id", "canonical", "og_title", "og_type", "robots", "indexable")

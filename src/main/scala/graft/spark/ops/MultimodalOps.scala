@@ -63,7 +63,15 @@ object MultimodalOps {
     AssetMeta(id, w, h, 3, bytes.length - 20, ok = true)
   }
 
-  /** The synthetic assets table: (vec_id, label, asset binary). */
+  /** The synthetic assets table: (vec_id, label, asset binary).
+    * The REAL-codec asset builders (png/jpeg/gif/mixed) spread the
+    * locally single-partition embeddings scan before the per-row encoder
+    * — codec work is the CPU-heavy stage of those m-queries and would
+    * otherwise serialize on one core (no-op at real input sizes, see
+    * [[Par.spreadBy]]). The fake format and WAV encoders are a few
+    * microseconds per row, where the extra exchange costs more than it
+    * buys (measured both ways in round 7) — those scans stay as-read.
+    */
   def assets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -152,19 +160,27 @@ object MultimodalOps {
     (r << 16) | (g << 8) | b
   }
 
-  /** Encode one REAL PNG (same dimension formulas as the fake format). */
+  /** Encode one REAL PNG (same dimension formulas as the fake format).
+    * Pixels are filled via one bulk setRGB row-major transfer instead of
+    * a per-pixel setRGB loop (per-pixel calls pay a color-model
+    * conversion each; the bulk path stores the identical packed RGB
+    * ints, so the encoded bytes are unchanged — round 7, guide §1.2
+    * per-task work).
+    */
   def encodePng(vecId: Long, label: Int): Array[Byte] = {
     System.setProperty("java.awt.headless", "true")
     val w = 32 + (vecId % 7).toInt * 16
     val h = 24 + (label % 5) * 12
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pngPixel(vecId, label, x, y)); x += 1 }
+      while (x < w) { px(y * w + x) = pngPixel(vecId, label, x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream(w * h / 4)
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -173,8 +189,8 @@ object MultimodalOps {
   /** The real-PNG assets table: (vec_id, label, png binary). */
   def pngAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("label"))
+    Par.spreadBy(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), col("vec_id"))
       .as[(Long, Int)]
       .map { case (id, label) => (id, label, encodePng(id, label)) }
       .toDF("vec_id", "label", "png")
@@ -236,14 +252,22 @@ object MultimodalOps {
         it.map { case (id, bytes) =>
           val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           val tw = src.getWidth / 2; val th = src.getHeight / 2
-          val dst = new java.awt.image.BufferedImage(tw, th,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk getRGB of the source + one bulk setRGB of the strided
+          // selection: identical packed-RGB values to the per-pixel
+          // getRGB/setRGB loop, without a color-model conversion per
+          // pixel (round 7)
+          val sw = src.getWidth
+          val srcPx = src.getRGB(0, 0, sw, src.getHeight, null, 0, sw)
+          val dstPx = new Array[Int](tw * th)
           var y = 0
           while (y < th) {
             var x = 0
-            while (x < tw) { dst.setRGB(x, y, src.getRGB(x * 2, y * 2)); x += 1 }
+            while (x < tw) { dstPx(y * tw + x) = srcPx(2 * y * sw + 2 * x); x += 1 }
             y += 1
           }
+          val dst = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          dst.setRGB(0, 0, tw, th, dstPx, 0, tw)
           val bos = new java.io.ByteArrayOutputStream(tw * th / 4)
           javax.imageio.ImageIO.write(dst, "png", bos)
           val back = javax.imageio.ImageIO.read(
@@ -357,13 +381,18 @@ object MultimodalOps {
     while (f < frames) {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
-      val raster = img.getRaster
+      // one bulk byte transfer per frame instead of a setSample per
+      // pixel — identical sample values (round 7)
+      val samples = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { raster.setSample(x, y, 0, gifGray(vecId, label, x, y, f)); x += 1 }
+        while (x < w) {
+          samples(y * w + x) = gifGray(vecId, label, x, y, f).toByte; x += 1
+        }
         y += 1
       }
+      img.getRaster.setDataElements(0, 0, w, h, samples)
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       f += 1
     }
@@ -376,8 +405,8 @@ object MultimodalOps {
   /** The real-GIF assets table: (vec_id, label, gif binary). */
   def gifAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("label"))
+    Par.spreadBy(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), col("vec_id"))
       .as[(Long, Int)]
       .map { case (id, label) => (id, label, encodeGif(id, label)) }
       .toDF("vec_id", "label", "gif")
@@ -449,8 +478,8 @@ object MultimodalOps {
     */
   def mixedAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("label"))
+    Par.spreadBy(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), col("vec_id"))
       .as[(Long, Int)]
       .map { case (id, l) =>
         val blob = (id % 4) match {
@@ -548,8 +577,8 @@ object MultimodalOps {
   /** The real-JPEG assets table: (vec_id, label, jpg binary). */
   def jpegAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("label"))
+    Par.spreadBy(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), col("vec_id"))
       .as[(Long, Int)]
       .map { case (id, label) => (id, label, encodeJpeg(id, label)) }
       .toDF("vec_id", "label", "jpg")

@@ -32,7 +32,11 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val lb = left.withColumn("__pb", expr(s"$point div $bucketWidth"))
-    val rb = right.withColumn("__ib",
+    // empty/inverted intervals (hi <= lo) are dropped BEFORE the explode
+    // (ADVICE r6): sequence() descends for hi <= lo, silently
+    // materializing up to (lo-hi)/bucketWidth spurious bucket rows per
+    // bad interval; such intervals can match no point anyway
+    val rb = right.where(expr(s"$hi > $lo")).withColumn("__ib",
       explode(sequence(expr(s"$lo div $bucketWidth"),
         expr(s"($hi - 1) div $bucketWidth"))))
     lb.join(rb, lb("__pb") === rb("__ib") &&

@@ -35,7 +35,10 @@ object SimOps {
     import spark.implicits._
     val queries = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    // interpreted-HOF cosines are the CPU-heavy stage; spread the locally
+    // single-partition scan before fanning out (no-op at real scale)
+    val scored = Par.spreadBy(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")), col("neighbor_id"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
@@ -173,7 +176,7 @@ object SimOps {
                              queryIds: Seq[Long], k: Int): DataFrame = {
     val qVecs = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(candIds), "vec_id")
+    val scored = Par.spreadBy(emb, col("vec_id")).join(broadcast(candIds), "vec_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
     // same two-phase top-k as the brute-force path: candidate volume per

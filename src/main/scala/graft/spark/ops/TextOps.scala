@@ -295,7 +295,8 @@ object TextOps {
 
   def docStats(spark: SparkSession, sfDir: String): DataFrame = {
     graft.spark.RollingHashFn.register(spark)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = Par.spreadBy(
+      spark.read.parquet(s"$sfDir/documents.parquet"), col("doc_id"))
     docs.select(
       col("doc_id"),
       tokenCountWs(col("text")).as("n_tok_ws"),
@@ -418,6 +419,10 @@ object TextOps {
     * total order in every engine.
     */
   def winsorizeLengths(df: DataFrame, permille: Int = 950): DataFrame = {
+    // ADVICE r6: permille <= 0 would rank 0, match no stats row, and
+    // silently drop every document (mixtureSample's validation, mirrored)
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
     val ranked = df.select(col("source"), col("n_chars"), col("doc_id"))
@@ -609,7 +614,7 @@ object TextOps {
     val dup5 = when(size(g5) > 0,
       (size(g5) - size(array_distinct(g5))).cast("double") / size(g5).cast("double"))
       .otherwise(lit(0.0))
-    val out = df
+    val out = Par.spreadBy(df, col("doc_id"))
       .withColumn("tk", tokens(col("text")))
       .withColumn("g5", grams(5))
       .withColumn("t2", top(grams(2)))

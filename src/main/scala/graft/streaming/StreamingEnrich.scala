@@ -27,7 +27,13 @@ object StreamingEnrich {
   def enrichFn(userId: Long, events: Iterator[Ev],
       state: GroupState[LastPurch]): Iterator[Enriched] = {
     var st = state.getOption.orNull
-    val out = events.toArray.sortBy(e => (e.epochSec, e.event_id)).map { e =>
+    // sort non-purchases BEFORE same-time purchases (ADVICE r6): a
+    // purchase must not be visible to an event at the SAME timestamp —
+    // that is AsofJoin's strict-tie contract; without the isPurchase key
+    // the equality held only because (user_id, ts) is unique in the
+    // events table
+    val out = events.toArray
+      .sortBy(e => (e.epochSec, e.isPurchase, e.event_id)).map { e =>
       val res =
         if (st == null) Enriched(e.event_id, userId, None, None)
         else Enriched(e.event_id, userId, Some(st.purchId), Some(e.epochSec - st.purchSec))

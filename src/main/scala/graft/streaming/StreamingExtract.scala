@@ -74,8 +74,12 @@ object StreamingExtract {
     * DISK-RESIDENT staged table shared with the batch path and updated
     * by periodic re-staging, not per-event stream state — at crawl scale
     * the postings do not fit (and do not belong) in streaming state
-    * store; exactly-once comes from foreachBatch's batchId-idempotent
-    * append contract.
+    * store. Delivery is AT-LEAST-ONCE (ADVICE r6): the writes are plain
+    * appends, so a micro-batch retried after a mid-write failure can
+    * duplicate rows in either sink; both sinks carry `batch_id` so a
+    * downstream consumer can deduplicate on (batch_id, doc_id) — or
+    * swap the appends for batchId-keyed partition overwrites for
+    * exactly-once.
     */
   def ingestDedupStream(spark: SparkSession, inDir: String, stagedShingleDir: String,
                         verdictDir: String, acceptedDir: String, checkpointDir: String,
@@ -95,6 +99,7 @@ object StreamingExtract {
           verdicts.write.mode("append").parquet(verdictDir)
           batch.toDF()
             .join(verdicts.where(!col("is_dup")).select(col("doc_id")), "doc_id")
+            .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(acceptedDir)
         } finally verdicts.unpersist()
         ()

@@ -281,11 +281,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("m9/m10 header probes are projection-only: no Exchange, no decoder") {
-    for (q <- Seq("m9_png_header", "m10_wav_header")) {
-      val p = graft.SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange"), s"$q:\n$p")
-    }
+    // The PROBE must add no exchange over its input: at 100 TB the asset
+    // lake already exists and the probe is a projection-only scan. The
+    // local ASSET SYNTHESIS may carry one REPARTITION_BY_NUM exchange
+    // (round 7's scan-parallelism floor on the codec-heavy generators,
+    // see Par.spreadBy) — that exchange belongs to generation, not the
+    // probe, so the assertion compares probe-plan exchanges against
+    // input-plan exchanges instead of demanding zero overall.
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+    val pngIn = graft.spark.ops.MultimodalOps.pngAssets(spark, sf)
+    val pngProbe = graft.spark.ops.MultimodalOps.pngHeaderProbe(pngIn)
+    assert(exchanges(pngProbe.queryExecution.executedPlan.toString) ==
+      exchanges(pngIn.queryExecution.executedPlan.toString),
+      pngProbe.queryExecution.executedPlan.toString)
+    // the WAV generator has no repartition (trivial per-row encoder), so
+    // the full m10 plan stays exchange-free end to end
+    val p10 = graft.SparkEntry.queries("m10_wav_header")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p10.contains("Exchange"), s"m10_wav_header:\n$p10")
   }
 
   test("t9 mixture sampling is map-only: no Exchange, scan prunes to id+source") {
