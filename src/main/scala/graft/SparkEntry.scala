@@ -188,7 +188,9 @@ object SparkEntry {
     "t1_text_stats" -> ((s, dir) => TextOps.docStats(s, dir)),
     // t3: Gopher-style repetition quality signals
     "t3_repetition" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet").select(
+      // interpreted-HOF repetition signals over a locally single-partition
+      // scan: spread first (no-op at real scale, see Par.spreadBy)
+      Par.spreadBy(s.read.parquet(s"$dir/documents.parquet"), col("doc_id")).select(
         col("doc_id"),
         TextOps.repetitionRatio(col("text")).as("rep_ratio"),
         TextOps.topTokenShare(col("text")).as("top_share"))),
@@ -283,6 +285,9 @@ object SparkEntry {
     // so C4 kills (%11 lorem), the battery kills (word count > 90 on
     // long docs) and dup-lines kill (%4 >= 2) each bite independently
     "p5_quality_funnel" -> ((s, dir) => {
+      // NOT spread (round 7): p5's contract is ONE map-only projection
+      // with zero exchanges (SparkOpsSpec pins it; the same stateless
+      // shape is what lets the funnel run unchanged under readStream)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val did = col("doc_id")
       val boiler = concat(lit("all rights reserved to "), col("source"), lit(" today.\n"))

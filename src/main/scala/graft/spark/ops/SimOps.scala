@@ -35,13 +35,22 @@ object SimOps {
     import spark.implicits._
     val queries = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // interpreted-HOF cosines are the CPU-heavy stage; spread the locally
-    // single-partition scan before fanning out (no-op at real scale)
+    // the exact-cosine scoring is the CPU-heavy stage: spread the locally
+    // single-partition scan before fanning out (no-op at real scale), and
+    // score with the sequential Scala fold — bit-identical operation
+    // order to the interpreted-HOF column form it replaces (round 7,
+    // guide §4; see DedupOps.cosineSeq)
     val scored = Par.spreadBy(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding")), col("neighbor_id"))
       .crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (q, n, qe, e) =>
+        (q, n, DedupOps.cosineSeq(qe, e))
+      })
+      .toDF("query_id", "neighbor_id", "sim")
+      .withColumn("sim", round(col("sim"), 4))
     topKPerQuery(scored.select(col("query_id"), col("neighbor_id"), col("sim")), k)
   }
 
@@ -176,9 +185,19 @@ object SimOps {
                              queryIds: Seq[Long], k: Int): DataFrame = {
     val qVecs = emb.where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // typed sequential-fold scoring, bit-identical to the interpreted
+    // column form (see bruteForceTopK / DedupOps.cosineSeq)
     val scored = Par.spreadBy(emb, col("vec_id")).join(broadcast(candIds), "vec_id")
       .join(broadcast(qVecs), "query_id")
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 4))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (q, v, qe, e) =>
+        (q, v, DedupOps.cosineSeq(qe, e))
+      })
+      .toDF("query_id", "vec_id", "sim")
+      .withColumn("sim", round(col("sim"), 4))
     // same two-phase top-k as the brute-force path: candidate volume per
     // query grows with the corpus at fixed bucket fractions, so a bare
     // per-query window would re-create the funnel on the pruned set
