@@ -231,11 +231,7 @@ object DedupOps {
     else {
       val spark = base.sparkSession
       import spark.implicits._
-      // Par.spreadBy: shingling is the CPU-heavy stage of every dedup
-      // operator; a single-partition local scan would serialize it on
-      // one core (no-op at real scale — see Par)
-      val df = Par.spreadBy(base.select(col("doc_id"), col("text")), col("doc_id"))
-        .as[(Long, String)]
+      val df = base.select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => (id, t, shingleSet(t)) })
         .toDF("doc_id", "text", "sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -726,8 +722,14 @@ object DedupOps {
     */
   def ngramJaccardPairs(base: DataFrame, threshold: Double,
                         dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    // NOT fed from the postings memo (round 7, measured both ways): the
+    // pair-expansion consumer streams each bucket row once, and reading
+    // the array-valued postings back through the columnar cache costs
+    // MORE than recomputing them from the persisted shingle table
+    // (steady ran slower than cold with the memo). d14/d17, whose
+    // consumption amortizes differently, stay on the memo.
     val withSh = shingled(base).select(col("doc_id"), col("sh"))
-    ngramJaccardPairsCore(withSh, postingsOf(withSh), threshold, dfCap)
+    ngramJaccardPairsCore(withSh, rawPostings(withSh), threshold, dfCap)
   }
 
   /** Session-scoped shingle-POSTINGS memo (round 7): the inverted index
@@ -899,8 +901,9 @@ object DedupOps {
   def ngramJaccardPairsCapped(base: DataFrame, threshold: Double,
                               memberCap: Int = DefaultPairMemberCap,
                               dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    // inline postings, not the memo — see [[ngramJaccardPairs]]
     val withSh = shingled(base).select(col("doc_id"), col("sh"))
-    ngramJaccardPairsCappedCore(withSh, postingsOf(withSh), threshold, memberCap, dfCap)
+    ngramJaccardPairsCappedCore(withSh, rawPostings(withSh), threshold, memberCap, dfCap)
   }
 
   /** d2b over a pre-staged shingle table (see [[stageShingles]]). */
