@@ -1125,6 +1125,7 @@ object DedupOps {
     }
     // stale pairs imply stale cluster assignments
     clearCcCache()
+    clearLpCcCache()
   }
 
   /** d3 over a pre-staged shingle table (see [[stageShingles]]). */
@@ -1233,7 +1234,40 @@ object DedupOps {
       case _ => ()
     }
 
-  def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Session memo for [[clusterIds]] — the label-propagation sibling of
+    * the star-CC memo (round 7), kept as a SEPARATE cache so the two
+    * algorithms never serve each other's results (their outputs are
+    * equal at fixpoint, but each is benchmarked and spec'd as itself).
+    */
+  private val lpCcCache =
+    new java.util.LinkedHashMap[(SparkSession, Int, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > MaxCachedCcViews
+        if (evict) scala.util.Try(e.getValue.unpersist())
+        evict
+      }
+    }
+
+  def clearLpCcCache(): Unit = lpCcCache.synchronized {
+    lpCcCache.values.forEach(df => scala.util.Try(df.unpersist()))
+    lpCcCache.clear()
+  }
+
+  def clusterIds(base: DataFrame, pairs: DataFrame): DataFrame = lpCcCache.synchronized {
+    lpCcCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+    val key = (base.sparkSession, base.queryExecution.analyzed.semanticHash(),
+      pairs.queryExecution.analyzed.semanticHash())
+    val cached = lpCcCache.get(key)
+    if (cached != null) cached
+    else {
+      val df = clusterIdsUncached(base, pairs)
+      lpCcCache.put(key, df)
+      df
+    }
+  }
+
+  private def clusterIdsUncached(base: DataFrame, pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nodes = base.select(col("doc_id")).distinct()
     val edges = pairs.select(col("id_a"), col("id_b"))

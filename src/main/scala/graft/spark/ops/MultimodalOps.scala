@@ -219,6 +219,22 @@ object MultimodalOps {
     * every value from the generation formulas, so a decoder that
     * mis-parses rows, strides, or channel order mismatches.
     */
+  /** One dedicated PNG reader per task instead of the `ImageIO.read`
+    * convenience (which re-runs provider lookup and allocates a fresh
+    * reader per call) — same PNGImageReader implementation, identical
+    * decoded pixels (round 7, guide §1.2 per-task work / §4.5
+    * initialize-once-per-task).
+    */
+  private def readPng(reader: javax.imageio.ImageReader,
+                      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val img = reader.read(0)
+    iis.close()
+    img
+  }
+
   def pngDecode(pngDf: DataFrame): DataFrame = {
     val spark = pngDf.sparkSession
     import spark.implicits._
@@ -226,8 +242,9 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = readPng(reader, bytes)
           val w = img.getWidth; val h = img.getHeight
           val p0 = img.getRGB(0, 0) & 0xffffff
           val p1 = img.getRGB(w - 1, h - 1) & 0xffffff
@@ -249,8 +266,13 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // reader + writer constructed once per task (see readPng); the
+        // writer is the same PNGImageWriter ImageIO.write resolves, so
+        // the encoded bytes are identical
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val src = readPng(reader, bytes)
           val tw = src.getWidth / 2; val th = src.getHeight / 2
           // bulk getRGB of the source + one bulk setRGB of the strided
           // selection: identical packed-RGB values to the per-pixel
@@ -269,9 +291,11 @@ object MultimodalOps {
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           dst.setRGB(0, 0, tw, th, dstPx, 0, tw)
           val bos = new java.io.ByteArrayOutputStream(tw * th / 4)
-          javax.imageio.ImageIO.write(dst, "png", bos)
-          val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(dst)
+          ios.close()
+          val back = readPng(reader, bos.toByteArray)
           (id, back.getWidth, back.getHeight,
             back.getRGB(0, 0) & 0xffffff,
             back.getRGB(back.getWidth - 1, back.getHeight - 1) & 0xffffff)
