@@ -750,13 +750,13 @@ object DedupOps {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, Int), DataFrame]): Boolean = {
         val evict = size() > MaxCachedShingleViews
-        if (evict) scala.util.Try(e.getValue.unpersist())
+        if (evict) scala.util.Try(releaseRound(e.getValue))
         evict
       }
     }
 
   def clearPostingsCache(): Unit = postingsCache.synchronized {
-    postingsCache.values.forEach(df => scala.util.Try(df.unpersist()))
+    postingsCache.values.forEach(df => scala.util.Try(releaseRound(df)))
     postingsCache.clear()
   }
 
@@ -766,8 +766,18 @@ object DedupOps {
     val cached = postingsCache.get(key)
     if (cached != null) cached
     else {
-      val df = rawPostings(withSh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialized as a LAZY localCheckpoint rather than persist()
+      // (round 7): persist registers the plan fragment with the
+      // CacheManager, which then silently substituted the COLUMNAR
+      // cache into d2/d2b's structurally identical inline postings
+      // subplans — and deserializing the array-valued buckets out of
+      // cached column batches made their pair expansion ~2x slower
+      // than recomputing. A checkpoint is a LogicalRDD (row format,
+      // never pattern-matched into other plans): d14/d17 read rows
+      // fast, d2/d2b genuinely compute inline. Storage released via
+      // releaseRound on eviction/clear (Dataset.unpersist does not
+      // release a localCheckpoint).
+      val df = rawPostings(withSh).localCheckpoint(false)
       postingsCache.put(key, df)
       df
     }
