@@ -722,14 +722,17 @@ object DedupOps {
     */
   def ngramJaccardPairs(base: DataFrame, threshold: Double,
                         dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    // NOT fed from the postings memo (round 7, measured both ways): the
-    // pair-expansion consumer streams each bucket row once, and reading
-    // the array-valued postings back through the columnar cache costs
-    // MORE than recomputing them from the persisted shingle table
-    // (steady ran slower than cold with the memo). d14/d17, whose
-    // consumption amortizes differently, stay on the memo.
+    // Fed from the postings memo SINCE the memo became a row-format
+    // localCheckpoint (round 7, measured three ways): against the
+    // original columnar persist() memo, reading the array-valued
+    // postings back out of cached column batches cost MORE than
+    // recomputing (steady ran slower than cold) and inline won; against
+    // the final localCheckpoint memo the interleaved same-JVM A/B
+    // (graft.AbD2Postings) reads memo ~1.35 s vs inline ~1.65 s median
+    // AND the inline path's transient 4-5 s GC-burst spikes (the
+    // explode+groupBy exchange) disappear entirely.
     val withSh = shingled(base).select(col("doc_id"), col("sh"))
-    ngramJaccardPairsCore(withSh, rawPostings(withSh), threshold, dfCap)
+    ngramJaccardPairsCore(withSh, postingsOf(withSh), threshold, dfCap)
   }
 
   /** Session-scoped shingle-POSTINGS memo (round 7): the inverted index
@@ -773,8 +776,9 @@ object DedupOps {
       // subplans — and deserializing the array-valued buckets out of
       // cached column batches made their pair expansion ~2x slower
       // than recomputing. A checkpoint is a LogicalRDD (row format,
-      // never pattern-matched into other plans): d14/d17 read rows
-      // fast, d2/d2b genuinely compute inline. Storage released via
+      // never pattern-matched into other plans): row reads are fast
+      // enough that d2/d2b now feed from here too (AbD2Postings
+      // evidence at [[ngramJaccardPairs]]). Storage released via
       // releaseRound on eviction/clear (Dataset.unpersist does not
       // release a localCheckpoint).
       val df = rawPostings(withSh).localCheckpoint(false)
@@ -844,6 +848,25 @@ object DedupOps {
         expr("pw2 div 2").as("pair_work"))
   }
 
+  /** ROUND-7 A/B ONLY (not a declared query path): d2 fed from INLINE
+    * postings — the pre-switch form, kept so [[graft.AbD2Postings]] can
+    * re-run the inline-vs-memo comparison that justified feeding the
+    * declared d2/d2b from the localCheckpoint postings memo.
+    */
+  def ngramJaccardPairsInlineAb(base: DataFrame, threshold: Double,
+                                dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val withSh = shingled(base).select(col("doc_id"), col("sh"))
+    ngramJaccardPairsCore(withSh, rawPostings(withSh), threshold, dfCap)
+  }
+
+  /** ROUND-7 A/B ONLY: d2b fed from inline postings (see above). */
+  def ngramJaccardPairsCappedInlineAb(base: DataFrame, threshold: Double,
+                                      memberCap: Int = DefaultPairMemberCap,
+                                      dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val withSh = shingled(base).select(col("doc_id"), col("sh"))
+    ngramJaccardPairsCappedCore(withSh, rawPostings(withSh), threshold, memberCap, dfCap)
+  }
+
   /** d2 over a pre-staged shingle table (see [[stageShingles]]): the
     * 100 TB shape — the corpus is shingled once, resumably, and the join
     * reads the staged parquet (columnar, re-readable per consumer with no
@@ -911,9 +934,9 @@ object DedupOps {
   def ngramJaccardPairsCapped(base: DataFrame, threshold: Double,
                               memberCap: Int = DefaultPairMemberCap,
                               dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    // inline postings, not the memo — see [[ngramJaccardPairs]]
+    // postings memo, same evidence as [[ngramJaccardPairs]]
     val withSh = shingled(base).select(col("doc_id"), col("sh"))
-    ngramJaccardPairsCappedCore(withSh, rawPostings(withSh), threshold, memberCap, dfCap)
+    ngramJaccardPairsCappedCore(withSh, postingsOf(withSh), threshold, memberCap, dfCap)
   }
 
   /** d2b over a pre-staged shingle table (see [[stageShingles]]). */

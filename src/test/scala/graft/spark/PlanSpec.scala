@@ -93,12 +93,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("d2 shingles once: the persisted shingle view feeds both subtrees") {
     val df = graft.SparkEntry.queries("d2_ngram_pairs")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // both the inverted index and the set-size side must read the cached
-    // relation, not recompute the scan+split+shingle lineage
+    // the set-size side must read the cached shingle relation, not
+    // recompute the scan+split+shingle lineage
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
-    // and the inverted-index shuffle must key on the 64-bit shingle hash,
-    // not the trigram string (the exchange payload optimization)
-    assert(p.contains("xxhash64"), p)
+    // the inverted index comes from the row-format postings memo (a
+    // localCheckpoint LogicalRDD), so d2's own plan carries NO
+    // explode+groupBy over shingle occurrences per execution (round 7:
+    // the inline exchange was both slower at median and the source of
+    // transient GC-burst spikes — see AbD2Postings)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("explode"), p)
+    // the exchange-payload optimization (shuffle keys on the 64-bit
+    // shingle hash, not the trigram string) lives in the postings
+    // lineage — assert it on the inline form, which shares rawPostings
+    val pInline = graft.spark.ops.DedupOps
+      .ngramJaccardPairsInlineAb(graft.spark.ops.DedupOps.withVariants(spark, sf), 0.6)
+      .queryExecution.executedPlan.toString
+    assert(pInline.contains("xxhash64"), pInline)
   }
 
   test("bucketed tables co-locate the fact join: no shuffle on the join keys") {
